@@ -1,0 +1,95 @@
+"""Linear operators (the `A` in min f(x) + g(x) + h(Ax)).
+
+The reference accepts anything supporting ``A * x``, ``A' * y`` and
+``norm(A)`` (src/AdaProx.jl:327,329,403). Here a LinearOperator is a pytree
+dataclass with ``matvec``/``rmatvec``/``norm``; ``DenseOperator`` wraps a
+(possibly sharded) ``jnp`` matrix so that under ``jit`` over a
+``jax.sharding.Mesh`` the matvec partials and psum collectives are inserted
+by XLA/GSPMD automatically — the TPU replacement for Julia's BLAS calls.
+
+``opnorm`` (largest singular value) is computed by power iteration on A'A,
+replacing the reference's dense ``opnorm(A)`` precompute
+(experiments/lasso/runme.jl:81) which does not scale to sharded matrices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .._pytree import pytree_dataclass
+
+__all__ = ["DenseOperator", "ScaledIdentity", "opnorm2", "frobenius_norm"]
+
+
+@pytree_dataclass
+class DenseOperator:
+    """A dense (possibly device-sharded) matrix as a linear operator."""
+
+    a: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    def matvec(self, x):
+        return self.a @ x
+
+    def rmatvec(self, y):
+        # A.T @ y as (y @ A) to keep the row-sharded layout contraction-local;
+        # XLA emits the psum of partials when `a` is row-sharded.
+        return y @ self.a
+
+    def norm(self):
+        """Frobenius norm — matches Julia's ``norm(A)`` on a matrix, which the
+        reference uses for ``norm_A`` (experiments/dual_svm/runme.jl:59,
+        square_root_lasso/runme.jl:46)."""
+        return frobenius_norm(self.a)
+
+    def opnorm(self, iters: int = 100, key=None):
+        return opnorm2(self, iters=iters, key=key)
+
+
+@pytree_dataclass
+class ScaledIdentity:
+    """alpha * I; handy for tests and simple couplings."""
+
+    alpha: jnp.ndarray = 1.0
+
+    def matvec(self, x):
+        return self.alpha * x
+
+    def rmatvec(self, y):
+        return self.alpha * y
+
+    def norm(self):
+        return jnp.abs(self.alpha)
+
+
+def frobenius_norm(a):
+    return jnp.sqrt(jnp.sum(a * a))
+
+
+def opnorm2(op, iters: int = 100, key=None, n: int | None = None):
+    """Largest singular value of a linear operator via power iteration on A'A.
+
+    Sharding-friendly replacement for the reference's exact ``opnorm(A)``
+    (experiments/lasso/runme.jl:81): each step is one matvec + one rmatvec,
+    both of which ride whatever sharding the operator's storage has.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if n is None:
+        n = op.shape[1] if hasattr(op, "shape") else None
+    if n is None:
+        raise ValueError("pass n= for operators without a .shape")
+    dtype = op.a.dtype if hasattr(op, "a") else jnp.float32
+    v = jax.random.normal(key, (n,), dtype=dtype)
+    v = v / jnp.sqrt(jnp.sum(v * v))
+
+    def body(_, v):
+        w = op.rmatvec(op.matvec(v))
+        return w / jnp.sqrt(jnp.sum(w * w))
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    return jnp.sqrt(jnp.sum(op.matvec(v) ** 2))

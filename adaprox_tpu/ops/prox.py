@@ -1,0 +1,216 @@
+"""Proximable functions (the `g` and `h` parts of min f(x) + g(x) + h(Ax)).
+
+TPU-native re-design of the behavioral surface the reference pulls in from
+ProximalCore.jl / ProximalOperators.jl (see reference src/AdaProx.jl:5 and the
+experiment drivers, e.g. experiments/lasso/runme.jl:11, dual_svm/runme.jl:14-16,
+square_root_lasso/runme.jl:13,40-42).
+
+Every operator is a pure pytree dataclass with:
+
+  * ``op(x)``            -> the (extended-real) function value at x
+  * ``op.prox(v, gamma)``-> ``(y, g_y)`` with y = argmin_z g(z) + ||z-v||^2/(2*gamma)
+                            and g_y = g(y), mirroring ProximalCore's
+                            ``prox(g, v, gamma) -> (y, g_y)``
+  * ``conjugate(op)``    -> the convex conjugate, analytic where known and a
+                            Moreau-identity wrapper otherwise (reference uses
+                            ``convex_conjugate`` at src/AdaProx.jl:325,492,594)
+
+All prox maps are elementwise/VPU-friendly closed forms; XLA fuses them into
+the surrounding update (x <- prox(x - gamma * d)). Numeric fields (lam, lo,
+hi, ...) are dynamic pytree leaves so solvers can be vmap-ed over them
+(regularization paths, box sweeps).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .._pytree import pytree_dataclass
+
+__all__ = [
+    "Zero",
+    "L1Norm",
+    "L2Norm",
+    "SqrL2Norm",
+    "IndBox",
+    "IndBall2",
+    "IndZero",
+    "Translate",
+    "MoreauConjugate",
+    "conjugate",
+]
+
+
+def _vdot(a, b):
+    return jnp.vdot(a, b).real
+
+
+@pytree_dataclass
+class Zero:
+    """g(x) = 0; prox is the identity (ProximalCore.Zero)."""
+
+    def __call__(self, x):
+        return jnp.zeros((), dtype=jnp.result_type(x))
+
+    def prox(self, v, gamma):
+        del gamma
+        return v, jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class IndZero:
+    """Indicator of {0}; prox maps everything to 0 (ProximalCore.IndZero)."""
+
+    def __call__(self, x):
+        zero = jnp.zeros((), dtype=jnp.result_type(x))
+        ok = jnp.all(x == 0)
+        return jnp.where(ok, zero, jnp.inf)
+
+    def prox(self, v, gamma):
+        del gamma
+        return jnp.zeros_like(v), jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class L1Norm:
+    """g(x) = lam * ||x||_1; prox = soft-thresholding (NormL1 in the reference)."""
+
+    lam: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        return self.lam * jnp.sum(jnp.abs(x))
+
+    def prox(self, v, gamma):
+        thr = gamma * self.lam
+        y = jnp.sign(v) * jnp.maximum(jnp.abs(v) - thr, 0)
+        return y, self(y)
+
+
+@pytree_dataclass
+class L2Norm:
+    """g(x) = lam * ||x||_2; prox = block soft-thresholding (NormL2)."""
+
+    lam: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        return self.lam * jnp.sqrt(jnp.sum(x * x))
+
+    def prox(self, v, gamma):
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        thr = gamma * self.lam
+        scale = jnp.where(nrm > thr, 1 - thr / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+        y = scale * v
+        return y, self.lam * scale * nrm
+
+
+@pytree_dataclass
+class SqrL2Norm:
+    """g(x) = (lam/2) * ||x||_2^2; prox = shrinkage v / (1 + gamma*lam)."""
+
+    lam: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        return 0.5 * self.lam * jnp.sum(x * x)
+
+    def prox(self, v, gamma):
+        y = v / (1 + gamma * self.lam)
+        return y, self(y)
+
+
+@pytree_dataclass
+class IndBox:
+    """Indicator of the box [lo, hi]; prox = clamp (IndBox in the reference,
+    used by dual SVM at experiments/dual_svm/runme.jl:52)."""
+
+    lo: jnp.ndarray = -jnp.inf
+    hi: jnp.ndarray = jnp.inf
+
+    def __call__(self, x):
+        zero = jnp.zeros((), dtype=jnp.result_type(x))
+        ok = jnp.all((x >= self.lo) & (x <= self.hi))
+        return jnp.where(ok, zero, jnp.inf)
+
+    def prox(self, v, gamma):
+        del gamma
+        y = jnp.clip(v, self.lo, self.hi)
+        return y, jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class IndBall2:
+    """Indicator of the L2 ball of radius r; prox = radial projection.
+
+    Arises as the conjugate of L2Norm(r)."""
+
+    r: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        zero = jnp.zeros((), dtype=jnp.result_type(x))
+        nrm = jnp.sqrt(jnp.sum(x * x))
+        # small tolerance: projections land exactly on the boundary in exact
+        # arithmetic but may overshoot by one ulp in floating point
+        ok = nrm <= self.r * (1 + 1e-12) + 1e-30
+        return jnp.where(ok, zero, jnp.inf)
+
+    def prox(self, v, gamma):
+        del gamma
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        scale = jnp.where(nrm > self.r, self.r / jnp.where(nrm > 0, nrm, 1.0), 1.0)
+        y = scale * v
+        return y, jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class Translate:
+    """g(x) = inner(x + b)  (ProximalOperators.Translate; used as
+    h = Translate(NormL2(), -y) at experiments/square_root_lasso/runme.jl:41).
+
+    prox_{gamma g}(v) = prox_{gamma inner}(v + b) - b.
+    """
+
+    inner: object
+    b: jnp.ndarray
+
+    def __call__(self, x):
+        return self.inner(x + self.b)
+
+    def prox(self, v, gamma):
+        u, val = self.inner.prox(v + self.b, gamma)
+        return u - self.b, val
+
+
+@pytree_dataclass
+class MoreauConjugate:
+    """Convex conjugate h* with prox given by the Moreau identity:
+
+        prox_{gamma h*}(v) = v - gamma * prox_{h / gamma}(v / gamma)
+
+    This is how ProximalCore evaluates ``prox(convex_conjugate(h), w, sigma)``
+    in the reference dual update (src/AdaProx.jl:345). The value h*(y) is not
+    needed by any solver (the reference discards it too); we return 0.
+    """
+
+    inner: object
+
+    def __call__(self, x):  # pragma: no cover - not used by solvers
+        raise NotImplementedError(
+            "MoreauConjugate has no closed-form value; solvers never need it"
+        )
+
+    def prox(self, v, gamma):
+        u, _ = self.inner.prox(v / gamma, 1.0 / gamma)
+        y = v - gamma * u
+        return y, jnp.zeros((), dtype=jnp.result_type(v))
+
+
+def conjugate(g):
+    """Convex conjugate of ``g`` — analytic where known, Moreau otherwise."""
+    if isinstance(g, Zero):
+        return IndZero()
+    if isinstance(g, IndZero):
+        return Zero()
+    if isinstance(g, L1Norm):
+        return IndBox(-g.lam, g.lam)
+    if isinstance(g, L2Norm):
+        return IndBall2(g.lam)
+    return MoreauConjugate(g)

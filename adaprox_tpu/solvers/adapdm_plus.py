@@ -1,0 +1,250 @@
+"""Fully-adaptive primal-dual with linesearch on the operator-norm estimate
+("AdaPDM+"; reference ``adaptive_linesearch_primal_dual``,
+src/AdaProx.jl:463-550).
+
+For when ||A|| is unknown: maintains an estimate ``eta`` (optimistically
+decayed by R=0.95 each outer iteration, inflated by r=2 inside the
+linesearch) and accepts a trial dual step once
+
+    eta >= ||A'y_next - A'y|| / ||y_next - y||.
+
+Each inner trial costs 1 prox_{h*} + 1 A'-matvec; the loop is a
+``lax.while_loop`` whose carry holds the trial state and oracle counters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import prox as prox_ops
+from ..solvers.rules import nan_to_zero
+from .common import Counters, Records, SolveResult, l2sq, run_loop
+
+__all__ = ["adaptive_linesearch_primal_dual"]
+
+_MAX_TRIALS = 100
+
+
+class _Carry(NamedTuple):
+    it: jnp.ndarray
+    x: jnp.ndarray
+    v: jnp.ndarray
+    y: jnp.ndarray
+    at_y: jnp.ndarray
+    x_prev: jnp.ndarray
+    a_x_prev: jnp.ndarray
+    grad_prev: jnp.ndarray
+    gamma: jnp.ndarray
+    gamma_prev: jnp.ndarray
+    eta: jnp.ndarray
+    counters: Counters
+    norm_res: jnp.ndarray
+    ck_x: jnp.ndarray
+    ck_counters: Counters
+    done: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "history"))
+def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxit, history):
+    f, g, h, a_op = parts
+    h_conj = prox_ops.conjugate(h)
+    dt = jnp.result_type(x0)
+    t = jnp.asarray(t, dt)
+    delta1 = 1 + jnp.asarray(delta, dt)
+
+    # warm-up (src/AdaProx.jl:491-499)
+    a_x = a_op.matvec(x0)
+    _, aux0 = f.value_and_aux(x0)
+    grad0 = f.grad_from_aux(x0, aux0)
+    at_y = a_op.rmatvec(y0)
+    counters = Counters.zeros().bump(A_evals=1, f_evals=1, grad_f_evals=1, At_evals=1)
+    gamma0 = jnp.asarray(gamma0, dt)
+    v = x0 - gamma0 * (grad0 + at_y)
+    x1, _ = g.prox(v, gamma0)
+    counters = counters.bump(prox_g_evals=1)
+
+    carry0 = _Carry(
+        it=jnp.zeros((), jnp.int32),
+        x=x1,
+        v=v,
+        y=y0,
+        at_y=at_y,
+        x_prev=x0,
+        a_x_prev=a_x,
+        grad_prev=grad0,
+        gamma=gamma0,
+        gamma_prev=gamma0,
+        eta=jnp.asarray(eta0, dt),
+        counters=counters,
+        norm_res=jnp.asarray(jnp.inf, dt),
+        ck_x=x1,
+        ck_counters=counters,
+        done=jnp.zeros((), jnp.bool_),
+    )
+
+    def step(c):
+        # outer half 1 (src/AdaProx.jl:502-514)
+        a_x = a_op.matvec(c.x)
+        f_x, aux = f.value_and_aux(c.x)
+        grad_x = f.grad_from_aux(c.x, aux)
+        counters = c.counters.bump(A_evals=1, f_evals=1, grad_f_evals=1)
+
+        primal_res = (c.v - c.x) / c.gamma + grad_x + c.at_y
+
+        dg = grad_x - c.grad_prev
+        dx = c.x - c.x_prev
+        dgdx = jnp.vdot(dg, dx).real
+        curv_c = nan_to_zero(l2sq(dg) / dgdx)
+        lip = nan_to_zero(dgdx / l2sq(dx))
+        big_delta = c.gamma * lip * (c.gamma * curv_c - 1)
+        xi_bar = t**2 * c.gamma**2 * c.eta**2 * delta1**2
+        m4xim1 = 1 - 4 * xi_bar
+
+        eta = big_r * c.eta  # optimistic decay (src/AdaProx.jl:513)
+
+        # inner linesearch on eta (src/AdaProx.jl:516-533)
+        def trial(eta, counters, trials):
+            gamma_next = jnp.minimum(
+                c.gamma * jnp.sqrt(1 + c.gamma / c.gamma_prev),
+                jnp.minimum(
+                    1 / (2 * big_theta * t * eta),
+                    c.gamma
+                    * jnp.sqrt(
+                        m4xim1
+                        / (
+                            2
+                            * delta1
+                            * (big_delta + jnp.sqrt(big_delta**2 + m4xim1 * (t * eta * c.gamma) ** 2))
+                        )
+                    ),
+                ),
+            )
+            rho = gamma_next / c.gamma
+            sigma = t**2 * gamma_next
+            w = c.y + sigma * ((1 + rho) * a_x - rho * c.a_x_prev)
+            y_next, _ = h_conj.prox(w, sigma)
+            at_y_next = a_op.rmatvec(y_next)
+            counters = counters.bump(prox_h_evals=1, At_evals=1)
+            ok = eta >= jnp.sqrt(l2sq(at_y_next - c.at_y)) / jnp.sqrt(l2sq(y_next - c.y))
+            return (eta, gamma_next, sigma, w, y_next, at_y_next, ok, counters, trials)
+
+        def cond(cc):
+            ok, trials = cc[6], cc[8]
+            return jnp.logical_and(jnp.logical_not(ok), trials < _MAX_TRIALS)
+
+        def body(cc):
+            eta, counters, trials = cc[0], cc[7], cc[8]
+            return trial(eta * r, counters, trials + 1)
+
+        c0 = trial(eta, counters, jnp.zeros((), jnp.int32))
+        eta, gamma_next, sigma, w, y, at_y, _, counters, _ = jax.lax.while_loop(
+            cond, body, c0
+        )
+        gamma, gamma_prev = gamma_next, c.gamma
+
+        dual_res = (w - y) / sigma - a_x
+        norm_res = jnp.sqrt(l2sq(primal_res) + l2sq(dual_res))
+        ck = counters
+        it = c.it + 1
+
+        if history:
+            objective = f_x + g(c.x) + h(a_x)  # uncounted (src/AdaProx.jl:538-540)
+        else:
+            objective = jnp.zeros((), dt)
+        rec = Records(
+            it=it,
+            gamma=gamma,
+            sigma=sigma,
+            norm_res=norm_res,
+            objective=objective,
+            f_evals=ck.f_evals,
+            grad_f_evals=ck.grad_f_evals,
+            prox_g_evals=ck.prox_g_evals,
+            prox_h_evals=ck.prox_h_evals,
+            A_evals=ck.A_evals,
+            At_evals=ck.At_evals,
+            valid=jnp.logical_not(c.done),
+        )
+
+        # outer half 2 (src/AdaProx.jl:545-547; skipped by the reference on
+        # the converging iteration — ck snapshots taken above)
+        v = c.x - gamma * (grad_x + at_y)
+        x_new, _ = g.prox(v, gamma)
+        counters = counters.bump(prox_g_evals=1)
+
+        new = _Carry(
+            it=it,
+            x=x_new,
+            v=v,
+            y=y,
+            at_y=at_y,
+            x_prev=c.x,
+            a_x_prev=a_x,
+            grad_prev=grad_x,
+            gamma=gamma,
+            gamma_prev=gamma_prev,
+            eta=eta,
+            counters=counters,
+            norm_res=norm_res,
+            ck_x=c.x,
+            ck_counters=ck,
+            done=jnp.logical_or(c.done, norm_res <= tol),
+        )
+        return new, rec
+
+    final, recs = run_loop(carry0, step, maxit, history)
+    converged = final.norm_res <= tol
+    x_out = jnp.where(converged, final.ck_x, final.x)
+    counters = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(converged, a, b), final.ck_counters, final.counters
+    )
+    return SolveResult(
+        x=x_out,
+        y=final.y,
+        numit=final.it,
+        norm_res=final.norm_res,
+        counters=counters,
+        records=recs,
+    )
+
+
+def adaptive_linesearch_primal_dual(
+    x0,
+    y0,
+    *,
+    f,
+    g,
+    h,
+    A,
+    gamma=None,
+    eta=1.0,
+    t=1.0,
+    delta=1e-8,
+    Theta=1.2,
+    r=2.0,
+    R=0.95,
+    tol=1e-5,
+    maxit=10_000,
+    name="AdaPDM+",
+    history=False,
+):
+    """AdaPDM+ (reference src/AdaProx.jl:463-550): fully adaptive PD that
+    needs no ||A||, only an initial estimate ``eta``."""
+    if not eta > 0:
+        raise ValueError("eta must be positive")
+    if not Theta > delta + 1:
+        raise ValueError("must have Theta > delta + 1")
+    if gamma is None:
+        gamma = 1.0 / (2 * Theta * t * eta)
+    elif gamma > 1.0 / (2 * Theta * t * eta):
+        raise ValueError("gamma is too large")
+    x0 = jnp.asarray(x0)
+    res = _solve(
+        (f, g, h, A), x0, jnp.asarray(y0), gamma, eta, t, delta, Theta, r, R,
+        jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
+    )
+    return res.with_name(name)

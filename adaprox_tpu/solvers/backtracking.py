@@ -1,0 +1,208 @@
+"""Backtracking proximal-gradient and Nesterov (Beck-style sufficient
+descent; reference src/AdaProx.jl:28-84, after Beck "First-Order Methods in
+Optimization" sections 10.4.2/10.7).
+
+The backtracking trial loop has a data-dependent trip count, so it compiles
+to a ``lax.while_loop`` nested inside the outer solver loop. Each trial costs
+1 prox + 1 f-evaluation; the gradient at the accepted point is finished
+*once* from the carried forward-pass ``aux`` (the reference's lazy pullback
+economy, src/AdaProx.jl:37,45,61 — see ops.oracles for why aux instead of a
+closure).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import Counters, Records, SolveResult, l2sq, run_loop
+
+__all__ = ["backtracking_proxgrad", "backtracking_nesterov"]
+
+# hard cap on trial count: the reference loops unboundedly (logging an error
+# below gamma=1e-12 but continuing, src/AdaProx.jl:40-42); a traced loop must
+# not be able to hang the device.
+_MAX_TRIALS = 100
+
+
+def _backtrack(gamma, x, f_x, grad_x, *, f, g, counters, shrink):
+    """``backtrack_stepsize`` (src/AdaProx.jl:34-48): halve gamma until the
+    quadratic upper bound holds. Returns (gamma, z, f_z, g_z, aux_z, counters).
+    """
+
+    def trial(gamma, counters, trials):
+        z, g_z = g.prox(x - gamma * grad_x, gamma)
+        f_z, aux = f.value_and_aux(z)
+        counters = counters.bump(prox_g_evals=1, f_evals=1)
+        return (gamma, z, f_z, g_z, aux, counters, trials)
+
+    def upper_bound(gamma, z):
+        # src/AdaProx.jl:26
+        return f_x + jnp.vdot(grad_x, z - x).real + l2sq(z - x) / (2 * gamma)
+
+    def cond(c):
+        gamma, z, f_z, _, _, _, trials = c
+        return jnp.logical_and(f_z > upper_bound(gamma, z), trials < _MAX_TRIALS)
+
+    def body(c):
+        gamma, _, _, _, _, counters, trials = c
+        return trial(gamma * shrink, counters, trials + 1)
+
+    c0 = trial(gamma, counters, jnp.zeros((), jnp.int32))
+    gamma, z, f_z, g_z, aux, counters, _ = jax.lax.while_loop(cond, body, c0)
+    return gamma, z, f_z, g_z, aux, counters
+
+
+class _PGCarry(NamedTuple):
+    it: jnp.ndarray
+    x: jnp.ndarray
+    z: jnp.ndarray
+    gamma: jnp.ndarray
+    f_x: jnp.ndarray
+    grad_x: jnp.ndarray
+    theta: jnp.ndarray  # momentum (nesterov only; 1.0 otherwise)
+    z_prev: jnp.ndarray
+    counters: Counters
+    ck_counters: Counters
+    norm_res: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _record(it, gamma, norm_res, objective, ck, done):
+    z = jnp.zeros((), gamma.dtype)
+    return Records(
+        it=it,
+        gamma=gamma,
+        sigma=z,
+        norm_res=norm_res,
+        objective=objective,
+        f_evals=ck.f_evals,
+        grad_f_evals=ck.grad_f_evals,
+        prox_g_evals=ck.prox_g_evals,
+        prox_h_evals=ck.prox_h_evals,
+        A_evals=ck.A_evals,
+        At_evals=ck.At_evals,
+        valid=jnp.logical_not(done),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "history", "nesterov"))
+def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov):
+    f, g = parts
+    f_x0, aux0 = f.value_and_aux(x0)
+    grad0 = f.grad_from_aux(x0, aux0)
+    counters = Counters.zeros().bump(f_evals=1, grad_f_evals=1)
+    dt = jnp.result_type(x0)
+    carry0 = _PGCarry(
+        it=jnp.zeros((), jnp.int32),
+        x=x0,
+        z=x0,
+        gamma=jnp.asarray(gamma0, dt),
+        f_x=f_x0,
+        grad_x=grad0,
+        theta=jnp.ones((), dt),
+        z_prev=x0,
+        counters=counters,
+        ck_counters=counters,
+        norm_res=jnp.asarray(jnp.inf, dt),
+        done=jnp.zeros((), jnp.bool_),
+    )
+
+    def step(c):
+        # reference: PG inflates the trial step by xi each iteration
+        # (src/AdaProx.jl:54); Nesterov does not (src/AdaProx.jl:72)
+        trial_gamma = c.gamma * (1.0 if nesterov else xi)
+        gamma, z, f_z, g_z, aux, counters = _backtrack(
+            trial_gamma, c.x, c.f_x, c.grad_x, f=f, g=g, counters=c.counters, shrink=shrink
+        )
+        norm_res = jnp.sqrt(l2sq(z - c.x)) / gamma
+        ck = counters
+        it = c.it + 1
+        rec = _record(it, gamma, norm_res, f_z + g_z, ck, c.done)
+
+        if nesterov:
+            theta = (1 + jnp.sqrt(1 + 4 * c.theta**2)) / 2
+            x = z + (c.theta - 1) / theta * (z - c.z)
+            f_x, aux_x = f.value_and_aux(x)
+            grad_x = f.grad_from_aux(x, aux_x)
+            counters = counters.bump(f_evals=1, grad_f_evals=1)
+        else:
+            theta = c.theta
+            x = z
+            f_x = f_z
+            grad_x = f.grad_from_aux(z, aux)
+            counters = counters.bump(grad_f_evals=1)
+
+        new = _PGCarry(
+            it=it,
+            x=x,
+            z=z,
+            gamma=gamma,
+            f_x=f_x,
+            grad_x=grad_x,
+            theta=theta,
+            z_prev=c.z,
+            counters=counters,
+            ck_counters=ck,
+            norm_res=norm_res,
+            done=jnp.logical_or(c.done, norm_res <= tol),
+        )
+        return new, rec
+
+    final, recs = run_loop(carry0, step, maxit, history)
+    return SolveResult(
+        x=final.z,
+        y=None,
+        numit=final.it,
+        norm_res=final.norm_res,
+        counters=final.ck_counters,
+        records=recs,
+    )
+
+
+def backtracking_proxgrad(
+    x0,
+    *,
+    f,
+    g,
+    gamma0,
+    xi=1.0,
+    shrink=0.5,
+    tol=1e-5,
+    maxit=100_000,
+    name="Backtracking PG",
+    history=False,
+):
+    """Prox-gradient with sufficient-descent backtracking and optional
+    per-iteration stepsize inflation ``xi`` (reference src/AdaProx.jl:50-64)."""
+    x0 = jnp.asarray(x0)
+    res = _solve_bt(
+        (f, g), x0, gamma0, xi, shrink, jnp.asarray(tol, jnp.result_type(x0)),
+        int(maxit), bool(history), False,
+    )
+    return res.with_name(name)
+
+
+def backtracking_nesterov(
+    x0,
+    *,
+    f,
+    g,
+    gamma0,
+    shrink=0.5,
+    tol=1e-5,
+    maxit=100_000,
+    name="Backtracking Nesterov",
+    history=False,
+):
+    """Accelerated PG with backtracking; momentum theta recurrence
+    ``(1 + sqrt(1 + 4 theta^2))/2`` (reference src/AdaProx.jl:66-84)."""
+    x0 = jnp.asarray(x0)
+    res = _solve_bt(
+        (f, g), x0, gamma0, 1.0, shrink, jnp.asarray(tol, jnp.result_type(x0)),
+        int(maxit), bool(history), True,
+    )
+    return res.with_name(name)

@@ -1,0 +1,113 @@
+"""Shared solver types: oracle counters, per-iteration records, results.
+
+The reference meters oracle calls with mutable `Counting` wrappers
+(src/counting.jl:16-97) and logs one structured record per iteration on a
+custom log level (src/AdaProx.jl:7,351). Under `jit` both become data:
+
+  * ``Counters`` ride the loop carry and are incremented at exactly the call
+    sites the reference meters, so the oracle-call x-axis of every reference
+    plot is reproduced bit-for-bit.
+  * ``Records`` are the scan-stacked history (one row per iteration, masked
+    by ``valid``) from which the JSONL telemetry is written post-hoc —
+    host callbacks inside the hot loop would serialize every iteration
+    against the device queue.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Counters(NamedTuple):
+    """Oracle-call meters (reference src/counting.jl fields)."""
+
+    f_evals: jnp.ndarray = np.int32(0)
+    grad_f_evals: jnp.ndarray = np.int32(0)
+    prox_g_evals: jnp.ndarray = np.int32(0)
+    prox_h_evals: jnp.ndarray = np.int32(0)
+    A_evals: jnp.ndarray = np.int32(0)
+    At_evals: jnp.ndarray = np.int32(0)
+
+    @staticmethod
+    def zeros():
+        return Counters(*(jnp.zeros((), jnp.int32) for _ in range(6)))
+
+    def bump(self, **deltas):
+        return self._replace(**{k: getattr(self, k) + v for k, v in deltas.items()})
+
+
+class Records(NamedTuple):
+    """Per-iteration history (scan mode). Arrays of shape (maxit,)."""
+
+    it: jnp.ndarray
+    gamma: jnp.ndarray
+    sigma: jnp.ndarray
+    norm_res: jnp.ndarray
+    objective: jnp.ndarray
+    f_evals: jnp.ndarray
+    grad_f_evals: jnp.ndarray
+    prox_g_evals: jnp.ndarray
+    prox_h_evals: jnp.ndarray
+    A_evals: jnp.ndarray
+    At_evals: jnp.ndarray
+    valid: jnp.ndarray
+
+
+class SolveResult(NamedTuple):
+    """What every solver returns. The reference returns ``(x, numit)`` or
+    ``(x, y, numit)``; here counters/records/norm_res come along for free."""
+
+    x: jnp.ndarray
+    y: Optional[jnp.ndarray]
+    numit: jnp.ndarray
+    norm_res: jnp.ndarray
+    counters: Counters
+    records: Optional[Records] = None
+    name: Optional[str] = None
+    extra: Any = None
+
+    def with_name(self, name):
+        return self._replace(name=name)
+
+
+def l2sq(v):
+    return jnp.sum(v * v)
+
+
+def run_loop(carry0, step, maxit, history):
+    """Drive a solver iteration in one of two TPU execution modes.
+
+    ``step: carry -> (carry, Records-row)`` must maintain ``carry.it``
+    (int32, incremented once per iteration) and ``carry.done`` (bool,
+    latched when the stop criterion fires).
+
+    * ``history=False``: ``lax.while_loop`` — early exit, no history
+      (production solve; minimal HBM traffic).
+    * ``history=True``: ``lax.scan`` over a fixed ``maxit`` trip count with a
+      freeze-on-done mask — fully unrollable/pipelineable by XLA and yields
+      the stacked per-iteration records for telemetry (the reference logs
+      per-iteration from inside the loop; we log post-hoc from these arrays).
+
+    Returns ``(final_carry, records_or_None)``.
+    """
+    import jax
+
+    if history:
+
+        def scan_body(c, _):
+            new, rec = step(c)
+            frozen = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(c.done, a, b), c, new
+            )
+            return frozen, rec
+
+        return jax.lax.scan(scan_body, carry0, None, length=maxit)
+
+    def cond(c):
+        return jnp.logical_and(c.it < maxit, jnp.logical_not(c.done))
+
+    final = jax.lax.while_loop(cond, lambda c: step(c)[0], carry0)
+    return final, None

@@ -1,0 +1,189 @@
+"""Malitsky-Pock primal-dual with linesearch (Algorithm 4 of "A first-order
+primal-dual algorithm with linesearch", applied to the dual; reference
+src/AdaProx.jl:552-629).
+
+Inner linesearch: halve sigma until
+
+    gamma*sigma*||A x - A x_prev||^2
+      + 2*gamma*(f(x) - f(x_prev) - <grad_prev, x - x_prev>)  <=  0.95 ||x - x_prev||^2
+
+Each trial costs 1 prox_g + 1 A-matvec + 1 f-eval; it compiles to a
+``lax.while_loop`` nested in the outer iteration, with the oracle counters in
+the carry. The gradient at the accepted x is finished once from the carried
+forward ``aux``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import prox as prox_ops
+from .common import Counters, Records, SolveResult, l2sq, run_loop
+
+__all__ = ["malitsky_pock"]
+
+_MAX_TRIALS = 100
+
+
+class _Carry(NamedTuple):
+    it: jnp.ndarray
+    x: jnp.ndarray
+    y: jnp.ndarray
+    a_x: jnp.ndarray
+    at_y: jnp.ndarray
+    sigma: jnp.ndarray
+    counters: Counters
+    norm_res: jnp.ndarray
+    done: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "history"))
+def _solve(parts, x0, y0, sigma0, t, tol, maxit, history):
+    f, g, h, a_op = parts
+    h_conj = prox_ops.conjugate(h)
+    dt = jnp.result_type(x0)
+    t = jnp.asarray(t, dt)
+
+    a_x = a_op.matvec(x0)
+    at_y = a_op.rmatvec(y0)
+    counters = Counters.zeros().bump(A_evals=1, At_evals=1)
+    # NB: the reference initializes theta = 1 and never updates it in the
+    # outer loop (src/AdaProx.jl:597; the linesearch helper's theta is local),
+    # so sigma grows by sqrt(2) each iteration before backtracking.
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dt))
+
+    carry0 = _Carry(
+        it=jnp.zeros((), jnp.int32),
+        x=x0,
+        y=y0,
+        a_x=a_x,
+        at_y=at_y,
+        sigma=jnp.asarray(sigma0, dt),
+        counters=counters,
+        norm_res=jnp.asarray(jnp.inf, dt),
+        done=jnp.zeros((), jnp.bool_),
+    )
+
+    def step(c):
+        # dual ascent step (src/AdaProx.jl:600-603)
+        at_y_prev = c.at_y
+        w = c.y + c.sigma * c.a_x
+        y, _ = h_conj.prox(w, c.sigma)
+        at_y = a_op.rmatvec(y)
+        counters = c.counters.bump(prox_h_evals=1, At_evals=1)
+
+        sigma_prev = c.sigma
+        sigma = c.sigma * sqrt2
+
+        f_x_prev, aux_prev = f.value_and_aux(c.x)
+        grad_x_prev = f.grad_from_aux(c.x, aux_prev)
+        counters = counters.bump(f_evals=1, grad_f_evals=1)
+        x_prev, a_x_prev = c.x, c.a_x
+
+        # linesearch on sigma (backtrack_stepsize_MP, src/AdaProx.jl:555-579)
+        def trial(sigma, counters, trials):
+            theta = sigma / sigma_prev
+            gamma = t**2 * sigma
+            at_ybar = (1 + theta) * at_y - theta * at_y_prev
+            v = x_prev - gamma * (at_ybar + grad_x_prev)
+            x, _ = g.prox(v, gamma)
+            a_x = a_op.matvec(x)
+            f_x, aux = f.value_and_aux(x)
+            counters = counters.bump(prox_g_evals=1, A_evals=1, f_evals=1)
+            lhs = gamma * sigma * l2sq(a_x - a_x_prev) + 2 * gamma * (
+                f_x - f_x_prev - jnp.vdot(grad_x_prev, x - x_prev).real
+            )
+            return (sigma, gamma, x, v, a_x, f_x, aux, lhs, counters, trials)
+
+        def cond(cc):
+            sigma, _, x, _, _, _, _, lhs, _, trials = cc
+            return jnp.logical_and(
+                lhs > 0.95 * l2sq(x - x_prev), trials < _MAX_TRIALS
+            )
+
+        def body(cc):
+            sigma, _, _, _, _, _, _, _, counters, trials = cc
+            return trial(sigma / 2, counters, trials + 1)
+
+        c0 = trial(sigma, counters, jnp.zeros((), jnp.int32))
+        sigma, gamma, x, v, a_x, f_x, aux, _, counters, _ = jax.lax.while_loop(
+            cond, body, c0
+        )
+        grad_x = f.grad_from_aux(x, aux)
+        counters = counters.bump(grad_f_evals=1)
+
+        primal_res = (v - x) / gamma + grad_x + at_y
+        dual_res = (w - y) / sigma_prev - a_x
+        norm_res = jnp.sqrt(l2sq(primal_res) + l2sq(dual_res))
+        it = c.it + 1
+
+        if history:
+            objective = f_x + g(x) + h(a_x)  # uncounted (src/AdaProx.jl:620-622)
+        else:
+            objective = jnp.zeros((), dt)
+        rec = Records(
+            it=it,
+            gamma=gamma,
+            sigma=sigma,
+            norm_res=norm_res,
+            objective=objective,
+            f_evals=counters.f_evals,
+            grad_f_evals=counters.grad_f_evals,
+            prox_g_evals=counters.prox_g_evals,
+            prox_h_evals=counters.prox_h_evals,
+            A_evals=counters.A_evals,
+            At_evals=counters.At_evals,
+            valid=jnp.logical_not(c.done),
+        )
+
+        new = _Carry(
+            it=it,
+            x=x,
+            y=y,
+            a_x=a_x,
+            at_y=at_y,
+            sigma=sigma,
+            counters=counters,
+            norm_res=norm_res,
+            done=jnp.logical_or(c.done, norm_res <= tol),
+        )
+        return new, rec
+
+    final, recs = run_loop(carry0, step, maxit, history)
+    return SolveResult(
+        x=final.x,
+        y=final.y,
+        numit=final.it,
+        norm_res=final.norm_res,
+        counters=final.counters,
+        records=recs,
+    )
+
+
+def malitsky_pock(
+    x0,
+    y0,
+    *,
+    f,
+    g,
+    h,
+    A,
+    sigma,
+    t=1.0,
+    tol=1e-5,
+    maxit=10_000,
+    name="MP-ls",
+    history=False,
+):
+    """Malitsky-Pock linesearch PD (reference src/AdaProx.jl:581-629).
+    ``t`` couples the steps via gamma = t^2 * sigma."""
+    x0 = jnp.asarray(x0)
+    res = _solve(
+        (f, g, h, A), x0, jnp.asarray(y0), sigma, t,
+        jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
+    )
+    return res.with_name(name)

@@ -1,0 +1,151 @@
+"""Fixed-stepsize accelerated proximal gradient with optional strong
+convexity (Chambolle-Pock style momentum; reference src/AdaProx.jl:91-142,
+after Chambolle & Pock, "An introduction to continuous optimization for
+imaging", Acta Numerica 25 (2016)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import Counters, Records, SolveResult, l2sq, run_loop
+
+__all__ = ["fixed_nesterov"]
+
+
+class _Carry(NamedTuple):
+    it: jnp.ndarray
+    x: jnp.ndarray
+    x_prev: jnp.ndarray
+    theta: jnp.ndarray
+    counters: Counters
+    norm_res: jnp.ndarray
+    done: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "history", "strongly_convex"))
+def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_convex):
+    f, g = parts
+    dt = jnp.result_type(x0)
+    gamma = jnp.asarray(gamma, dt)
+    mu = muf + mug
+    q = gamma * mu / (1 + gamma * mug)
+
+    carry0 = _Carry(
+        it=jnp.zeros((), jnp.int32),
+        x=x0,
+        x_prev=x0,
+        theta=jnp.asarray(theta0, dt),
+        counters=Counters.zeros(),
+        norm_res=jnp.asarray(jnp.inf, dt),
+        done=jnp.zeros((), jnp.bool_),
+    )
+
+    def step(c):
+        theta_prev = c.theta
+        if strongly_convex:
+            # src/AdaProx.jl:126-127
+            a = 1 - q * theta_prev**2
+            theta = (a + jnp.sqrt(a**2 + 4 * theta_prev**2)) / 2
+            beta = (
+                (theta_prev - 1)
+                * (1 + gamma * mug - theta * gamma * mu)
+                / theta
+                / (1 - gamma * muf)
+            )
+        else:
+            # src/AdaProx.jl:123-124
+            theta = (1 + jnp.sqrt(1 + 4 * theta_prev**2)) / 2
+            beta = (theta_prev - 1) / theta
+
+        z = c.x + beta * (c.x - c.x_prev)
+        _, aux = f.value_and_aux(z)
+        grad_z = f.grad_from_aux(z, aux)
+        counters = c.counters.bump(f_evals=1, grad_f_evals=1)
+        x, g_x = g.prox(z - gamma * grad_z, gamma)
+        counters = counters.bump(prox_g_evals=1)
+        norm_res = jnp.sqrt(l2sq(x - z)) / gamma
+        it = c.it + 1
+
+        if history:
+            # logging-only objective (uncounted, src/AdaProx.jl:134-136)
+            objective = f.value(x) + g_x
+        else:
+            objective = jnp.zeros((), dt)
+        rec = Records(
+            it=it,
+            gamma=gamma,
+            sigma=jnp.zeros((), dt),
+            norm_res=norm_res,
+            objective=objective,
+            f_evals=counters.f_evals,
+            grad_f_evals=counters.grad_f_evals,
+            prox_g_evals=counters.prox_g_evals,
+            prox_h_evals=counters.prox_h_evals,
+            A_evals=counters.A_evals,
+            At_evals=counters.At_evals,
+            valid=jnp.logical_not(c.done),
+        )
+
+        new = _Carry(
+            it=it,
+            x=x,
+            x_prev=c.x,
+            theta=theta,
+            counters=counters,
+            norm_res=norm_res,
+            done=jnp.logical_or(c.done, norm_res <= tol),
+        )
+        return new, rec
+
+    final, recs = run_loop(carry0, step, maxit, history)
+    return SolveResult(
+        x=final.x,
+        y=None,
+        numit=final.it,
+        norm_res=final.norm_res,
+        counters=final.counters,
+        records=recs,
+    )
+
+
+def fixed_nesterov(
+    x0,
+    *,
+    f,
+    g,
+    Lf=None,
+    muf=0.0,
+    mug=0.0,
+    gamma=None,
+    theta=None,
+    tol=1e-5,
+    maxit=100_000,
+    name="Fixed Nesterov",
+    history=False,
+):
+    """Fixed-step accelerated PG; q-based momentum when muf+mug > 0
+    (reference src/AdaProx.jl:91-142)."""
+    if (gamma is None) == (Lf is None):
+        raise ValueError("provide exactly one of gamma or Lf")
+    if gamma is None:
+        gamma = 1.0 / Lf
+    mu = muf + mug
+    q = gamma * mu / (1 + gamma * mug)
+    if not q < 1:
+        raise ValueError("q = gamma*mu/(1+gamma*mug) must be < 1")
+    if theta is None:
+        theta = 1.0 / jnp.sqrt(q) if q > 0 else 0.0
+    if not (0 <= float(theta) <= (1.0 / float(jnp.sqrt(q)) if q > 0 else jnp.inf)):
+        raise ValueError("need 0 <= theta <= 1/sqrt(q)")
+    x0 = jnp.asarray(x0)
+    res = _solve(
+        (f, g), x0, gamma, muf, mug, theta,
+        jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
+        bool(mu != 0),
+    )
+    return res.with_name(name)

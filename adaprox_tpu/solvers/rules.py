@@ -1,0 +1,207 @@
+"""Adaptive stepsize rules — the core contribution of the reference paper
+("Adaptive proximal algorithms for convex optimization under local Lipschitz
+continuity of the gradient", arXiv:2301.04431).
+
+Protocol (mirrors the 2-arity ``stepsize`` dispatch at src/AdaProx.jl:213-308):
+
+  * ``rule.init() -> ((gamma, sigma), state)``
+  * ``rule.update(state, curv) -> ((gamma, sigma), state)``
+
+where ``curv`` is the `Curvature` triple of cross-iterate reductions
+
+    ndg2 = ||grad_1 - grad_0||^2
+    dgdx = <grad_1 - grad_0, x_1 - x_0>
+    ndx2 = ||x_1 - x_0||^2
+
+These three scalars are the ONLY cross-device communication an adaptive step
+needs per iteration: on a sharded problem they are local partial reductions +
+one psum over ICI. Rules consume the reductions rather than the raw iterate
+vectors so the engine can fuse the three into one pass (ops.kernels).
+
+All rule parameters are dynamic pytree leaves -> a solver can be ``vmap``-ed
+over e.g. ``t`` for the coupling sweeps (dual_svm/runme.jl:61-76) in one
+compiled kernel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .._pytree import pytree_dataclass
+
+__all__ = [
+    "Curvature",
+    "FixedStepsize",
+    "MalitskyMishchenkoRule",
+    "AdaPGMRule",
+    "AdaPGMPlusRule",
+    "OurRule",
+    "OurRulePlus",
+    "nan_to_zero",
+]
+
+
+class Curvature(NamedTuple):
+    """Cross-iterate reductions feeding an adaptive rule."""
+
+    ndg2: jnp.ndarray  # ||grad_1 - grad_0||^2
+    dgdx: jnp.ndarray  # <grad_1 - grad_0, x_1 - x_0>
+    ndx2: jnp.ndarray  # ||x_1 - x_0||^2
+
+    @staticmethod
+    def of(x1, grad1, x0, grad0):
+        dg = grad1 - grad0
+        dx = x1 - x0
+        return Curvature(
+            ndg2=jnp.sum(dg * dg), dgdx=jnp.vdot(dg, dx).real, ndx2=jnp.sum(dx * dx)
+        )
+
+
+def nan_to_zero(v):
+    """NaN guard on curvature ratios (src/AdaProx.jl:24): 0/0 -> 0, but
+    +/-inf are preserved (they fall out of the min/max as in the reference)."""
+    return jnp.where(jnp.isnan(v), jnp.zeros_like(v), v)
+
+
+@pytree_dataclass
+class FixedStepsize:
+    """Constant (gamma, gamma * t^2) (src/AdaProx.jl:208-215)."""
+
+    gamma: jnp.ndarray
+    t: jnp.ndarray = 1.0
+
+    def init(self):
+        g = jnp.asarray(self.gamma, dtype=jnp.result_type(float))
+        return (g, g * self.t**2), ()
+
+    def update(self, state, curv):
+        del curv
+        return self.init()[0], state
+
+
+@pytree_dataclass
+class MalitskyMishchenkoRule:
+    """Malitsky & Mishchenko, "Adaptive Gradient Descent without Descent"
+    (PMLR 119:6702-6712). gamma = min(sqrt(1+rho)*gamma_prev, 1/(2L)) with
+    L = ||dgrad|| / ||dx|| (src/AdaProx.jl:217-230). State: (gamma, rho)."""
+
+    gamma: jnp.ndarray
+    t: jnp.ndarray = 1.0
+
+    def init(self):
+        g = jnp.asarray(self.gamma, dtype=jnp.result_type(float))
+        return (g, g * self.t**2), (g, jnp.asarray(jnp.inf, dtype=g.dtype))
+
+    def update(self, state, curv):
+        gamma_prev, rho = state
+        lip = jnp.sqrt(curv.ndg2) / jnp.sqrt(curv.ndx2)
+        gamma = jnp.minimum(jnp.sqrt(1 + rho) * gamma_prev, 1 / (2 * lip))
+        return (gamma, gamma * self.t**2), (gamma, gamma / gamma_prev)
+
+
+def _resolve_gamma(gamma, t, norm_a, theta):
+    """Reference OurRule constructor logic (src/AdaProx.jl:240-250):
+    gamma if gamma > 0, else 1/(2*Theta*t*||A||) if ||A|| > 0, else error."""
+    if gamma is None:
+        gamma = 0.0
+    if all(isinstance(v, (int, float)) for v in (gamma, t, norm_a, theta)):
+        if gamma > 0:
+            return gamma
+        if norm_a > 0:
+            return 1.0 / (2 * theta * t * norm_a)
+        raise ValueError("you must provide gamma > 0 if norm_A = 0")
+    # traced values (e.g. under vmap over t): select at runtime
+    return jnp.where(jnp.asarray(gamma) > 0, gamma, 1.0 / (2 * theta * t * norm_a))
+
+
+@pytree_dataclass
+class AdaPGMRule:
+    """The paper's adaptive rule ("OurRule", AdaPGM/AdaPDM;
+    src/AdaProx.jl:232-273). State: (gamma_1, gamma_0).
+
+    gamma = min( gamma1 * sqrt(1 + gamma1/gamma0),
+                 1 / (2 * Theta * t * ||A||),
+                 gamma1 * sqrt(1 - 4 xi (1+delta)^2)
+                   / sqrt(2 (1+delta) (D + sqrt(D^2 + xi (1 - 4 xi (1+delta)^2)))) )
+    with xi = t^2 gamma1^2 ||A||^2,
+         C  = ||dg||^2 / <dg, dx>   (nan -> 0)
+         L  = <dg, dx> / ||dx||^2   (nan -> 0)
+         D  = gamma1 * L * (gamma1 * C - 1)
+    sigma = gamma * t^2.
+    """
+
+    gamma: jnp.ndarray
+    t: jnp.ndarray = 1.0
+    norm_a: jnp.ndarray = 0.0
+    delta: jnp.ndarray = 0.0
+    theta: jnp.ndarray = 1.2
+
+    @classmethod
+    def make(cls, gamma=None, t=1.0, norm_a=0.0, delta=0.0, theta=1.2):
+        g = _resolve_gamma(gamma, t, norm_a, theta)
+        return cls(gamma=g, t=t, norm_a=norm_a, delta=delta, theta=theta)
+
+    def init(self):
+        g = jnp.asarray(self.gamma, dtype=jnp.result_type(float))
+        return (g, g * self.t**2), (g, g)
+
+    def update(self, state, curv):
+        gamma1, gamma0 = state
+        xi = self.t**2 * gamma1**2 * self.norm_a**2
+        curv_c = nan_to_zero(curv.ndg2 / curv.dgdx)
+        lip = nan_to_zero(curv.dgdx / curv.ndx2)
+        dd = gamma1 * lip * (gamma1 * curv_c - 1)
+        one_p_delta = 1 + self.delta
+        m4xim1 = 1 - 4 * xi * one_p_delta**2
+        # D + sqrt(D^2 + xi*m4xim1) is mathematically >= 0 but can round to a
+        # tiny negative when D < 0 and xi == 0 (sqrt(D^2) can be one ulp below
+        # |D|), which would NaN the sqrt; clamping gives the exact limit +inf
+        # for the term, and the min falls through to the other two bounds.
+        denom = jnp.maximum(dd + jnp.sqrt(dd**2 + xi * m4xim1), 0.0)
+        # jnp division so norm_a == 0 gives +inf (no coupling bound), never a
+        # python ZeroDivisionError when fields are concrete floats
+        coupling = 1 / (2 * self.theta * self.t * jnp.asarray(self.norm_a))
+        gamma = jnp.minimum(
+            gamma1 * jnp.sqrt(1 + gamma1 / gamma0),
+            jnp.minimum(
+                coupling,
+                gamma1 * jnp.sqrt(m4xim1) / jnp.sqrt(2 * one_p_delta * denom),
+            ),
+        )
+        sigma = gamma * self.t**2
+        return (gamma, sigma), (gamma, gamma1)
+
+
+@pytree_dataclass
+class AdaPGMPlusRule:
+    """Variant rule with (nu, xi, r) parameters ("OurRulePlus",
+    src/AdaProx.jl:277-308; part of the public API surface though no
+    experiment invokes it). State: (gamma_1, gamma_0); sigma == gamma."""
+
+    gamma: jnp.ndarray
+    xi: jnp.ndarray = 1.0
+    nu: jnp.ndarray = 1.0
+    r: jnp.ndarray = 0.5
+
+    def init(self):
+        g = jnp.asarray(self.gamma, dtype=jnp.result_type(float))
+        return (g, g), (g, g)
+
+    def update(self, state, curv):
+        gamma1, gamma0 = state
+        curv_c = nan_to_zero(curv.ndg2 / curv.dgdx)
+        lip = nan_to_zero(curv.dgdx / curv.ndx2)
+        dd = nan_to_zero(1 - 2 * self.r + gamma1 * lip * (gamma1 * curv_c + 2 * (self.r - 1)))
+        gamma = gamma1 * jnp.minimum(
+            jnp.sqrt(1 / (self.r * (self.nu + self.xi)) + gamma1 / gamma0),
+            jnp.sqrt((self.nu * (1 + self.xi) - 1) / (self.nu * (self.nu + self.xi)))
+            / jnp.sqrt(jnp.maximum(dd, 0)),
+        )
+        return (gamma, gamma), (gamma, gamma1)
+
+
+# Reference-parity aliases
+OurRule = AdaPGMRule
+OurRulePlus = AdaPGMPlusRule

@@ -1,0 +1,35 @@
+"""Test configuration: force a LOCAL 8-device CPU mesh.
+
+This image's sitecustomize registers the `axon` remote-TPU PJRT plugin and
+forces ``jax_platforms='axon,cpu'`` — on that backend every compile is a
+remote round trip (seconds to minutes). Tests must run on the local CPU
+backend with virtual devices so sharding logic is exercised without TPUs,
+so flip the config back BEFORE any backend initializes.
+
+Float64 is enabled to match the reference's Julia Float64 semantics for
+golden/parity tests; TPU execution uses f32 (see bench.py).
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: recompiles across pytest runs are pure cache
+# hits (important in this image where cold compiles can be slow)
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

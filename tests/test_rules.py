@@ -1,0 +1,132 @@
+"""Golden tests for the stepsize-rule recurrences: each rule's gamma sequence
+is checked against an independent NumPy implementation of the reference
+formulas (src/AdaProx.jl:208-308)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import adaprox_tpu as ap
+from adaprox_tpu.solvers.rules import Curvature
+
+
+def random_curv(rng):
+    dg = rng.standard_normal(12)
+    dx = rng.standard_normal(12)
+    return Curvature(
+        ndg2=jnp.asarray(dg @ dg), dgdx=jnp.asarray(dg @ dx), ndx2=jnp.asarray(dx @ dx)
+    )
+
+
+def test_fixed_stepsize():
+    rule = ap.FixedStepsize(gamma=0.3, t=2.0)
+    (g, s), st = rule.init()
+    assert float(g) == 0.3 and float(s) == pytest.approx(0.3 * 4)
+    (g2, s2), _ = rule.update(st, None)
+    assert float(g2) == 0.3 and float(s2) == pytest.approx(1.2)
+
+
+def test_malitsky_mishchenko_golden(rng):
+    t = 1.0
+    rule = ap.MalitskyMishchenkoRule(gamma=0.05, t=t)
+    (g, s), st = rule.init()
+    # numpy replica (src/AdaProx.jl:222-230)
+    gamma_prev, rho = 0.05, np.inf
+    for _ in range(6):
+        curv = random_curv(rng)
+        (g, s), st = rule.update(st, curv)
+        lip = np.sqrt(float(curv.ndg2)) / np.sqrt(float(curv.ndx2))
+        expect = min(np.sqrt(1 + rho) * gamma_prev, 1 / (2 * lip))
+        assert float(g) == pytest.approx(expect, rel=1e-12)
+        assert float(s) == pytest.approx(expect * t**2, rel=1e-12)
+        rho = expect / gamma_prev
+        gamma_prev = expect
+
+
+def _adapgm_expected(state, curv, t, norm_a, delta, theta):
+    """NumPy replica of src/AdaProx.jl:258-273."""
+    gamma1, gamma0 = state
+    xi = t**2 * gamma1**2 * norm_a**2
+    dgdx = float(curv.dgdx)
+    c = float(curv.ndg2) / dgdx if dgdx != 0 else np.nan
+    c = 0.0 if np.isnan(c) else c
+    lip = dgdx / float(curv.ndx2)
+    lip = 0.0 if np.isnan(lip) else lip
+    d = gamma1 * lip * (gamma1 * c - 1)
+    opd = 1 + delta
+    m4 = 1 - 4 * xi * opd**2
+    with np.errstate(all="ignore"):
+        t2 = np.divide(1.0, 2 * theta * t * norm_a)
+        denom = max(d + np.sqrt(d**2 + xi * m4), 0.0)
+        t3 = gamma1 * np.sqrt(m4) / np.sqrt(2 * opd * denom)
+    gamma = min(gamma1 * np.sqrt(1 + gamma1 / gamma0), t2, t3)
+    return gamma, gamma * t**2, (gamma, gamma1)
+
+
+@pytest.mark.parametrize("t,norm_a", [(1.0, 0.0), (0.5, 2.3), (2.0, 0.7)])
+def test_adapgm_golden(rng, t, norm_a):
+    rule = ap.AdaPGMRule(gamma=0.02, t=t, norm_a=norm_a, delta=0.0, theta=1.2)
+    (g, s), st = rule.init()
+    assert float(g) == pytest.approx(0.02)
+    assert float(s) == pytest.approx(0.02 * t**2)
+    state_np = (0.02, 0.02)
+    for _ in range(8):
+        curv = random_curv(rng)
+        (g, s), st = rule.update(st, curv)
+        eg, es, state_np = _adapgm_expected(state_np, curv, t, norm_a, 0.0, 1.2)
+        assert float(g) == pytest.approx(eg, rel=1e-12)
+        assert float(s) == pytest.approx(es, rel=1e-12)
+
+
+def test_adapgm_zero_diff_is_finite():
+    """Identical iterates (0/0 curvature) must not poison gamma: the nan
+    guards at src/AdaProx.jl:260-261 map 0/0 -> 0."""
+    rule = ap.AdaPGMRule(gamma=0.1, t=1.0, norm_a=0.0)
+    (_, _), st = rule.init()
+    z = jnp.zeros(())
+    (g, s), _ = rule.update(st, Curvature(ndg2=z, dgdx=z, ndx2=z))
+    # C = L = D = 0 -> third term = gamma1/sqrt(0) = inf; first term finite
+    assert np.isfinite(float(g))
+    assert float(g) == pytest.approx(0.1 * np.sqrt(2.0), rel=1e-12)
+
+
+def test_adapgm_negative_d_no_nan(rng):
+    """D < 0 with norm_a == 0 must give +inf for the third bound (never NaN
+    from sqrt rounding), so gamma falls back to the growth bound."""
+    rule = ap.AdaPGMRule(gamma=0.01, t=1.0, norm_a=0.0)
+    (_, _), st = rule.init()
+    # craft curvature with gamma1*C < 1 -> D < 0
+    curv = Curvature(
+        ndg2=jnp.asarray(1.0), dgdx=jnp.asarray(10.0), ndx2=jnp.asarray(1.0)
+    )
+    (g, _), _ = rule.update(st, curv)
+    assert np.isfinite(float(g))
+
+
+def test_adapgm_make_resolves_gamma():
+    r = ap.AdaPGMRule.make(t=2.0, norm_a=3.0)
+    assert float(r.gamma) == pytest.approx(1 / (2 * 1.2 * 2.0 * 3.0))
+    with pytest.raises(ValueError):
+        ap.AdaPGMRule.make(t=1.0, norm_a=0.0)
+
+
+def test_adapgm_plus_golden(rng):
+    nu, xi, r_par = 1.0, 1.0, 0.5
+    rule = ap.AdaPGMPlusRule(gamma=0.04, xi=xi, nu=nu, r=r_par)
+    (g, s), st = rule.init()
+    assert float(g) == pytest.approx(0.04) and float(s) == pytest.approx(0.04)
+    g1, g0 = 0.04, 0.04
+    for _ in range(6):
+        curv = random_curv(rng)
+        (g, s), st = rule.update(st, curv)
+        dgdx = float(curv.dgdx)
+        c = float(curv.ndg2) / dgdx
+        lip = dgdx / float(curv.ndx2)
+        d = 1 - 2 * r_par + g1 * lip * (g1 * c + 2 * (r_par - 1))
+        with np.errstate(all="ignore"):
+            expect = g1 * min(
+                np.sqrt(1 / (r_par * (nu + xi)) + g1 / g0),
+                np.sqrt((nu * (1 + xi) - 1) / (nu * (nu + xi))) / np.sqrt(max(d, 0)),
+            )
+        assert float(g) == pytest.approx(expect, rel=1e-12)
+        g0, g1 = g1, expect

@@ -1,0 +1,237 @@
+"""Solver correctness tests.
+
+Ports the reference unit suite (test/runtests.jl:6-51: the Simple2D
+non-Lipschitz objective + box prox) and adds convergence tests on a synthetic
+lasso with an analytically-known optimum (the construction of
+experiments/lasso/runme.jl:45-77), plus record/counter semantics that the
+reference only exercises manually.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import adaprox_tpu as ap
+from adaprox_tpu._pytree import pytree_dataclass
+from adaprox_tpu.ops.oracles import SmoothOracle
+from adaprox_tpu.models.objectives import LeastSquares
+
+
+# --- fixtures mirroring test/runtests.jl:6-23 ------------------------------
+
+
+@pytree_dataclass
+class Simple2DObjective(SmoothOracle):
+    """f(x) = log(1+x1^2)^2 + 10 x2^2 — not globally Lipschitz-smooth in x1,
+    exactly the paper's target regime (test/runtests.jl:6-13)."""
+
+    def value_and_aux(self, x):
+        return jnp.log(1 + x[0] ** 2) ** 2 + 10 * x[1] ** 2, None
+
+    def grad_from_aux(self, x, aux):
+        g0 = 2 * jnp.log(1 + x[0] ** 2) * 2 * x[0] / (1 + x[0] ** 2)
+        return jnp.stack([g0, 20 * x[1]])
+
+
+@pytree_dataclass
+class Simple2DBox:
+    """Indicator of |x1| <= 2.9 (prox clamps x1 only; test/runtests.jl:15-23)."""
+
+    def __call__(self, x):
+        return jnp.where(jnp.abs(x[0]) <= 2.9, 0.0, jnp.inf)
+
+    def prox(self, v, gamma):
+        del gamma
+        y = v.at[0].set(jnp.clip(v[0], -2.9, 2.9))
+        return y, jnp.zeros((), v.dtype)
+
+
+OBJ_TOL = 1e-7
+
+
+def _check_simple2d(res):
+    f = Simple2DObjective()
+    g = Simple2DBox()
+    assert float(f.value(res.x)) < OBJ_TOL
+    assert float(g(res.x)) == 0.0
+
+
+def test_adaptive_proxgrad_simple2d():
+    res = ap.adaptive_proxgrad(
+        jnp.ones(2), f=Simple2DObjective(), g=Simple2DBox(),
+        rule=ap.AdaPGMRule(gamma=1.0),
+    )
+    _check_simple2d(res)
+
+
+def test_backtracking_proxgrad_simple2d():
+    res = ap.backtracking_proxgrad(
+        jnp.ones(2), f=Simple2DObjective(), g=Simple2DBox(), gamma0=1.0, xi=1.1
+    )
+    _check_simple2d(res)
+
+
+def test_backtracking_nesterov_simple2d():
+    res = ap.backtracking_nesterov(
+        jnp.ones(2), f=Simple2DObjective(), g=Simple2DBox(), gamma0=1.0
+    )
+    _check_simple2d(res)
+
+
+def test_auto_adaptive_proxgrad_simple2d():
+    res = ap.auto_adaptive_proxgrad(
+        jnp.ones(2), f=Simple2DObjective(), g=Simple2DBox()
+    )
+    _check_simple2d(res)
+
+
+# --- known-optimum lasso (experiments/lasso/runme.jl:45-77) ----------------
+
+
+def make_lasso(rng, m=60, n=120, pfactor=10, lam=1.0):
+    """Synthetic lasso whose optimal value is known by construction."""
+    p = n // pfactor
+    y_star = rng.random(m)
+    y_star /= np.linalg.norm(y_star)
+    c = rng.random((m, n)) * 2 - 1
+    cty = np.abs(c.T @ y_star)
+    perm = np.argsort(-cty)
+    alpha = np.zeros(n)
+    for rank, j in enumerate(perm):
+        if rank < p:
+            alpha[j] = lam / cty[j]
+        else:
+            alpha[j] = lam if cty[j] < 0.1 * lam else lam * rng.random() / cty[j]
+    a = c * alpha[None, :]
+    x_star = np.zeros(n)
+    for rank, j in enumerate(perm):
+        if rank < p:
+            x_star[j] = rng.random() / np.sqrt(p) * np.sign(a[:, j] @ y_star)
+    b = a @ x_star + y_star
+    optimum = np.linalg.norm(y_star) / 2 + lam * np.abs(x_star).sum()
+    return jnp.asarray(a), jnp.asarray(b), float(optimum)
+
+
+@pytest.fixture(scope="module")
+def lasso_problem():
+    rng = np.random.default_rng(42)
+    a, b, optimum = make_lasso(rng)
+    f = LeastSquares(a=a, b=b)
+    g = ap.L1Norm(lam=1.0)
+    lf = float(np.linalg.norm(np.asarray(a), 2) ** 2)
+    return f, g, lf, optimum, a.shape[1]
+
+
+def _gap(f, g, x, optimum):
+    return float(f.value(x) + g(x)) - optimum
+
+
+def test_lasso_adapgm_reaches_known_optimum(lasso_problem):
+    f, g, lf, optimum, n = lasso_problem
+    res = ap.adaptive_proxgrad(
+        jnp.zeros(n), f=f, g=g, rule=ap.AdaPGMRule(gamma=1 / lf), tol=1e-9, maxit=5000
+    )
+    assert _gap(f, g, res.x, optimum) < 1e-7
+    assert int(res.numit) < 5000  # converged before the budget
+
+
+@pytest.mark.parametrize(
+    "solver",
+    ["fixed", "mm", "backtracking", "bt_nesterov", "fixed_nesterov", "agraal", "auto"],
+)
+def test_lasso_all_pg_methods_converge(lasso_problem, solver):
+    f, g, lf, optimum, n = lasso_problem
+    x0 = jnp.zeros(n)
+    kw = dict(f=f, g=g, tol=1e-8, maxit=20_000)
+    if solver == "fixed":
+        res = ap.fixed_proxgrad(x0, gamma=1 / lf, **kw)
+    elif solver == "mm":
+        res = ap.adaptive_proxgrad(x0, rule=ap.MalitskyMishchenkoRule(gamma=1 / lf), **kw)
+    elif solver == "backtracking":
+        res = ap.backtracking_proxgrad(x0, gamma0=1 / lf, xi=1.5, **kw)
+    elif solver == "bt_nesterov":
+        res = ap.backtracking_nesterov(x0, gamma0=1 / lf, **kw)
+    elif solver == "fixed_nesterov":
+        res = ap.fixed_nesterov(x0, gamma=1 / lf, **kw)
+    elif solver == "agraal":
+        res = ap.agraal(x0, gamma0=1 / lf, **kw)
+    elif solver == "auto":
+        res = ap.auto_adaptive_proxgrad(x0, **kw)
+    assert _gap(f, g, res.x, optimum) < 1e-5, solver
+
+
+# --- records / counters ----------------------------------------------------
+
+
+def test_history_matches_while_mode(lasso_problem):
+    """Scan mode and while mode must agree on the trajectory and counters."""
+    f, g, lf, optimum, n = lasso_problem
+    rule = ap.AdaPGMRule(gamma=1 / lf)
+    rw = ap.adaptive_proxgrad(jnp.zeros(n), f=f, g=g, rule=rule, tol=1e-7, maxit=3000)
+    rh = ap.adaptive_proxgrad(
+        jnp.zeros(n), f=f, g=g, rule=rule, tol=1e-7, maxit=3000, history=True
+    )
+    assert int(rw.numit) == int(rh.numit)
+    np.testing.assert_allclose(np.asarray(rw.x), np.asarray(rh.x), rtol=1e-12)
+    for k in rw.counters._fields:
+        assert int(getattr(rw.counters, k)) == int(getattr(rh.counters, k)), k
+    nv = int(rh.records.valid.sum())
+    assert nv == int(rh.numit)
+    # norm_res at the last valid row equals the final residual
+    np.testing.assert_allclose(
+        float(rh.records.norm_res[nv - 1]), float(rw.norm_res), rtol=1e-12
+    )
+
+
+def test_adapgm_counter_semantics(lasso_problem):
+    """AdaPGM meters at the convergence check: the iteration's (f, grad) have
+    happened but its second-half prox has not, so at iteration `it` the
+    counts are f = grad = it + 1 (incl. init) and prox_g = it (init + it-1
+    second halves) — matching the reference's log-time counter snapshot
+    (src/AdaProx.jl:327-361, log at :351 before the prox at :361)."""
+    f, g, lf, optimum, n = lasso_problem
+    res = ap.adaptive_proxgrad(
+        jnp.zeros(n), f=f, g=g, rule=ap.AdaPGMRule(gamma=1 / lf), tol=1e-7, maxit=3000
+    )
+    it = int(res.numit)
+    assert int(res.counters.f_evals) == it + 1
+    assert int(res.counters.grad_f_evals) == it + 1
+    assert int(res.counters.prox_g_evals) == it
+    assert int(res.counters.prox_h_evals) == 0
+    assert int(res.counters.A_evals) == 0
+    assert int(res.counters.At_evals) == 0
+
+
+def test_backtracking_counter_semantics(lasso_problem):
+    """Backtracking PG: grad_f_evals == numit + 1 (one pullback per outer
+    iteration + init); f_evals == numit's trials + init >= prox_g_evals + 1."""
+    f, g, lf, optimum, n = lasso_problem
+    res = ap.backtracking_proxgrad(
+        jnp.zeros(n), f=f, g=g, gamma0=1 / lf, xi=2.0, tol=1e-7, maxit=3000
+    )
+    it = int(res.numit)
+    assert int(res.counters.grad_f_evals) == it  # log-time snapshot: init(1) + (it-1)
+    assert int(res.counters.f_evals) == int(res.counters.prox_g_evals) + 1
+    assert int(res.counters.f_evals) >= it + 1  # at least one trial per iter
+
+
+def test_vmap_over_rule_parameter(lasso_problem):
+    """A gamma sweep runs as ONE compiled kernel via vmap over the rule's
+    pytree leaves (the TPU-native replacement for the reference's sequential
+    hyperparameter loops)."""
+    f, g, lf, optimum, n = lasso_problem
+    gammas = jnp.asarray([0.5 / lf, 1 / lf, 2 / lf])
+
+    def solve(gamma):
+        r = ap.adaptive_proxgrad(
+            jnp.zeros(n), f=f, g=g, rule=ap.AdaPGMRule(gamma=gamma),
+            tol=1e-7, maxit=400, history=True,
+        )
+        return r.records.objective[-1]
+
+    batched = jax.vmap(solve)(gammas)
+    assert batched.shape == (3,)
+    for i, ga in enumerate(gammas):
+        single = solve(float(ga))
+        np.testing.assert_allclose(float(batched[i]), float(single), rtol=1e-8)
