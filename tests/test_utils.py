@@ -1,0 +1,146 @@
+"""Instrumentation + telemetry + IO utilities.
+
+Ports the reference counting tests (test/runtests.jl:53-90) to the eager
+wrapper, checks the JSONL schema against the reference record keys, and
+exercises the LIBSVM parser on a hand-written file.
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import adaprox_tpu as ap
+from adaprox_tpu.utils.counting import Counting, without_counting
+from adaprox_tpu.utils import logging as tlog
+from adaprox_tpu.utils.libsvm import load_libsvm_dataset
+from adaprox_tpu.models.objectives import LeastSquares
+from tests.test_solvers import Simple2DObjective, Simple2DBox
+
+
+def test_counting_semantics():
+    """Mirror of test/runtests.jl:53-90: evals metered eagerly, pullback
+    metered lazily, adjoint metered separately, without_counting suppresses."""
+    f = Counting(Simple2DObjective())
+    g = Counting(Simple2DBox())
+    a = Counting(ap.ScaledIdentity(alpha=1.0))
+
+    x = jnp.ones(2)
+    _, aux = f.value_and_aux(x)
+    g.prox(x, 1.0)
+    a.matvec(x)
+
+    assert f.eval_count == 1
+    assert f.grad_count == 0  # pullback not yet finished
+    assert g.prox_count == 1
+    assert a.mul_count == 1
+    assert a.amul_count == 0
+
+    f.grad_from_aux(x, aux)
+    assert f.grad_count == 1
+
+    a.T @ x
+    assert a.amul_count == 1
+
+    with without_counting():
+        _, aux = f.value_and_aux(x)
+        f.grad_from_aux(x, aux)
+        g.prox(x, 1.0)
+        a.matvec(x)
+
+    assert f.eval_count == 1
+    assert f.grad_count == 1
+    assert g.prox_count == 1
+    assert a.mul_count == 1
+    assert a.amul_count == 1
+
+
+def test_plain_value_call_not_metered():
+    """(f::Counting)(x) forwards without counting (counting.jl:34)."""
+    f = Counting(Simple2DObjective())
+    f(jnp.ones(2))
+    assert f.eval_count == 0
+
+
+def test_records_to_rows_schema(tmp_path, rng):
+    a = jnp.asarray(rng.standard_normal((20, 30)))
+    b = jnp.asarray(rng.standard_normal(20))
+    f = LeastSquares(a=a, b=b)
+    g = ap.L1Norm(lam=0.5)
+    res = ap.adaptive_proxgrad(
+        jnp.zeros(30), f=f, g=g, rule=ap.AdaPGMRule(gamma=0.01),
+        tol=1e-7, maxit=500, history=True, name="AdaPGM (Ours)",
+    )
+    rows = tlog.records_to_rows(res.records, res.name)
+    assert len(rows) == int(res.numit)
+    # exact reference PG record keys (src/AdaProx.jl:351 with h=Zero,A=0 path
+    # at :56 — method/it/gamma/norm_res/objective/counters)
+    assert list(rows[0].keys()) == tlog.PG_KEYS
+    assert rows[0]["it"] == 1 and rows[-1]["it"] == int(res.numit)
+    assert rows[0]["method"] == "AdaPGM (Ours)"
+    # monotone counters
+    fe = [r["f_evals"] for r in rows]
+    assert all(b >= a for a, b in zip(fe, fe[1:]))
+
+    path = tmp_path / "out.jsonl"
+    tlog.write_jsonl(path, rows)
+    back = tlog.read_jsonl(path)
+    assert back == [json.loads(json.dumps(r)) for r in rows]
+
+    # key projection like dual_svm/runme.jl:141
+    path2 = tmp_path / "proj.jsonl"
+    tlog.write_jsonl(path2, rows, keys=["method", "it", "f_evals", "norm_res"])
+    back2 = tlog.read_jsonl(path2)
+    assert list(back2[0].keys()) == ["method", "it", "f_evals", "norm_res"]
+
+
+def test_is_logstep():
+    # multiples of the current power of 10 (experiments/logging.jl:13-17)
+    hits = [i for i in range(1, 130) if tlog.is_logstep(i)]
+    assert hits == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+
+
+def test_find_best():
+    groups = {
+        "A (t=1)": [{"norm_res": 1e-6, "f_evals": 100}],
+        "A (t=2)": [{"norm_res": 1e-6, "f_evals": 50}],
+        "A (t=3)": [{"norm_res": 1e-2, "f_evals": 10}],
+    }
+    best = tlog.find_best(groups, list(groups), "norm_res", 1e-5, "f_evals")
+    assert best == "A (t=2)"
+    # nobody reaches target -> best final value
+    groups2 = {
+        "B (t=1)": [{"norm_res": 0.5, "f_evals": 10}],
+        "B (t=2)": [{"norm_res": 0.1, "f_evals": 99}],
+    }
+    assert tlog.find_best(groups2, list(groups2), "norm_res", 1e-5, "f_evals") == "B (t=2)"
+    # callable duration key (square_root_lasso/runme.jl:105)
+    best3 = tlog.find_best(
+        groups, list(groups), "norm_res", 1e-5,
+        lambda row: row["f_evals"] * 2,
+    )
+    assert best3 == "A (t=2)"
+
+
+def test_libsvm_loader(tmp_path):
+    p = tmp_path / "toy.libsvm"
+    p.write_text("+1 1:0.5 3:2.0\n-1 2:1.5\n+1 1:-1.0 3:0.25\n")
+    x, y = load_libsvm_dataset(p)
+    np.testing.assert_allclose(x, [[0.5, 0, 2.0], [0, 1.5, 0], [-1.0, 0, 0.25]])
+    np.testing.assert_allclose(y, [1, -1, 1])
+    # label remap to {0,1} (libsvm.jl:41-56)
+    x2, y2 = load_libsvm_dataset(p, labels=(0.0, 1.0))
+    np.testing.assert_allclose(y2, [1, 0, 1])
+    # padding for TPU tiles
+    x3, y3, m, n = load_libsvm_dataset(p, pad_to=8)
+    assert x3.shape == (8, 8) and (m, n) == (3, 3)
+    np.testing.assert_allclose(x3[:3, :3], x)
+    assert x3[3:].sum() == 0
+
+
+def test_libsvm_label_validation(tmp_path):
+    p = tmp_path / "bad.libsvm"
+    p.write_text("1 1:1\n2 1:1\n3 1:1\n")
+    with pytest.raises(ValueError):
+        load_libsvm_dataset(p, labels=(0.0, 1.0))
