@@ -1,0 +1,88 @@
+"""Shared experiment harness.
+
+Each experiment driver mirrors its reference `runme.jl`: build the problem,
+run every applicable solver with history=True, write the reference-schema
+JSONL (utils.logging), echo log-spaced rows to the console, and plot
+convergence from the JSONL. Solvers run as compiled scan-mode programs; the
+JSONL is written post-hoc from the stacked records.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from ..utils import logging as tlog
+
+__all__ = ["Sink", "group_rows", "plot_lines", "pick_platform"]
+
+
+def pick_platform(force_cpu: bool = False):
+    """Experiments default to whatever backend JAX resolves (TPU when
+    available); --cpu forces the local CPU backend (see tests/conftest.py for
+    why this image needs the config override, not just JAX_PLATFORMS)."""
+    if force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+
+class Sink:
+    """JSONL sink + console echo for one experiment output file."""
+
+    def __init__(self, path, keys=None, echo=True, base=10):
+        self.path = str(path)
+        self.keys = keys
+        self.echo = echo
+        self.base = base
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        open(self.path, "w").close()  # truncate
+
+    def emit_pseudo(self, row: dict):
+        """A non-solver record (e.g. the known optimum, lasso runme.jl:79)."""
+        tlog.write_jsonl(self.path, [row], keys=self.keys)
+
+    def add(self, result, primal_dual=None):
+        rows = tlog.records_to_rows(result.records, result.name, primal_dual=primal_dual)
+        tlog.write_jsonl(self.path, rows, keys=self.keys)
+        if self.echo and rows:
+            tlog.echo_logstep_rows(rows[-1:], self.base)
+        return rows
+
+
+def group_rows(rows):
+    by = defaultdict(list)
+    for r in rows:
+        if r.get("method") is None:
+            continue
+        by[r["method"]].append(r)
+    return by
+
+
+def plot_lines(path, series, title, xlabel, ylabel, out_path=None):
+    """Convergence plot: log-y lines per method (the reference's
+    plot_convergence/plot_residual shape). ``series`` is a list of
+    (label, xs, ys)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for label, xs, ys in series:
+        ys = np.maximum(np.asarray(ys, float), 1e-14)
+        ax.semilogy(xs, ys, label=label, linewidth=1.2)
+    ax.set_title(title)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    out = out_path or (str(path) + ".pdf")
+    fig.savefig(out)
+    plt.close(fig)
+    return out

@@ -1,0 +1,141 @@
+"""Dual SVM experiment (experiments/dual_svm/runme.jl).
+
+Box-constrained QP with one equality via the composite term:
+f = 0.5 x'Qx + q'x with Q = D_y X X' D_y, q = -1 (runme.jl:47-50);
+g = IndBox(0, C); h = IndZero; A = y' (1 x N). Sweeps the coupling t over 12
+values for AdaPDM and Malitsky-Pock, plus Condat-Vu; datasets svmguide3 /
+mushrooms / heart_scale x C in {0.1, 1}; maxit 10_000, tol 1e-5; logs only
+[method, it, f_evals, norm_res] (runme.jl:141).
+
+TPU-native addition: the AdaPDM t-sweep also runs as ONE vmapped compiled
+kernel over the rule's t leaf (--vmap-sweep), replacing the reference's
+sequential loop (runme.jl:63-76).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from .common import Sink, group_rows, pick_platform, plot_lines
+
+T_VALUES = [0.01, 0.15, 0.02, 0.025, 0.05, 0.1, 0.2, 0.5, 1, 2, 5, 10]
+KEYS = ["method", "it", "f_evals", "norm_res"]
+
+
+def _load(name_or_path):
+    from adaprox_tpu.utils.datasets import load_or_synthesize
+    from adaprox_tpu.utils.libsvm import load_libsvm_dataset
+
+    if os.path.isfile(str(name_or_path)):
+        x_np, y_np = load_libsvm_dataset(name_or_path, labels=(-1.0, 1.0))
+        return x_np, y_np, "libsvm"
+    return load_or_synthesize(str(name_or_path), labels=(-1.0, 1.0))
+
+
+def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=False):
+    import jax
+    import jax.numpy as jnp
+
+    import adaprox_tpu as ap
+    from adaprox_tpu.models.objectives import Quadratic
+
+    x_np, y_np, source = _load(name_or_path)
+    n_pts = y_np.shape[0]
+
+    dyx = y_np[:, None] * x_np
+    q_mat = dyx @ dyx.T
+    q_vec = -np.ones(n_pts)
+    f = Quadratic(q_mat=jnp.asarray(q_mat), q_vec=jnp.asarray(q_vec))
+    g = ap.IndBox(lo=0.0, hi=float(big_c))
+    h = ap.IndZero()
+    a_op = ap.DenseOperator(a=jnp.asarray(y_np[None, :]))
+    lf = float(np.linalg.norm(q_mat))  # Julia norm(Q) = Frobenius (runme.jl:56)
+    norm_a = float(np.linalg.norm(y_np))
+
+    x0 = jnp.zeros(n_pts)
+    y0 = jnp.zeros(1)
+
+    if vmap_sweep:
+        # one compiled kernel for the whole t grid
+        def solve_t(t):
+            res = ap.adaptive_primal_dual(
+                x0, y0, f=f, g=g, h=h, A=a_op,
+                rule=ap.AdaPGMRule.make(gamma=1.0 / (2 * 1.2 * t * norm_a), t=t,
+                                        norm_a=norm_a),
+                tol=tol, maxit=maxit, history=True,
+            )
+            return res._replace(name=None)  # strings can't ride through vmap
+
+        batched = jax.vmap(solve_t)(jnp.asarray(T_VALUES))
+        for i, t in enumerate(T_VALUES):
+            one = jax.tree_util.tree_map(lambda arr: arr[i], batched)
+            sink.add(one.with_name(f"AdaPDM (t={t})"), primal_dual=True)
+    else:
+        for t in T_VALUES:
+            sink.add(ap.adaptive_primal_dual(
+                x0, y0, f=f, g=g, h=h, A=a_op,
+                rule=ap.AdaPGMRule.make(t=float(t), norm_a=norm_a),
+                tol=tol, maxit=maxit, history=True, name=f"AdaPDM (t={t})",
+            ), primal_dual=True)
+
+    for t in T_VALUES:
+        sink.add(ap.malitsky_pock(
+            x0, y0, f=f, g=g, h=h, A=a_op, t=float(t), sigma=1.0 / norm_a,
+            tol=tol, maxit=maxit, history=True, name=f"Malitsky-Pock (t={t})",
+        ), primal_dual=True)
+
+    sink.add(ap.condat_vu(
+        x0, y0, f=f, g=g, h=h, A=a_op, Lf=lf, tol=tol, maxit=maxit,
+        history=True, name="Condat-Vu",
+    ), primal_dual=True)
+    return source
+
+
+def plot_residual(path):
+    from ..utils.logging import find_best, read_jsonl
+
+    rows = read_jsonl(path)
+    groups = group_rows(rows)
+    names_to_plot = []
+    for fam in ["Condat-Vu", "Malitsky-Pock", "AdaPDM"]:
+        matching = [k for k in groups if k.startswith(fam)]
+        if matching:
+            names_to_plot.append(find_best(groups, matching, "norm_res", 1e-5, "f_evals"))
+    series = [
+        (name, [r["f_evals"] for r in groups[name]],
+         [r["norm_res"] for r in groups[name]])
+        for name in names_to_plot
+    ]
+    return plot_lines(path, series, f"Dual SVM ({os.path.basename(path)})",
+                      "#passes through data", "||v||")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--outdir", default="results/dual_svm")
+    p.add_argument("--maxit", type=int, default=10_000)
+    p.add_argument("--tol", type=float, default=1e-5)
+    p.add_argument("--datasets", default="svmguide3,mushrooms,heart_scale")
+    p.add_argument("--C", default="0.1,1")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--vmap-sweep", action="store_true")
+    p.add_argument("--no-plot", action="store_true")
+    args = p.parse_args(argv)
+    pick_platform(args.cpu)
+
+    for big_c in (float(v) for v in args.C.split(",")):
+        for ds in args.datasets.split(","):
+            path = os.path.join(args.outdir, f"{os.path.basename(ds)}_C_{big_c}.jsonl")
+            sink = Sink(path, keys=KEYS)
+            src = run_dsvm(ds, sink, big_c=big_c, tol=args.tol, maxit=args.maxit,
+                           vmap_sweep=args.vmap_sweep)
+            print(f"{path}: data={src}")
+            if not args.no_plot:
+                plot_residual(path)
+
+
+if __name__ == "__main__":
+    main()

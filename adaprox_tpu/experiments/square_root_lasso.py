@@ -1,0 +1,130 @@
+"""Square-root lasso experiment (experiments/square_root_lasso/runme.jl).
+
+Fully nonsmooth composite: f = 0, g = lambda*||.||_1,
+h = Translate(NormL2, -y) i.e. ||A x - y||_2, A = [X 1] dense
+(runme.jl:37-42). Condat-Vu + Malitsky-Pock(t) + AdaPDM+(t, eta=||A||) over
+15 t-values (runme.jl:48); datasets cpusmall_scale / abalone /
+housing_scale, lambda = 10, maxit 5000, tol 1e-5; cost metric =
+A_evals + At_evals; logs [method, norm_res, A_evals, At_evals].
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from .common import Sink, group_rows, pick_platform, plot_lines
+
+T_VALUES = [0.01, 0.15, 0.02, 0.025, 0.05, 0.1, 0.2, 0.5, 1, 2, 5, 10, 20, 50, 100]
+KEYS = ["method", "norm_res", "A_evals", "At_evals"]
+
+
+def _load(name_or_path):
+    from adaprox_tpu.utils.datasets import load_or_synthesize
+    from adaprox_tpu.utils.libsvm import load_libsvm_dataset
+
+    if os.path.isfile(str(name_or_path)):
+        x_np, y_np = load_libsvm_dataset(name_or_path)
+        return x_np, y_np, "libsvm"
+    return load_or_synthesize(str(name_or_path))
+
+
+def make_h(inner_cls, y):
+    """h = Translate(inner, -y): ||Ax - y|| in the chosen norm."""
+    import jax.numpy as jnp
+
+    import adaprox_tpu as ap
+
+    inner = inner_cls(lam=1.0)
+    return ap.Translate(inner=inner, b=-jnp.asarray(y))
+
+
+def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000):
+    import jax.numpy as jnp
+
+    import adaprox_tpu as ap
+
+    x_np, y_np, source = _load(name_or_path)
+    m, n = x_np.shape
+
+    f = ap.ZeroSmooth()
+    g = ap.L1Norm(lam=float(lam))
+    h = make_h(inner_cls, y_np)
+    a_mat = jnp.asarray(np.hstack([x_np, np.ones((m, 1))]))
+    a_op = ap.DenseOperator(a=a_mat)
+    norm_a = float(np.linalg.norm(np.asarray(a_mat)))
+
+    x0 = jnp.zeros(n + 1)
+    y0 = jnp.zeros(m)
+
+    sink.add(ap.condat_vu(
+        x0, y0, f=f, g=g, h=h, A=a_op, Lf=0.0, norm_A=norm_a,
+        tol=tol, maxit=maxit, history=True, name="Condat-Vu",
+    ), primal_dual=True)
+
+    for t in T_VALUES:
+        sink.add(ap.malitsky_pock(
+            x0, y0, f=f, g=g, h=h, A=a_op, sigma=1.0, t=float(t),
+            tol=tol, maxit=maxit, history=True, name=f"Malitsky-Pock (t={t})",
+        ), primal_dual=True)
+
+    for t in T_VALUES:
+        sink.add(ap.adaptive_linesearch_primal_dual(
+            x0, y0, f=f, g=g, h=h, A=a_op, eta=norm_a, t=float(t),
+            tol=tol, maxit=maxit, history=True, name=f"AdaPDM+ (t={t})",
+        ), primal_dual=True)
+    return source
+
+
+def plot_residual(path, title_prefix="Square root lasso"):
+    from ..utils.logging import find_best, read_jsonl
+
+    rows = read_jsonl(path)
+    groups = group_rows(rows)
+    names_to_plot = []
+    for fam in ["Condat-Vu", "Malitsky-Pock", "AdaPDM+"]:
+        matching = [k for k in groups if k.startswith(fam)]
+        if matching:
+            names_to_plot.append(find_best(
+                groups, matching, "norm_res", 1e-5,
+                lambda row: row["A_evals"] + row["At_evals"],
+            ))
+    series = [
+        (name, [r["A_evals"] + r["At_evals"] for r in groups[name]],
+         [r["norm_res"] for r in groups[name]])
+        for name in names_to_plot
+    ]
+    return plot_lines(path, series, f"{title_prefix} ({os.path.basename(path)})",
+                      "#calls to A, A'", "||v||")
+
+
+def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
+    import adaprox_tpu as ap
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--outdir", default=default_outdir)
+    p.add_argument("--maxit", type=int, default=5000)
+    p.add_argument("--tol", type=float, default=1e-5)
+    p.add_argument("--lam", type=float, default=10.0)
+    p.add_argument("--datasets", default="cpusmall_scale,abalone,housing_scale")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--no-plot", action="store_true")
+    args = p.parse_args(argv)
+    pick_platform(args.cpu)
+
+    inner_cls = ap.L2Norm if inner == "l2" else ap.L1Norm
+    title = "Square root lasso" if inner == "l2" else "Least absolute deviation"
+    for ds in args.datasets.split(","):
+        path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
+        sink = Sink(path, keys=KEYS)
+        src = run_composite(ds, sink, inner_cls, lam=args.lam, tol=args.tol,
+                            maxit=args.maxit)
+        print(f"{path}: data={src}")
+        if not args.no_plot:
+            plot_residual(path, title)
+
+
+if __name__ == "__main__":
+    main()

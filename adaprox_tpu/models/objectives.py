@@ -17,6 +17,7 @@ transposed matvec, mirroring the reference's lazy pullbacks.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .._pytree import pytree_dataclass
@@ -25,24 +26,52 @@ from ..ops.oracles import SmoothOracle
 __all__ = ["LeastSquares", "LogisticLoss", "Quadratic", "Cubic", "WorstQuadratic"]
 
 
-@pytree_dataclass
+def _acc_dtype(a, v):
+    """Accumulate in the iterate dtype (f32 even when the matrix is bf16)."""
+    return v.dtype if a.dtype == jnp.bfloat16 else jnp.result_type(a, v)
+
+
+def _mv(a, v, precision):
+    """a @ v with explicit MXU precision and f32 accumulation for bf16 data."""
+    return jax.lax.dot_general(
+        a, v, (((1,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=_acc_dtype(a, v),
+    )
+
+
+def _vm(v, a, precision):
+    """v @ a (the transposed matvec, contraction-local for row-sharded a)."""
+    return jax.lax.dot_general(
+        v, a, (((0,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=_acc_dtype(a, v),
+    )
+
+
+@pytree_dataclass(meta=("precision",))
 class LeastSquares(SmoothOracle):
-    """f(w) = 0.5 * ||A w - b||^2. aux = residual; grad = A' res."""
+    """f(w) = 0.5 * ||A w - b||^2. aux = residual; grad = A' res.
+
+    ``precision`` controls the MXU algorithm ("highest" = full f32 via bf16
+    passes — the correctness default for the curvature-sensitive adaptive
+    rules; None = backend default, bf16x1 on TPU). ``a`` may be stored bf16
+    to halve HBM traffic; results accumulate in the iterate dtype.
+    """
 
     a: jnp.ndarray
     b: jnp.ndarray
+    precision: str | None = "highest"
 
     def value_and_aux(self, w):
-        res = self.a @ w - self.b
+        res = _mv(self.a, w, self.precision) - self.b
         return 0.5 * jnp.sum(res * res), res
 
     def grad_from_aux(self, w, res):
         del w
         # (res @ a) keeps a row-sharded `a` contraction-local (psum of partials)
-        return res @ self.a
+        return _vm(res, self.a, self.precision)
 
 
-@pytree_dataclass
+@pytree_dataclass(meta=("precision",))
 class LogisticLoss(SmoothOracle):
     """Mean logistic loss with the bias folded into the last coordinate of w
     (reference experiments/sparse_logreg/runme.jl:23-39):
@@ -55,9 +84,10 @@ class LogisticLoss(SmoothOracle):
 
     x: jnp.ndarray
     y: jnp.ndarray
+    precision: str | None = "highest"
 
     def value_and_aux(self, w):
-        logits = self.x @ w[:-1] + w[-1]
+        logits = _mv(self.x, w[:-1], self.precision) + w[-1]
         # log(1 + exp(-z)) = softplus(-z), computed stably
         softplus_neg = jnp.logaddexp(0.0, -logits)
         val = -jnp.mean((self.y - 1.0) * logits - softplus_neg)
@@ -67,20 +97,21 @@ class LogisticLoss(SmoothOracle):
     def grad_from_aux(self, w, probs):
         n = self.y.shape[0]
         diff = probs - self.y
-        gw = (diff @ self.x) / n
+        gw = _vm(diff, self.x, self.precision) / n
         gb = jnp.mean(diff)
         return jnp.concatenate([gw, gb[None]]).astype(w.dtype)
 
 
-@pytree_dataclass
+@pytree_dataclass(meta=("precision",))
 class Quadratic(SmoothOracle):
     """f(x) = 0.5 x'Qx + q'x. aux = Qx; grad = Qx + q."""
 
     q_mat: jnp.ndarray
     q_vec: jnp.ndarray
+    precision: str | None = "highest"
 
     def value_and_aux(self, x):
-        qx = self.q_mat @ x
+        qx = _mv(self.q_mat, x, self.precision)
         return 0.5 * jnp.vdot(x, qx) + jnp.vdot(x, self.q_vec), qx
 
     def grad_from_aux(self, x, qx):
@@ -88,7 +119,7 @@ class Quadratic(SmoothOracle):
         return qx + self.q_vec
 
 
-@pytree_dataclass
+@pytree_dataclass(meta=("precision",))
 class Cubic(SmoothOracle):
     """Cubic-regularized quadratic model (cubic_sparse_logreg/runme.jl:26-32):
 
@@ -101,10 +132,11 @@ class Cubic(SmoothOracle):
     q_mat: jnp.ndarray
     q_vec: jnp.ndarray
     c: jnp.ndarray
+    precision: str | None = "highest"
 
     def value_and_aux(self, x):
         nx = jnp.sqrt(jnp.sum(x * x))
-        grad = self.q_mat @ x + self.q_vec + (nx * self.c / 2) * x
+        grad = _mv(self.q_mat, x, self.precision) + self.q_vec + (nx * self.c / 2) * x
         val = (jnp.vdot(x, grad) + jnp.vdot(self.q_vec, x)) / 2 - nx**3 * self.c / 12
         return val, grad
 

@@ -22,23 +22,37 @@ from .._pytree import pytree_dataclass
 __all__ = ["DenseOperator", "ScaledIdentity", "opnorm2", "frobenius_norm"]
 
 
-@pytree_dataclass
+@pytree_dataclass(meta=("precision",))
 class DenseOperator:
-    """A dense (possibly device-sharded) matrix as a linear operator."""
+    """A dense (possibly device-sharded) matrix as a linear operator.
+
+    ``precision``: MXU algorithm ("highest" = full f32; None = backend
+    default, bf16x1 on TPU). bf16 storage accumulates into the vector dtype.
+    """
 
     a: jnp.ndarray
+    precision: str | None = "highest"
 
     @property
     def shape(self):
         return self.a.shape
 
+    def _acc(self, v):
+        return v.dtype if self.a.dtype == jnp.bfloat16 else jnp.result_type(self.a, v)
+
     def matvec(self, x):
-        return self.a @ x
+        return jax.lax.dot_general(
+            self.a, x, (((1,), (0,)), ((), ())),
+            precision=self.precision, preferred_element_type=self._acc(x),
+        )
 
     def rmatvec(self, y):
         # A.T @ y as (y @ A) to keep the row-sharded layout contraction-local;
         # XLA emits the psum of partials when `a` is row-sharded.
-        return y @ self.a
+        return jax.lax.dot_general(
+            y, self.a, (((0,), (0,)), ((), ())),
+            precision=self.precision, preferred_element_type=self._acc(y),
+        )
 
     def norm(self):
         """Frobenius norm — matches Julia's ``norm(A)`` on a matrix, which the
