@@ -47,7 +47,7 @@ def _vm(v, a, precision):
     )
 
 
-@pytree_dataclass(meta=("precision",))
+@pytree_dataclass(meta=("precision", "fused"))
 class LeastSquares(SmoothOracle):
     """f(w) = 0.5 * ||A w - b||^2. aux = residual; grad = A' res.
 
@@ -55,23 +55,41 @@ class LeastSquares(SmoothOracle):
     passes — the correctness default for the curvature-sensitive adaptive
     rules; None = backend default, bf16x1 on TPU). ``a`` may be stored bf16
     to halve HBM traffic; results accumulate in the iterate dtype.
+
+    ``fused=True`` computes value+gradient in ONE HBM pass over ``a`` with
+    the Pallas kernel (ops.kernels.fused_ls_value_grad) — ~2x iteration
+    throughput at HBM-bound sizes. Requires tile-aligned unsharded ``a``.
     """
 
     a: jnp.ndarray
     b: jnp.ndarray
     precision: str | None = "highest"
+    fused: bool = False
+
+    def _use_fused(self):
+        from ..ops import kernels
+
+        return self.fused and kernels.ls_supported(self.a, self.b, None)
 
     def value_and_aux(self, w):
+        if self._use_fused():
+            from ..ops import kernels
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            f_x, grad = kernels.fused_ls_value_grad(self.a, self.b, w, interpret=interp)
+            return f_x, grad
         res = _mv(self.a, w, self.precision) - self.b
         return 0.5 * jnp.sum(res * res), res
 
-    def grad_from_aux(self, w, res):
+    def grad_from_aux(self, w, aux):
         del w
+        if self._use_fused():
+            return aux  # the fused kernel already produced the gradient
         # (res @ a) keeps a row-sharded `a` contraction-local (psum of partials)
-        return _vm(res, self.a, self.precision)
+        return _vm(aux, self.a, self.precision)
 
 
-@pytree_dataclass(meta=("precision",))
+@pytree_dataclass(meta=("precision", "fused"))
 class LogisticLoss(SmoothOracle):
     """Mean logistic loss with the bias folded into the last coordinate of w
     (reference experiments/sparse_logreg/runme.jl:23-39):
@@ -85,8 +103,22 @@ class LogisticLoss(SmoothOracle):
     x: jnp.ndarray
     y: jnp.ndarray
     precision: str | None = "highest"
+    fused: bool = False
+
+    def _use_fused(self):
+        from ..ops import kernels
+
+        return self.fused and kernels.ls_supported(self.x, self.y, None)
 
     def value_and_aux(self, w):
+        if self._use_fused():
+            from ..ops import kernels
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            f_x, gw, gb = kernels.fused_logistic_value_grad(
+                self.x, self.y, w[:-1], w[-1], interpret=interp
+            )
+            return f_x, jnp.concatenate([gw, gb[None]]).astype(w.dtype)
         logits = _mv(self.x, w[:-1], self.precision) + w[-1]
         # log(1 + exp(-z)) = softplus(-z), computed stably
         softplus_neg = jnp.logaddexp(0.0, -logits)
@@ -94,9 +126,11 @@ class LogisticLoss(SmoothOracle):
         probs = 1.0 / (1.0 + jnp.exp(-logits))
         return val, probs
 
-    def grad_from_aux(self, w, probs):
+    def grad_from_aux(self, w, aux):
+        if self._use_fused():
+            return aux
         n = self.y.shape[0]
-        diff = probs - self.y
+        diff = aux - self.y
         gw = _vm(diff, self.x, self.precision) / n
         gb = jnp.mean(diff)
         return jnp.concatenate([gw, gb[None]]).astype(w.dtype)

@@ -1,0 +1,233 @@
+"""Pallas TPU kernels for the solver hot loop.
+
+The dominant cost of every proximal-gradient iteration is the pair of
+matvecs inside the smooth oracle (reference hot loop, SURVEY §3.1):
+
+    res  = A @ x - b          # streams A        (forward / f-eval)
+    grad = A' @ res           # streams A again  (pullback)
+
+As two XLA ops this costs 2 passes of HBM traffic over A. But the second
+pass can reuse the row tile the first pass just loaded:
+
+    for each row tile i:                        # ONE pass over A
+        res_i   = A_i @ x - b_i                 # MXU, tile in VMEM
+        grad   += A_i' @ res_i                  # MXU, same tile
+        f      += 0.5 * ||res_i||^2
+
+``fused_ls_value_grad`` implements exactly this (a "fused normal-equations
+matvec"): full f32 accuracy, one HBM pass, ~2x the iteration throughput of
+the XLA two-pass at HBM-bound sizes. ``fused_logistic_value_grad`` is the
+same trick for the logistic oracle (elementwise sigmoid/softplus sits
+between the two products). Both have XLA fallbacks and are validated
+against them in tests (interpret mode on CPU).
+
+Grid iteration on TPU is sequential per core, so accumulating into an
+output block whose index_map is constant is safe (standard revisiting-
+output accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "fused_ls_value_grad",
+    "fused_logistic_value_grad",
+    "ls_value_grad_xla",
+    "logistic_value_grad_xla",
+    "pick_block_rows",
+]
+
+_LANE = 128
+_SUBLANE = 8
+_VMEM_TILE_BUDGET = 4 * 1024 * 1024  # per in-flight A tile (double buffered)
+
+
+def pick_block_rows(m: int, n: int, itemsize: int) -> int:
+    """Largest row-tile (multiple of 8, <= 1024) whose A-tile fits the VMEM
+    budget; must divide m."""
+    tm = max(_SUBLANE, min(1024, _VMEM_TILE_BUDGET // max(1, n * itemsize)))
+    tm = (tm // _SUBLANE) * _SUBLANE
+    while tm > _SUBLANE and m % tm:
+        tm -= _SUBLANE
+    return tm
+
+
+def _aligned(m, n):
+    return m % _SUBLANE == 0 and n % _LANE == 0
+
+
+# --------------------------------------------------------------------------
+# least squares: f = 0.5 ||A x - b||^2, grad = A'(A x - b)
+# --------------------------------------------------------------------------
+
+
+def _ls_kernel(a_ref, x_ref, b_ref, f_ref, grad_ref, *, acc_dtype):
+    i = pl.program_id(0)
+    res = jax.lax.dot_general(
+        a_ref[:], x_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    ) - b_ref[:]
+
+    @pl.when(i == 0)
+    def _():
+        f_ref[0, 0] = jnp.zeros((), acc_dtype)
+        grad_ref[:] = jnp.zeros_like(grad_ref)
+
+    f_ref[0, 0] += 0.5 * jnp.sum(res * res)
+    grad_ref[:] += jax.lax.dot_general(
+        a_ref[:], res, (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_ls_value_grad(a, b, x, interpret=False):
+    """(f, grad) of 0.5||Ax-b||^2 in one HBM pass over ``a``.
+
+    ``a``: (m, n) f32 or bf16 (m % 8 == 0, n % 128 == 0); ``b``: (m,);
+    ``x``: (n,) f32. Returns f32 (f, grad(n,)).
+    """
+    m, n = a.shape
+    acc = x.dtype
+    tm = pick_block_rows(m, n, a.dtype.itemsize)
+    x2 = x.reshape(n, 1)
+    b2 = b.reshape(m, 1).astype(acc)
+
+    f_out, grad_out = pl.pallas_call(
+        functools.partial(_ls_kernel, acc_dtype=acc),
+        grid=(m // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), acc),
+            jax.ShapeDtypeStruct((n, 1), acc),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * n, bytes_accessed=m * n * a.dtype.itemsize, transcendentals=0
+        ),
+    )(a, x2, b2)
+    return f_out[0, 0], grad_out[:, 0]
+
+
+def ls_value_grad_xla(a, b, x, precision="highest"):
+    """Two-pass XLA reference implementation (for validation/fallback)."""
+    acc = x.dtype
+    res = jax.lax.dot_general(
+        a, x, (((1,), (0,)), ((), ())), precision=precision,
+        preferred_element_type=acc,
+    ) - b.astype(acc)
+    grad = jax.lax.dot_general(
+        res, a, (((0,), (0,)), ((), ())), precision=precision,
+        preferred_element_type=acc,
+    )
+    return 0.5 * jnp.sum(res * res), grad
+
+
+def ls_supported(a, b, x):
+    return (
+        a.ndim == 2 and _aligned(*a.shape)
+        and a.shape[0] % pick_block_rows(a.shape[0], a.shape[1], a.dtype.itemsize) == 0
+    )
+
+
+# --------------------------------------------------------------------------
+# logistic: f = -mean((y-1) z - log(1+e^-z)), z = X w + w_b
+#           gw = X'(sigmoid(z) - y)/N, gb = mean(sigmoid(z) - y)
+# --------------------------------------------------------------------------
+
+
+def _logistic_kernel(xm_ref, w_ref, wb_ref, y_ref, f_ref, gw_ref, gb_ref, *, acc_dtype, n_rows):
+    i = pl.program_id(0)
+    logits = jax.lax.dot_general(
+        xm_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    ) + wb_ref[0, 0]
+    y = y_ref[:]
+    softplus_neg = jnp.logaddexp(jnp.zeros((), acc_dtype), -logits)
+    loss_tile = -jnp.sum((y - 1.0) * logits - softplus_neg)
+    probs = 1.0 / (1.0 + jnp.exp(-logits))
+    diff = probs - y
+
+    @pl.when(i == 0)
+    def _():
+        f_ref[0, 0] = jnp.zeros((), acc_dtype)
+        gb_ref[0, 0] = jnp.zeros((), acc_dtype)
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+
+    f_ref[0, 0] += loss_tile / n_rows
+    gb_ref[0, 0] += jnp.sum(diff) / n_rows
+    gw_ref[:] += jax.lax.dot_general(
+        xm_ref[:], diff, (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    ) / n_rows
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_logistic_value_grad(x_mat, y, w, w_bias, interpret=False):
+    """(f, grad_w(n,), grad_bias) of the mean logistic loss in one HBM pass."""
+    m, n = x_mat.shape
+    acc = w.dtype
+    tm = pick_block_rows(m, n, x_mat.dtype.itemsize)
+    w2 = w.reshape(n, 1)
+    y2 = y.reshape(m, 1).astype(acc)
+    wb2 = w_bias.reshape(1, 1).astype(acc)
+
+    f_out, gw_out, gb_out = pl.pallas_call(
+        functools.partial(_logistic_kernel, acc_dtype=acc, n_rows=float(m)),
+        grid=(m // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), acc),
+            jax.ShapeDtypeStruct((n, 1), acc),
+            jax.ShapeDtypeStruct((1, 1), acc),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * n, bytes_accessed=m * n * x_mat.dtype.itemsize,
+            transcendentals=2 * m,
+        ),
+    )(x_mat, w2, wb2, y2)
+    return f_out[0, 0], gw_out[:, 0], gb_out[0, 0]
+
+
+def logistic_value_grad_xla(x_mat, y, w, w_bias, precision="highest"):
+    acc = w.dtype
+    logits = jax.lax.dot_general(
+        x_mat, w, (((1,), (0,)), ((), ())), precision=precision,
+        preferred_element_type=acc,
+    ) + w_bias
+    y = y.astype(acc)
+    softplus_neg = jnp.logaddexp(0.0, -logits)
+    f = -jnp.mean((y - 1.0) * logits - softplus_neg)
+    probs = 1.0 / (1.0 + jnp.exp(-logits))
+    diff = probs - y
+    gw = jax.lax.dot_general(
+        diff, x_mat, (((0,), (0,)), ((), ())), precision=precision,
+        preferred_element_type=acc,
+    ) / y.shape[0]
+    gb = jnp.mean(diff)
+    return f, gw, gb

@@ -53,7 +53,8 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
     f, g, h, a_op = parts
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
-    t = jnp.asarray(t, dt)
+    t, big_theta, r, big_r, tol, eta0 = (
+        jnp.asarray(v, dt) for v in (t, big_theta, r, big_r, tol, eta0))
     delta1 = 1 + jnp.asarray(delta, dt)
 
     # warm-up (src/AdaProx.jl:491-499)

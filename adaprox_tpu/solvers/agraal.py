@@ -38,6 +38,7 @@ class _Carry(NamedTuple):
 def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history):
     f, g = parts
     dt = jnp.result_type(x1)
+    gamma_max, tol = jnp.asarray(gamma_max, dt), jnp.asarray(tol, dt)
 
     _, aux1 = f.value_and_aux(x1)
     grad_x = f.grad_from_aux(x1, aux1)

@@ -92,6 +92,8 @@ def _record(it, gamma, norm_res, objective, ck, done):
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "nesterov"))
 def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov):
     f, g = parts
+    dt0 = jnp.result_type(x0)
+    gamma0, xi, shrink, tol = (jnp.asarray(v, dt0) for v in (gamma0, xi, shrink, tol))
     f_x0, aux0 = f.value_and_aux(x0)
     grad0 = f.grad_from_aux(x0, aux0)
     counters = Counters.zeros().bump(f_evals=1, grad_f_evals=1)

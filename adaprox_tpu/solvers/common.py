@@ -77,6 +77,21 @@ def l2sq(v):
     return jnp.sum(v * v)
 
 
+def cast_floats(tree, dtype):
+    """Cast every floating leaf of a pytree to ``dtype``.
+
+    Solvers call this on rules/scalar parameters so the loop carry has one
+    consistent float dtype regardless of how the caller's python floats were
+    committed (e.g. f64 under jax_enable_x64 with f32 iterates)."""
+    import jax
+
+    def cast(v):
+        v = jnp.asarray(v)
+        return v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def run_loop(carry0, step, maxit, history):
     """Drive a solver iteration in one of two TPU execution modes.
 

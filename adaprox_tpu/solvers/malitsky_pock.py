@@ -46,7 +46,7 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history):
     f, g, h, a_op = parts
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
-    t = jnp.asarray(t, dt)
+    t, tol, sigma0 = (jnp.asarray(v, dt) for v in (t, tol, sigma0))
 
     a_x = a_op.matvec(x0)
     at_y = a_op.rmatvec(y0)

@@ -31,7 +31,7 @@ class _Carry(NamedTuple):
 def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_convex):
     f, g = parts
     dt = jnp.result_type(x0)
-    gamma = jnp.asarray(gamma, dt)
+    gamma, muf, mug, theta0, tol = (jnp.asarray(v, dt) for v in (gamma, muf, mug, theta0, tol))
     mu = muf + mug
     q = gamma * mu / (1 + gamma * mug)
 

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from ..ops import prox as prox_ops
 from ..solvers import rules as rules_mod
-from .common import Counters, Records, SolveResult, l2sq, run_loop
+from .common import Counters, Records, SolveResult, cast_floats, l2sq, run_loop
 
 __all__ = [
     "adaptive_primal_dual",
@@ -210,6 +210,9 @@ def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective):
 @functools.partial(jax.jit, static_argnames=("maxit", "history"))
 def _solve_pd(parts, rule, x0, y0, tol, maxit, history):
     f, g, h, a_op = parts
+    dt = jnp.result_type(x0)
+    rule = cast_floats(rule, dt)
+    tol = jnp.asarray(tol, dt)
     h_conj = prox_ops.conjugate(h) if h is not None else None
     carry0 = _init(f, g, a_op, rule, x0, y0)
     step = functools.partial(

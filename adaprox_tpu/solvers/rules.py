@@ -73,7 +73,7 @@ class FixedStepsize:
     t: jnp.ndarray = 1.0
 
     def init(self):
-        g = jnp.asarray(self.gamma, dtype=jnp.result_type(float))
+        g = jnp.asarray(self.gamma)
         return (g, g * self.t**2), ()
 
     def update(self, state, curv):
@@ -91,7 +91,7 @@ class MalitskyMishchenkoRule:
     t: jnp.ndarray = 1.0
 
     def init(self):
-        g = jnp.asarray(self.gamma, dtype=jnp.result_type(float))
+        g = jnp.asarray(self.gamma)
         return (g, g * self.t**2), (g, jnp.asarray(jnp.inf, dtype=g.dtype))
 
     def update(self, state, curv):
@@ -144,7 +144,7 @@ class AdaPGMRule:
         return cls(gamma=g, t=t, norm_a=norm_a, delta=delta, theta=theta)
 
     def init(self):
-        g = jnp.asarray(self.gamma, dtype=jnp.result_type(float))
+        g = jnp.asarray(self.gamma)
         return (g, g * self.t**2), (g, g)
 
     def update(self, state, curv):
@@ -186,7 +186,7 @@ class AdaPGMPlusRule:
     r: jnp.ndarray = 0.5
 
     def init(self):
-        g = jnp.asarray(self.gamma, dtype=jnp.result_type(float))
+        g = jnp.asarray(self.gamma)
         return (g, g), (g, g)
 
     def update(self, state, curv):

@@ -1,0 +1,96 @@
+"""Pallas fused-oracle kernels vs their XLA two-pass references (interpret
+mode on CPU; the same kernels compile natively on TPU — see bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import adaprox_tpu as ap
+from adaprox_tpu.ops import kernels
+from adaprox_tpu.models.objectives import LeastSquares, LogisticLoss
+
+
+@pytest.mark.parametrize("m,n", [(64, 128), (128, 256), (8, 128)])
+def test_fused_ls_matches_xla(rng, m, n):
+    a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    f_ref, g_ref = kernels.ls_value_grad_xla(a, b, x)
+    f_k, g_k = kernels.fused_ls_value_grad(a, b, x, interpret=True)
+    np.testing.assert_allclose(float(f_k), float(f_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ls_bf16_storage(rng):
+    m, n = 64, 128
+    a = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    f_k, g_k = kernels.fused_ls_value_grad(a, b, x, interpret=True)
+    f_ref, g_ref = kernels.ls_value_grad_xla(a.astype(jnp.float32), b, x)
+    # bf16 matrix storage: agreement to bf16 resolution
+    np.testing.assert_allclose(float(f_k), float(f_ref), rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref), rtol=5e-2, atol=0.3)
+    assert g_k.dtype == jnp.float32  # accumulation stays f32
+
+
+def test_fused_logistic_matches_xla(rng):
+    m, n = 64, 128
+    x_mat = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    y = jnp.asarray((rng.random(m) > 0.5).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(n) * 0.1, jnp.float32)
+    wb = jnp.asarray(0.3, jnp.float32)
+    f_ref, gw_ref, gb_ref = kernels.logistic_value_grad_xla(x_mat, y, w, wb)
+    f_k, gw_k, gb_k = kernels.fused_logistic_value_grad(x_mat, y, w, wb, interpret=True)
+    np.testing.assert_allclose(float(f_k), float(f_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_k), np.asarray(gw_ref), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(gb_k), float(gb_ref), rtol=1e-4)
+
+
+def test_fused_objective_solves_lasso(rng):
+    """AdaPGM with the fused oracle reaches the same solution as unfused."""
+    m, n = 64, 128
+    a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    g = ap.L1Norm(lam=jnp.float32(0.5))
+    kw = dict(g=g, rule=ap.AdaPGMRule(gamma=jnp.float32(1e-3)), tol=1e-5, maxit=500)
+    r_plain = ap.adaptive_proxgrad(jnp.zeros(n, jnp.float32),
+                                   f=LeastSquares(a=a, b=b), **kw)
+    r_fused = ap.adaptive_proxgrad(jnp.zeros(n, jnp.float32),
+                                   f=LeastSquares(a=a, b=b, fused=True), **kw)
+    f_eval = LeastSquares(a=a, b=b)
+    obj = lambda r: float(f_eval.value(r.x) + g(r.x))
+    assert obj(r_fused) == pytest.approx(obj(r_plain), rel=1e-4, abs=1e-5)
+
+
+def test_fused_objective_solves_logreg(rng):
+    m, n = 64, 128
+    x_mat = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    y = jnp.asarray((rng.random(m) > 0.5).astype(np.float32))
+    g = ap.L1Norm(lam=jnp.float32(0.01))
+    kw = dict(g=g, rule=ap.AdaPGMRule(gamma=jnp.float32(1.0)), tol=1e-6, maxit=300)
+    r_plain = ap.adaptive_proxgrad(jnp.zeros(n + 1, jnp.float32),
+                                   f=LogisticLoss(x=x_mat, y=y), **kw)
+    r_fused = ap.adaptive_proxgrad(jnp.zeros(n + 1, jnp.float32),
+                                   f=LogisticLoss(x=x_mat, y=y, fused=True), **kw)
+    np.testing.assert_allclose(np.asarray(r_fused.x), np.asarray(r_plain.x),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_unaligned_falls_back(rng):
+    """Non-tile-aligned shapes silently use the XLA path."""
+    a = jnp.asarray(rng.standard_normal((30, 50)), jnp.float32)  # unaligned
+    b = jnp.asarray(rng.standard_normal(30), jnp.float32)
+    f = LeastSquares(a=a, b=b, fused=True)
+    assert not f._use_fused()
+    v, g = f.value_and_grad(jnp.ones(50, jnp.float32))
+    f_ref, g_ref = kernels.ls_value_grad_xla(a, b, jnp.ones(50, jnp.float32))
+    np.testing.assert_allclose(float(v), float(f_ref), rtol=1e-6)
+
+
+def test_pick_block_rows():
+    assert kernels.pick_block_rows(4096, 4096, 4) % 8 == 0
+    assert 4096 % kernels.pick_block_rows(4096, 4096, 4) == 0
+    tm = kernels.pick_block_rows(16384, 16384, 4)
+    assert tm * 16384 * 4 <= kernels._VMEM_TILE_BUDGET
