@@ -1,0 +1,110 @@
+"""Native (C++) components, loaded via ctypes.
+
+Currently: the parallel LIBSVM parser (libsvm_parser.cpp). The shared object
+is built lazily with g++ on first use and cached next to the source; every
+native entry point has a pure-Python fallback so the framework works without
+a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "libsvm_parser.cpp")
+_SO = os.path.join(_HERE, "_libsvm_parser.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> str | None:
+    """Compile the shared object if stale. Returns an error string or None."""
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return None
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+        _SRC, "-o", _SO + ".tmp",
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return f"g++ unavailable: {e}"
+    if proc.returncode != 0:
+        return f"g++ failed: {proc.stderr[:500]}"
+    os.replace(_SO + ".tmp", _SO)
+    return None
+
+
+def get_lib():
+    """The loaded ctypes library, or None if unavailable (error recorded)."""
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        err = _build()
+        if err is not None:
+            _build_error = err
+            return None
+        lib = ctypes.CDLL(_SO)
+        lib.adaprox_libsvm_dims.restype = ctypes.c_int
+        lib.adaprox_libsvm_dims.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.adaprox_libsvm_parse_dense.restype = ctypes.c_int
+        lib.adaprox_libsvm_parse_dense.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def build_error() -> str | None:
+    return _build_error
+
+
+def parse_libsvm_dense(path, pad_to: int | None = None):
+    """Parse with the native parser. Returns (X, y, rows, cols) with X shaped
+    (rows_padded, cols_padded) float64, or None if the native lib is
+    unavailable (caller falls back to the Python parser)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    path_b = os.fspath(path).encode()
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    if lib.adaprox_libsvm_dims(path_b, ctypes.byref(rows), ctypes.byref(cols),
+                               ctypes.byref(nnz)) != 0:
+        return None
+    r, c = rows.value, cols.value
+    if pad_to:
+        rp = -(-r // pad_to) * pad_to
+        cp = -(-c // pad_to) * pad_to
+    else:
+        rp, cp = r, c
+    x = np.zeros((rp, cp), dtype=np.float64)
+    y = np.zeros(rp, dtype=np.float64)
+    rc = lib.adaprox_libsvm_parse_dense(
+        path_b,
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        r,
+        cp,
+    )
+    if rc != 0:
+        return None
+    return x, y, r, c

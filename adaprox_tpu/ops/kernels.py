@@ -116,6 +116,9 @@ def fused_ls_value_grad(a, b, x, interpret=False):
             jax.ShapeDtypeStruct((n, 1), acc),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * m * n, bytes_accessed=m * n * a.dtype.itemsize, transcendentals=0
         ),

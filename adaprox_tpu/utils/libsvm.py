@@ -26,40 +26,67 @@ def load_libsvm_dataset(
     *,
     pad_to: int | None = None,
     n_features: int | None = None,
+    engine: str = "auto",
 ):
     """Returns ``(X, y)`` as numpy arrays. ``labels=(l0, l1)`` remaps a binary
     label set to ``(l0, l1)`` by value order, erroring if not binary.
     ``pad_to`` zero-pads both dims up to a multiple (TPU tile alignment).
+    ``engine``: "native" (parallel C++ parser), "python", or "auto" (native
+    with python fallback).
     """
     if labels is not None:
         if len(labels) != 2 or labels[0] == labels[1]:
             raise ValueError("labels must be two distinct values")
+    if engine not in ("auto", "native", "python"):
+        raise ValueError(f"unknown engine {engine!r}")
 
-    ys = []
-    rows, cols, vals = [], [], []
-    with open(file_path) as fh:
-        for i, line in enumerate(fh):
-            tokens = line.strip().split()
-            if not tokens:
-                continue
-            ys.append(dtype(tokens[0]))
-            for tok in tokens[1:]:
-                c, v = tok.split(":")
-                rows.append(i)
-                cols.append(int(c) - 1)  # LIBSVM is 1-indexed
-                vals.append(dtype(v))
+    parsed = None
+    if engine in ("auto", "native"):
+        from .. import native
 
-    m = len(ys)
-    n = (max(cols) + 1) if cols else 0
-    if n_features is not None:
-        n = max(n, n_features)
-    if pad_to is not None:
-        m_pad, n_pad = round_up(m, pad_to), round_up(n, pad_to)
+        parsed = native.parse_libsvm_dense(file_path)
+        if parsed is None and engine == "native":
+            raise RuntimeError(
+                f"native libsvm parser unavailable: {native.build_error()}"
+            )
+
+    if parsed is not None:
+        x64, y64, m, n = parsed
+        if n_features is not None:
+            n = max(n, n_features)
+        if pad_to is not None:
+            m_pad, n_pad = round_up(m, pad_to), round_up(n, pad_to)
+        else:
+            m_pad, n_pad = m, n
+        x = np.zeros((m_pad, n_pad), dtype=dtype)
+        x[: x64.shape[0], : min(n_pad, x64.shape[1])] = x64[:, : min(n_pad, x64.shape[1])]
+        y = y64[:m].astype(dtype)
     else:
-        m_pad, n_pad = m, n
-    x = np.zeros((m_pad, n_pad), dtype=dtype)
-    x[np.asarray(rows), np.asarray(cols)] = np.asarray(vals, dtype=dtype)
-    y = np.asarray(ys, dtype=dtype)
+        ys = []
+        rows, cols, vals = [], [], []
+        with open(file_path) as fh:
+            for i, line in enumerate(fh):
+                tokens = line.strip().split()
+                if not tokens:
+                    continue
+                ys.append(dtype(tokens[0]))
+                for tok in tokens[1:]:
+                    c, v = tok.split(":")
+                    rows.append(len(ys) - 1)
+                    cols.append(int(c) - 1)  # LIBSVM is 1-indexed
+                    vals.append(dtype(v))
+
+        m = len(ys)
+        n = (max(cols) + 1) if cols else 0
+        if n_features is not None:
+            n = max(n, n_features)
+        if pad_to is not None:
+            m_pad, n_pad = round_up(m, pad_to), round_up(n, pad_to)
+        else:
+            m_pad, n_pad = m, n
+        x = np.zeros((m_pad, n_pad), dtype=dtype)
+        x[np.asarray(rows), np.asarray(cols)] = np.asarray(vals, dtype=dtype)
+        y = np.asarray(ys, dtype=dtype)
 
     if labels is not None:
         uniq = np.unique(y)
