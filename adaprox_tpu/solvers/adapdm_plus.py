@@ -99,9 +99,11 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
         dg = grad_x - c.grad_prev
         dx = c.x - c.x_prev
         dgdx = jnp.vdot(dg, dx).real
-        curv_c = nan_to_zero(l2sq(dg) / dgdx)
-        lip = nan_to_zero(dgdx / l2sq(dx))
-        big_delta = c.gamma * lip * (c.gamma * curv_c - 1)
+        # cancellation-free form of gamma*L*(gamma*C - 1) (src/AdaProx.jl:
+        # 507-509); see rules.AdaPGMRule.update for why
+        big_delta = nan_to_zero(
+            c.gamma * (c.gamma * l2sq(dg) - dgdx) / l2sq(dx)
+        )
         xi_bar = t**2 * c.gamma**2 * c.eta**2 * delta1**2
         m4xim1 = 1 - 4 * xi_bar
 

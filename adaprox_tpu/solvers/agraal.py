@@ -70,8 +70,10 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history):
     )
 
     def step(c):
-        # src/AdaProx.jl:175-189
+        # src/AdaProx.jl:175-189; identical iterates give C = 0/0 = NaN —
+        # treat as +inf so the min keeps the growth bound (f32 robustness)
         curv = l2sq(c.x - c.x_prev) / l2sq(c.grad_x - c.grad_x_prev)
+        curv = jnp.where(jnp.isnan(curv), jnp.inf, curv)
         gamma = jnp.minimum(
             jnp.minimum(rho * c.gamma, phi * c.theta * curv / (4 * c.gamma)),
             gamma_max,

@@ -97,7 +97,12 @@ class MalitskyMishchenkoRule:
     def update(self, state, curv):
         gamma_prev, rho = state
         lip = jnp.sqrt(curv.ndg2) / jnp.sqrt(curv.ndx2)
-        gamma = jnp.minimum(jnp.sqrt(1 + rho) * gamma_prev, 1 / (2 * lip))
+        growth = jnp.sqrt(1 + rho) * gamma_prev
+        # identical iterates give L = 0/0 = NaN; fall back to the growth
+        # bound instead of poisoning gamma (latent in the f64 reference)
+        gamma = jnp.where(
+            jnp.isnan(lip), growth, jnp.minimum(growth, 1 / (2 * lip))
+        )
         return (gamma, gamma * self.t**2), (gamma, gamma / gamma_prev)
 
 
@@ -150,9 +155,13 @@ class AdaPGMRule:
     def update(self, state, curv):
         gamma1, gamma0 = state
         xi = self.t**2 * gamma1**2 * self.norm_a**2
-        curv_c = nan_to_zero(curv.ndg2 / curv.dgdx)
-        lip = nan_to_zero(curv.dgdx / curv.ndx2)
-        dd = gamma1 * lip * (gamma1 * curv_c - 1)
+        # D = gamma1 * L * (gamma1 * C - 1) with C = ndg2/dgdx, L = dgdx/ndx2
+        # (src/AdaProx.jl:260-262). The dgdx factors cancel, so compute the
+        # cancellation-free form directly: the reference's factored form
+        # produces 0 * inf = NaN when dgdx underflows to exactly 0 near
+        # convergence (triggered in f32; latent in the f64 reference). The
+        # nan guard then covers only the genuine 0/0 case ndx2 == 0.
+        dd = nan_to_zero(gamma1 * (gamma1 * curv.ndg2 - curv.dgdx) / curv.ndx2)
         one_p_delta = 1 + self.delta
         m4xim1 = 1 - 4 * xi * one_p_delta**2
         # D + sqrt(D^2 + xi*m4xim1) is mathematically >= 0 but can round to a
@@ -191,9 +200,12 @@ class AdaPGMPlusRule:
 
     def update(self, state, curv):
         gamma1, gamma0 = state
-        curv_c = nan_to_zero(curv.ndg2 / curv.dgdx)
-        lip = nan_to_zero(curv.dgdx / curv.ndx2)
-        dd = nan_to_zero(1 - 2 * self.r + gamma1 * lip * (gamma1 * curv_c + 2 * (self.r - 1)))
+        # cancellation-free form of 1 - 2r + gamma1*L*(gamma1*C + 2(r-1))
+        # (src/AdaProx.jl:300-302); see AdaPGMRule.update for why
+        dd = nan_to_zero(
+            1 - 2 * self.r
+            + gamma1 * (gamma1 * curv.ndg2 + 2 * (self.r - 1) * curv.dgdx) / curv.ndx2
+        )
         gamma = gamma1 * jnp.minimum(
             jnp.sqrt(1 / (self.r * (self.nu + self.xi)) + gamma1 / gamma0),
             jnp.sqrt((self.nu * (1 + self.xi) - 1) / (self.nu * (self.nu + self.xi)))

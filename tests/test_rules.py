@@ -74,8 +74,8 @@ def test_adapgm_golden(rng, t, norm_a):
         curv = random_curv(rng)
         (g, s), st = rule.update(st, curv)
         eg, es, state_np = _adapgm_expected(state_np, curv, t, norm_a, 0.0, 1.2)
-        assert float(g) == pytest.approx(eg, rel=1e-12)
-        assert float(s) == pytest.approx(es, rel=1e-12)
+        assert float(g) == pytest.approx(eg, rel=1e-10)
+        assert float(s) == pytest.approx(es, rel=1e-10)
 
 
 def test_adapgm_zero_diff_is_finite():
@@ -128,5 +128,40 @@ def test_adapgm_plus_golden(rng):
                 np.sqrt(1 / (r_par * (nu + xi)) + g1 / g0),
                 np.sqrt((nu * (1 + xi) - 1) / (nu * (nu + xi))) / np.sqrt(max(d, 0)),
             )
-        assert float(g) == pytest.approx(expect, rel=1e-12)
+        assert float(g) == pytest.approx(expect, rel=1e-10)
         g0, g1 = g1, expect
+
+
+def test_adapgm_dgdx_underflow_no_nan():
+    """Near convergence dgdx can underflow to exactly 0 while ndg2 > 0 (f32);
+    the factored reference form would give D = 0*inf = NaN — the
+    cancellation-free form must stay finite."""
+    rule = ap.AdaPGMRule(gamma=0.1, t=1.0, norm_a=0.0)
+    (_, _), st = rule.init()
+    curv = Curvature(
+        ndg2=jnp.asarray(1e-12), dgdx=jnp.asarray(0.0), ndx2=jnp.asarray(1e-10)
+    )
+    (g, _), _ = rule.update(st, curv)
+    assert np.isfinite(float(g)) and float(g) > 0
+
+
+def test_f32_adapgm_full_convergence():
+    """f32 end-to-end: AdaPGM on the known-optimum lasso must reach tol
+    without NaN (exercises the near-convergence degenerate curvatures)."""
+    import adaprox_tpu as ap2
+    from adaprox_tpu.models.objectives import LeastSquares
+    from adaprox_tpu.models.synthetic import random_lasso
+
+    prob = random_lasso(m=256, n=512, pfactor=10, seed=0)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    f = LeastSquares(a=jnp.asarray(prob.a, jnp.float32), b=jnp.asarray(prob.b, jnp.float32))
+    g = ap2.L1Norm(lam=jnp.float32(1.0))
+    res = ap2.adaptive_proxgrad(
+        jnp.zeros(512, jnp.float32), f=f, g=g,
+        rule=ap2.AdaPGMRule(gamma=jnp.float32(1 / lf)), tol=1e-4, maxit=8000,
+        history=True,
+    )
+    nr = np.asarray(res.records.norm_res)[: int(res.numit)]
+    assert np.isfinite(nr).all(), "residual history contains NaN/inf"
+    gap = float(f.value(res.x) + g(res.x)) - prob.optimum
+    assert abs(gap) < 1e-2
