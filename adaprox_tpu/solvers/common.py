@@ -124,5 +124,12 @@ def run_loop(carry0, step, maxit, history):
     def cond(c):
         return jnp.logical_and(c.it < maxit, jnp.logical_not(c.done))
 
-    final = jax.lax.while_loop(cond, lambda c: step(c)[0], carry0)
+    def body(c):
+        new = step(c)[0]
+        # freeze once done: a no-op for a single solve (the loop exits on
+        # done), but REQUIRED under vmap, where the batched loop keeps
+        # stepping every element until all are done
+        return jax.tree_util.tree_map(lambda a, b: jnp.where(c.done, a, b), c, new)
+
+    final = jax.lax.while_loop(cond, body, carry0)
     return final, None

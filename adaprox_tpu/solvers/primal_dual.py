@@ -208,13 +208,22 @@ def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective):
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history"))
-def _solve_pd(parts, rule, x0, y0, tol, maxit, history):
+def _solve_pd(parts, rule, x0, y0, tol, maxit, history, resume_state=None):
     f, g, h, a_op = parts
     dt = jnp.result_type(x0)
     rule = cast_floats(rule, dt)
     tol = jnp.asarray(tol, dt)
     h_conj = prox_ops.conjugate(h) if h is not None else None
-    carry0 = _init(f, g, a_op, rule, x0, y0)
+    if resume_state is not None:
+        # continue a checkpointed solve: reset the latch so the loop runs
+        # again from the saved carry (counters/rule state/curvature memory
+        # all preserved)
+        carry0 = resume_state._replace(
+            done=jnp.zeros((), jnp.bool_),
+            norm_res=jnp.asarray(jnp.inf, dt),
+        )
+    else:
+        carry0 = _init(f, g, a_op, rule, x0, y0)
     step = functools.partial(
         _step,
         f=f,
@@ -241,6 +250,7 @@ def _solve_pd(parts, rule, x0, y0, tol, maxit, history):
         norm_res=final.norm_res,
         counters=counters,
         records=recs,
+        extra=final,  # full loop carry: checkpoint with utils.checkpoint
     )
 
 
@@ -257,12 +267,17 @@ def adaptive_primal_dual(
     maxit=10_000,
     name="AdaPDM",
     history=False,
+    resume_state=None,
 ):
     """Adaptive primal-dual (AdaPDM) for min_x f(x) + g(x) + h(Ax).
 
     Reference: ``adaptive_primal_dual`` at src/AdaProx.jl:312-364. With
     ``A=None`` this is exactly the proximal-gradient family (dual residual is
     identically zero), with all dual computation removed at trace time.
+
+    ``resume_state``: a previous result's ``.extra`` carry (possibly loaded
+    via utils.checkpoint) — continues that solve; ``maxit`` is the cumulative
+    iteration cap.
     """
     if A is not None and y0 is None:
         raise ValueError("y0 is required when A is given")
@@ -271,15 +286,20 @@ def adaptive_primal_dual(
         h = None
     x0 = jnp.asarray(x0)
     tol = jnp.asarray(tol, dtype=jnp.result_type(x0))
-    res = _solve_pd((f, g, h, A), rule, x0, y0, tol, int(maxit), bool(history))
+    res = _solve_pd(
+        (f, g, h, A), rule, x0, y0, tol, int(maxit), bool(history),
+        resume_state=resume_state,
+    )
     return res.with_name(name)
 
 
-def adaptive_proxgrad(x0, *, f, g, rule, tol=1e-5, maxit=100_000, name="AdaPGM", history=False):
+def adaptive_proxgrad(x0, *, f, g, rule, tol=1e-5, maxit=100_000, name="AdaPGM",
+                      history=False, resume_state=None):
     """Adaptive proximal gradient: the PD engine with h=Zero, A=0
     (reference src/AdaProx.jl:418-421)."""
     return adaptive_primal_dual(
-        x0, f=f, g=g, rule=rule, tol=tol, maxit=maxit, name=name, history=history
+        x0, f=f, g=g, rule=rule, tol=tol, maxit=maxit, name=name,
+        history=history, resume_state=resume_state,
     )
 
 

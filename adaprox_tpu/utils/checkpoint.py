@@ -1,0 +1,43 @@
+"""Checkpoint / resume (SURVEY §5: absent in the reference, trivial here —
+solver state is a small pytree).
+
+``save_pytree`` / ``load_pytree`` serialize any pytree of arrays to .npz
+(host-side; device arrays are fetched). The PD engine exposes its loop carry
+via ``return_state=True`` and accepts it back via ``resume_state=`` so a
+solve can be checkpointed mid-run and continued bit-exactly — counters,
+adaptive rule state, and the previous-iterate curvature memory all ride
+along.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+__all__ = ["save_pytree", "load_pytree"]
+
+_NONE = "__none__"
+
+
+def save_pytree(path, tree):
+    """Serialize a pytree of arrays/scalars to an .npz file."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(str(treedef).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_pytree(path, like):
+    """Load arrays saved by ``save_pytree`` into the structure of ``like``
+    (the treedef string is stored for sanity only — the target structure
+    comes from ``like``, which must match leaf-for-leaf)."""
+    data = np.load(path)
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    n = len([k for k in data.files if k.startswith("leaf_")])
+    if n != len(leaves_like):
+        raise ValueError(
+            f"checkpoint has {n} leaves but target structure has {len(leaves_like)}"
+        )
+    leaves = [data[f"leaf_{i}"] for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,120 @@
+"""Checkpoint/resume, batched vmap solves, and profiling utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import adaprox_tpu as ap
+from adaprox_tpu.models.objectives import LeastSquares
+from adaprox_tpu.models.synthetic import random_lasso
+from adaprox_tpu.solvers.batch import batch_solve, regularization_path
+from adaprox_tpu.utils import checkpoint as ckpt
+from adaprox_tpu.utils import profiling
+
+
+@pytest.fixture(scope="module")
+def prob():
+    p = random_lasso(m=64, n=128, pfactor=8, seed=2)
+    f = LeastSquares(a=jnp.asarray(p.a), b=jnp.asarray(p.b))
+    g = ap.L1Norm(lam=1.0)
+    lf = float(np.linalg.norm(p.a, 2) ** 2)
+    return f, g, lf, p
+
+
+def test_resume_matches_straight_run(prob, tmp_path):
+    """200 iters + resume(400) must equal a straight 400-iter run exactly:
+    counters, rule state, and curvature memory survive the checkpoint."""
+    f, g, lf, p = prob
+    rule = ap.AdaPGMRule(gamma=1 / lf)
+    kw = dict(f=f, g=g, rule=rule, tol=1e-12)
+    x0 = jnp.zeros(128)
+
+    straight = ap.adaptive_proxgrad(x0, maxit=400, **kw)
+
+    part1 = ap.adaptive_proxgrad(x0, maxit=200, **kw)
+    path = tmp_path / "state.npz"
+    ckpt.save_pytree(path, part1.extra)
+    state = ckpt.load_pytree(path, like=part1.extra)
+    part2 = ap.adaptive_proxgrad(x0, maxit=400, resume_state=state, **kw)
+
+    assert int(part2.numit) == int(straight.numit) == 400
+    np.testing.assert_array_equal(np.asarray(part2.x), np.asarray(straight.x))
+    for k in straight.counters._fields:
+        assert int(getattr(part2.counters, k)) == int(getattr(straight.counters, k)), k
+
+
+def test_resume_primal_dual(prob, tmp_path):
+    f, g, lf, p = prob
+    m, n = p.a.shape
+    h = ap.Translate(inner=ap.L2Norm(lam=1.0), b=-jnp.asarray(p.b))
+    a_op = ap.DenseOperator(a=jnp.asarray(p.a))
+    kw = dict(f=ap.ZeroSmooth(), g=g, h=h, A=a_op,
+              rule=ap.AdaPGMRule.make(t=1.0, norm_a=float(np.linalg.norm(p.a))),
+              tol=1e-12)
+    straight = ap.adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m), maxit=100, **kw)
+    part1 = ap.adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m), maxit=40, **kw)
+    part2 = ap.adaptive_primal_dual(
+        jnp.zeros(n), jnp.zeros(m), maxit=100, resume_state=part1.extra, **kw)
+    np.testing.assert_array_equal(np.asarray(part2.x), np.asarray(straight.x))
+    np.testing.assert_array_equal(np.asarray(part2.y), np.asarray(straight.y))
+
+
+def test_regularization_path(prob):
+    f, g, lf, p = prob
+    lams = jnp.asarray([0.1, 0.5, 1.0, 2.0])
+    batched = regularization_path(
+        jnp.zeros(128), f=f, lams=lams, gamma=1 / lf, tol=1e-8, maxit=800,
+    )
+    assert batched.x.shape == (4, 128)
+    # sparsity increases with lam; lam=2 > max|A'b| entries ... just check order
+    nnz = [int((jnp.abs(batched.x[i]) > 1e-10).sum()) for i in range(4)]
+    assert nnz[0] >= nnz[-1]
+    # each slice equals an unbatched solve
+    for i in (0, 3):
+        single = ap.adaptive_proxgrad(
+            jnp.zeros(128), f=f, g=ap.L1Norm(lam=lams[i]),
+            rule=ap.AdaPGMRule(gamma=1 / lf), tol=1e-8, maxit=800,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.x[i]), np.asarray(single.x), rtol=1e-8, atol=1e-10
+        )
+        assert int(batched.numit[i]) == int(single.numit)
+
+
+def test_batched_while_mode_freezes_converged(prob):
+    """In a vmapped while-loop solve, early-converging elements must not be
+    stepped past their convergence point (counters/numit frozen)."""
+    f, g, lf, p = prob
+
+    def solve(gamma):
+        return ap.adaptive_proxgrad(
+            jnp.zeros(128), f=f, g=g, rule=ap.AdaPGMRule(gamma=gamma),
+            tol=1e-6, maxit=4000,
+        )
+
+    gammas = jnp.asarray([1 / lf, 0.1 / lf])  # different convergence speeds
+    batched = batch_solve(solve, gammas)
+    for i in range(2):
+        single = solve(gammas[i])
+        assert int(batched.numit[i]) == int(single.numit)
+        # batched matvecs reassociate reductions -> float-level trajectory drift
+        np.testing.assert_allclose(
+            np.asarray(batched.x[i]), np.asarray(single.x), rtol=1e-6, atol=1e-8
+        )
+
+
+def test_profiling_utils(prob):
+    f, g, lf, p = prob
+
+    def run():
+        return ap.adaptive_proxgrad(
+            jnp.zeros(128), f=f, g=g, rule=ap.AdaPGMRule(gamma=1 / lf),
+            tol=0.0, maxit=50,
+        ).norm_res
+
+    secs, out = profiling.timed(run, reps=2)
+    assert secs > 0 and np.isfinite(float(out))
+    rep = profiling.throughput_report(secs, 50, 2 * 64 * 128 * 8)
+    assert rep["iters_per_sec"] > 0
+    assert 0 <= rep["frac_roofline"]
