@@ -1,0 +1,67 @@
+"""Sharded fused oracle: the one-HBM-pass Pallas kernel under shard_map.
+
+``pallas_call`` has no SPMD partitioning rule, so using the fused oracle on
+a mesh-sharded matrix must go through ``shard_map``: every device runs the
+fused kernel on its local row block and the (f, grad) partials are psum-ed
+over the rows axis — the same two collectives GSPMD inserts for the XLA
+two-pass, but with the single-pass kernel doing the local work.
+
+This composes the framework's two performance layers: fused kernels per
+chip, psum collectives across chips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .._pytree import pytree_dataclass
+from ..ops.oracles import SmoothOracle
+from .mesh import COLS, ROWS
+
+__all__ = ["RowShardedFusedLS", "row_sharded_fused_ls"]
+
+
+@pytree_dataclass(meta=("mesh",))
+class RowShardedFusedLS(SmoothOracle):
+    """0.5||Ax-b||^2 with row-sharded A/b and the fused one-pass kernel
+    running per shard. ``x`` is replicated. See ops.kernels."""
+
+    a: jnp.ndarray
+    b: jnp.ndarray
+    mesh: object
+
+    def value_and_aux(self, x):
+        from ..ops import kernels
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+
+        def local(a_blk, b_blk, x_rep):
+            f_part, grad_part = kernels.fused_ls_value_grad(
+                a_blk, b_blk, x_rep, interpret=interp
+            )
+            f_tot = jax.lax.psum(f_part, ROWS)
+            grad_tot = jax.lax.psum(grad_part, ROWS)
+            return f_tot, grad_tot
+
+        f_x, grad = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(ROWS, None), P(ROWS), P()),
+            out_specs=(P(), P()),
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
+        )(self.a, self.b, x)
+        return f_x, grad
+
+    def grad_from_aux(self, x, aux):
+        del x
+        return aux
+
+
+def row_sharded_fused_ls(a, b, mesh):
+    """Place (a, b) row-sharded on ``mesh`` and return the fused oracle."""
+    a = jax.device_put(a, NamedSharding(mesh, P(ROWS, None)))
+    b = jax.device_put(b, NamedSharding(mesh, P(ROWS)))
+    return RowShardedFusedLS(a=a, b=b, mesh=mesh)

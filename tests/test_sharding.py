@@ -130,3 +130,35 @@ def test_logistic_sharded_matches_single():
     # allow a few iterations of drift in the stopping time near tol
     assert abs(int(res.numit) - int(ref.numit)) <= 10
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), rtol=1e-5, atol=1e-7)
+
+
+def test_row_sharded_fused_oracle(problem):
+    """shard_map + fused Pallas kernel + psum partials: the sharded fused
+    oracle must match the XLA reference and drive a solve."""
+    from adaprox_tpu.ops import kernels
+    from adaprox_tpu.parallel.fused import row_sharded_fused_ls
+
+    a = jnp.asarray(problem.a, jnp.float32)
+    b = jnp.asarray(problem.b, jnp.float32)
+    x = jnp.asarray(np.linspace(-1, 1, a.shape[1]), jnp.float32)
+    mesh = make_mesh((8, 1))
+    f = row_sharded_fused_ls(a, b, mesh)
+    v, g = f.value_and_grad(x)
+    vr, gr = kernels.ls_value_grad_xla(a, b, x)
+    np.testing.assert_allclose(float(v), float(vr), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(gr),
+        rtol=1e-4, atol=1e-4 * float(jnp.linalg.norm(gr)),
+    )
+
+    res = ap.adaptive_proxgrad(
+        jnp.zeros(a.shape[1], jnp.float32), f=f, g=ap.L1Norm(lam=jnp.float32(1.0)),
+        rule=ap.AdaPGMRule(gamma=jnp.float32(1e-3)), tol=1e-4, maxit=2000,
+    )
+    ref = ap.adaptive_proxgrad(
+        jnp.zeros(a.shape[1], jnp.float32),
+        f=__import__("adaprox_tpu.models.objectives", fromlist=["LeastSquares"]).LeastSquares(a=a, b=b),
+        g=ap.L1Norm(lam=jnp.float32(1.0)),
+        rule=ap.AdaPGMRule(gamma=jnp.float32(1e-3)), tol=1e-4, maxit=2000,
+    )
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), rtol=1e-3, atol=1e-4)
