@@ -36,7 +36,7 @@ from .ops.prox import (
     conjugate,
 )
 from .ops.oracles import SmoothOracle, FromFunction, ZeroSmooth, value_and_grad
-from .ops.linops import DenseOperator, ScaledIdentity, opnorm2
+from .ops.linops import DenseOperator, SparseOperator, ScaledIdentity, opnorm2
 from .solvers.rules import (
     Curvature,
     FixedStepsize,
@@ -67,7 +67,7 @@ __all__ = [
     "Zero", "L1Norm", "L2Norm", "SqrL2Norm", "IndBox", "IndBall2", "IndZero",
     "Translate", "conjugate",
     "SmoothOracle", "FromFunction", "ZeroSmooth", "value_and_grad",
-    "DenseOperator", "ScaledIdentity", "opnorm2",
+    "DenseOperator", "SparseOperator", "ScaledIdentity", "opnorm2",
     # rules
     "Curvature", "FixedStepsize", "MalitskyMishchenkoRule",
     "AdaPGMRule", "AdaPGMPlusRule", "OurRule", "OurRulePlus",

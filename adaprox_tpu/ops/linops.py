@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .._pytree import pytree_dataclass
 
-__all__ = ["DenseOperator", "ScaledIdentity", "opnorm2", "frobenius_norm"]
+__all__ = ["DenseOperator", "SparseOperator", "ScaledIdentity", "opnorm2", "frobenius_norm"]
 
 
 @pytree_dataclass(meta=("precision",))
@@ -62,6 +62,42 @@ class DenseOperator:
 
     def opnorm(self, iters: int = 100, key=None):
         return opnorm2(self, iters=iters, key=key)
+
+
+@pytree_dataclass
+class SparseOperator:
+    """A BCOO sparse matrix as a linear operator.
+
+    The reference stores LIBSVM data as SparseMatrixCSC (experiments/
+    libsvm.jl:34); on TPU the dense path is almost always faster (sparse
+    matvec lowers to gather/scatter off the MXU), so this exists for parity
+    and for genuinely huge, very sparse problems on CPU hosts. Construct via
+    ``SparseOperator.from_dense`` or from a ``jax.experimental.sparse.BCOO``.
+    """
+
+    a: object  # jax.experimental.sparse.BCOO
+
+    @classmethod
+    def from_dense(cls, dense):
+        from jax.experimental import sparse as jsparse
+
+        return cls(a=jsparse.BCOO.fromdense(jnp.asarray(dense)))
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    def matvec(self, x):
+        return self.a @ x
+
+    def rmatvec(self, y):
+        return self.a.T @ y
+
+    def norm(self):
+        return jnp.sqrt(jnp.sum(self.a.data * self.a.data))
+
+    def opnorm(self, iters: int = 100, key=None):
+        return opnorm2(self, iters=iters, key=key, n=self.shape[1])
 
 
 @pytree_dataclass

@@ -162,6 +162,10 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov):
         norm_res=final.norm_res,
         counters=final.ck_counters,
         records=recs,
+        # failure-detection diagnostics: the reference logs an error when the
+        # backtracked step drops below 1e-12 but continues (src/AdaProx.jl:
+        # 40-42); here the final gamma is surfaced so callers can check
+        extra={"gamma": final.gamma, "stepsize_underflow": final.gamma < 1e-12},
     )
 
 

@@ -161,6 +161,8 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history):
         norm_res=final.norm_res,
         counters=final.counters,
         records=recs,
+        # cf. the reference's underflow error at src/AdaProx.jl:566-568
+        extra={"sigma": final.sigma, "stepsize_underflow": final.sigma < 1e-12},
     )
 
 

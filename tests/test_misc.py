@@ -104,3 +104,32 @@ def test_from_function_oracle(rng):
         x, f=f, g=ap.Zero(), rule=ap.AdaPGMRule(gamma=1.0), tol=1e-10, maxit=5000
     )
     assert float(jnp.linalg.norm(res.x)) < 1e-6
+
+
+def test_sparse_operator_matches_dense(rng):
+    dense = rng.standard_normal((30, 20)) * (rng.random((30, 20)) < 0.3)
+    op_s = ap.SparseOperator.from_dense(dense)
+    op_d = ap.DenseOperator(a=jnp.asarray(dense))
+    x = jnp.asarray(rng.standard_normal(20))
+    y = jnp.asarray(rng.standard_normal(30))
+    np.testing.assert_allclose(np.asarray(op_s.matvec(x)), np.asarray(op_d.matvec(x)), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(op_s.rmatvec(y)), np.asarray(op_d.rmatvec(y)), rtol=1e-12)
+    np.testing.assert_allclose(float(op_s.norm()), float(op_d.norm()), rtol=1e-12)
+    # drives the PD engine
+    h = ap.Translate(inner=ap.L2Norm(lam=1.0), b=-y)
+    res = ap.condat_vu(
+        jnp.zeros(20), jnp.zeros(30), f=ap.ZeroSmooth(), g=ap.L1Norm(lam=1.0),
+        h=h, A=op_s, Lf=0.0, norm_A=float(op_s.norm()), tol=1e-6, maxit=20_000,
+    )
+    assert float(res.norm_res) <= 1e-6
+
+
+def test_backtracking_underflow_diagnostics(rng):
+    a = jnp.asarray(rng.standard_normal((10, 10)))
+    f = __import__("adaprox_tpu.models.objectives", fromlist=["LeastSquares"]).LeastSquares(
+        a=a, b=jnp.zeros(10))
+    res = ap.backtracking_proxgrad(
+        jnp.ones(10), f=f, g=ap.Zero(), gamma0=1.0, tol=1e-10, maxit=100,
+    )
+    assert "stepsize_underflow" in res.extra
+    assert not bool(res.extra["stepsize_underflow"])
