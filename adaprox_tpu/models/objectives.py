@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .._pytree import pytree_dataclass
 from ..ops.oracles import SmoothOracle
 
-__all__ = ["LeastSquares", "LogisticLoss", "Quadratic", "Cubic", "WorstQuadratic"]
+__all__ = ["LeastSquares", "GramLeastSquares", "LogisticLoss", "Quadratic", "Cubic", "WorstQuadratic"]
 
 
 def _acc_dtype(a, v):
@@ -87,6 +87,48 @@ class LeastSquares(SmoothOracle):
             return aux  # the fused kernel already produced the gradient
         # (res @ a) keeps a row-sharded `a` contraction-local (psum of partials)
         return _vm(aux, self.a, self.precision)
+
+
+@pytree_dataclass(meta=("precision",))
+class GramLeastSquares(SmoothOracle):
+    """0.5||Ax-b||^2 in normal-equations form: value/grad from the Gram
+    matrix G = A'A and c = A'b,
+
+        f(x) = 0.5 x'Gx - c'x + 0.5 b'b,   grad = Gx - c.
+
+    Identical math to LeastSquares, but each iteration streams G (n x n)
+    instead of A (m x n) twice: for tall problems (m >> n) this cuts HBM
+    traffic by 2m/n (8x at the reference's 4000x1000 lasso), and small G
+    stays VMEM-resident so iterations run at on-chip bandwidth. The one-off
+    G = A'A build costs one m*n^2 matmul (MXU-bound, amortized over the
+    solve).
+
+    Precision note: rounding in Gx is governed by kappa(G) = kappa(A)^2; for
+    very ill-conditioned problems at f32, prefer LeastSquares(fused=True).
+    """
+
+    g_mat: jnp.ndarray
+    c_vec: jnp.ndarray
+    btb: jnp.ndarray
+    precision: str | None = "highest"
+
+    @classmethod
+    def from_data(cls, a, b, precision="highest"):
+        g_mat = jax.lax.dot_general(
+            a, a, (((0,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=_acc_dtype(a, b),
+        )
+        c_vec = _vm(b, a, precision)
+        return cls(g_mat=g_mat, c_vec=c_vec, btb=jnp.vdot(b, b).real)
+
+    def value_and_aux(self, x):
+        gx = _mv(self.g_mat, x, self.precision)
+        val = 0.5 * jnp.vdot(x, gx).real - jnp.vdot(self.c_vec, x).real + 0.5 * self.btb
+        return val, gx
+
+    def grad_from_aux(self, x, gx):
+        del x
+        return gx - self.c_vec
 
 
 @pytree_dataclass(meta=("precision", "fused"))

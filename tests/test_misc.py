@@ -133,3 +133,27 @@ def test_backtracking_underflow_diagnostics(rng):
     )
     assert "stepsize_underflow" in res.extra
     assert not bool(res.extra["stepsize_underflow"])
+
+
+def test_gram_least_squares_matches(rng):
+    """GramLeastSquares must match LeastSquares value/grad and solve to the
+    same optimum (tall problem where it is the fast path)."""
+    from adaprox_tpu.models.objectives import GramLeastSquares
+    from adaprox_tpu.models.synthetic import random_lasso
+
+    prob = random_lasso(m=200, n=50, pfactor=5, seed=4)
+    a, b = jnp.asarray(prob.a), jnp.asarray(prob.b)
+    f1 = LeastSquares(a=a, b=b)
+    f2 = GramLeastSquares.from_data(a, b)
+    x = jnp.asarray(rng.standard_normal(50))
+    v1, g1 = f1.value_and_grad(x)
+    v2, g2 = f2.value_and_grad(x)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-8, atol=1e-10)
+
+    g = ap.L1Norm(lam=1.0)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    r2 = ap.adaptive_proxgrad(jnp.zeros(50), f=f2, g=g,
+                              rule=ap.AdaPGMRule(gamma=1 / lf), tol=1e-9, maxit=10_000)
+    gap = float(f1.value(r2.x) + g(r2.x)) - prob.optimum
+    assert abs(gap) < 1e-7
