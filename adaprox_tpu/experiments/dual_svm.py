@@ -81,11 +81,25 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
                 tol=tol, maxit=maxit, history=True, name=f"AdaPDM (t={t})",
             ), primal_dual=True)
 
-    for t in T_VALUES:
-        sink.add(ap.malitsky_pock(
-            x0, y0, f=f, g=g, h=h, A=a_op, t=float(t), sigma=1.0 / norm_a,
-            tol=tol, maxit=maxit, history=True, name=f"Malitsky-Pock (t={t})",
-        ), primal_dual=True)
+    if vmap_sweep:
+        # nested while (linesearch) inside scan inside vmap — one kernel
+        def solve_mp(t):
+            res = ap.malitsky_pock(
+                x0, y0, f=f, g=g, h=h, A=a_op, t=t, sigma=1.0 / norm_a,
+                tol=tol, maxit=maxit, history=True,
+            )
+            return res._replace(name=None, extra=None)
+
+        batched = jax.vmap(solve_mp)(jnp.asarray(T_VALUES))
+        for i, t in enumerate(T_VALUES):
+            one = jax.tree_util.tree_map(lambda arr: arr[i], batched)
+            sink.add(one.with_name(f"Malitsky-Pock (t={t})"), primal_dual=True)
+    else:
+        for t in T_VALUES:
+            sink.add(ap.malitsky_pock(
+                x0, y0, f=f, g=g, h=h, A=a_op, t=float(t), sigma=1.0 / norm_a,
+                tol=tol, maxit=maxit, history=True, name=f"Malitsky-Pock (t={t})",
+            ), primal_dual=True)
 
     sink.add(ap.condat_vu(
         x0, y0, f=f, g=g, h=h, A=a_op, Lf=lf, tol=tol, maxit=maxit,
