@@ -284,6 +284,8 @@ def adaptive_primal_dual(
     if A is None:
         y0 = None
         h = None
+    elif h is None:
+        h = prox_ops.Zero()  # h omitted with a real A: h(Ax) = 0
     x0 = jnp.asarray(x0)
     tol = jnp.asarray(tol, dtype=jnp.result_type(x0))
     res = _solve_pd(
