@@ -1,0 +1,156 @@
+"""VMEM-resident whole-solve kernel: the entire AdaPGM loop on-core.
+
+For problems whose data matrix fits in VMEM (~<= 24 MB, i.e. the reference's
+own benchmark sizes: 4000x1000 f32 is 16 MB), per-iteration HBM traffic and
+per-op dispatch dominate a host-driven loop. This kernel loads A once and
+runs the COMPLETE adaptive proximal-gradient solve — both matvecs, the
+curvature reductions, the AdaPGM gamma recurrence, the prox, and the
+early-exit convergence test — inside a single Pallas program, so every
+iteration runs at on-chip bandwidth with zero kernel-launch overhead.
+
+Matches the engine's iteration structure (solvers/primal_dual._step with
+A=None) so trajectories agree with the reference semantics; validated
+against the engine in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["resident_adapgm_l1", "resident_supported"]
+
+_VMEM_BYTES = 24 * 1024 * 1024
+
+
+def resident_supported(a) -> bool:
+    m, n = a.shape
+    return (
+        m % 8 == 0 and n % 128 == 0
+        and a.dtype.itemsize * m * n <= _VMEM_BYTES
+    )
+
+
+def _kernel(a_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit):
+    """scal_ref (SMEM, (4,)): [gamma0, lam, tol, theta_big] (theta unused for
+    the PG case but kept for layout stability). Outputs: x (1, n); stats
+    (SMEM, (4,)): [numit, norm_res, gamma, converged]."""
+    a = a_ref[:]
+    b = b_ref[:]
+    gamma0 = scal_ref[0]
+    lam = scal_ref[1]
+    tol = scal_ref[2]
+
+    def matvec(x_row):  # (1, n) -> (m, 1)
+        return jnp.sum(a * x_row, axis=1, keepdims=True)
+
+    def rmatvec(col):  # (m, 1) -> (1, n)
+        return jnp.sum(a * col, axis=0, keepdims=True)
+
+    def grad_of(x_row):
+        res = matvec(x_row) - b
+        return rmatvec(res)
+
+    def prox(v, gamma):
+        thr = gamma * lam
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thr, 0.0)
+
+    # warm-up (engine _init, reference src/AdaProx.jl:324-332)
+    x0 = x0_ref[:]
+    grad0 = grad_of(x0)
+    v = x0 - gamma0 * grad0
+    x = prox(v, gamma0)
+
+    class C(NamedTuple):
+        it: jnp.ndarray
+        x: jnp.ndarray
+        v: jnp.ndarray
+        x_prev: jnp.ndarray
+        grad_prev: jnp.ndarray
+        gamma: jnp.ndarray
+        g1: jnp.ndarray
+        g0: jnp.ndarray
+        norm_res: jnp.ndarray
+
+    def body(c):
+        grad = grad_of(c.x)
+        primal = (c.v - c.x) / c.gamma + grad
+        norm_res = jnp.sqrt(jnp.sum(primal * primal))
+        # AdaPGM rule (norm_a = 0 PG case; solvers/rules.AdaPGMRule.update)
+        dg = grad - c.grad_prev
+        dx = c.x - c.x_prev
+        ndg2 = jnp.sum(dg * dg)
+        dgdx = jnp.sum(dg * dx)
+        ndx2 = jnp.sum(dx * dx)
+        dd_raw = c.g1 * (c.g1 * ndg2 - dgdx) / ndx2
+        dd = jnp.where(jnp.isnan(dd_raw), 0.0, dd_raw)
+        denom = jnp.maximum(dd + jnp.sqrt(dd * dd), 0.0)
+        gamma = jnp.minimum(
+            c.g1 * jnp.sqrt(1 + c.g1 / c.g0),
+            c.g1 / jnp.sqrt(2.0 * denom),
+        )
+        v = c.x - gamma * grad
+        x_new = prox(v, gamma)
+        return C(c.it + 1, x_new, v, c.x, grad, gamma, gamma, c.g1, norm_res)
+
+    def cond(c):
+        return jnp.logical_and(c.it < maxit, c.norm_res > tol)
+
+    init = C(
+        jnp.zeros((), jnp.int32), x, v, x0, grad0,
+        gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, x.dtype),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    x_ref[:] = final.x
+    stats_ref[0] = final.it.astype(jnp.float32)
+    stats_ref[1] = final.norm_res
+    stats_ref[2] = final.gamma
+    stats_ref[3] = (final.norm_res <= tol).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
+def resident_adapgm_l1(a, b, x0, gamma0, lam, tol, maxit, interpret=False):
+    """Full AdaPGM lasso solve in one resident kernel.
+
+    a: (m, n) f32 (tile-aligned, fits VMEM); b: (m,); x0: (n,).
+    Returns (x, numit, norm_res, converged).
+    """
+    m, n = a.shape
+    dt = x0.dtype
+    scal = jnp.stack([
+        jnp.asarray(gamma0, dt), jnp.asarray(lam, dt),
+        jnp.asarray(tol, dt), jnp.asarray(0.0, dt),
+    ])
+    x_out, stats = pl.pallas_call(
+        functools.partial(_kernel, maxit=maxit),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dt),
+            jax.ShapeDtypeStruct((4,), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(a, b.reshape(m, 1), x0.reshape(1, n), scal)
+    return (
+        x_out[0],
+        stats[0].astype(jnp.int32),
+        stats[1].astype(dt),
+        stats[3] > 0,
+    )

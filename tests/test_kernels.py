@@ -94,3 +94,36 @@ def test_pick_block_rows():
     assert 4096 % kernels.pick_block_rows(4096, 4096, 4) == 0
     tm = kernels.pick_block_rows(16384, 16384, 4)
     assert tm * 16384 * 4 <= kernels._VMEM_TILE_BUDGET
+
+
+def test_resident_adapgm_matches_engine(rng):
+    """The whole-solve VMEM-resident kernel must track the engine's AdaPGM
+    trajectory (same iteration structure) and reach the same solution."""
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident import resident_adapgm_l1, resident_supported
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=1)
+    a = jnp.asarray(prob.a, jnp.float32)
+    b = jnp.asarray(prob.b, jnp.float32)
+    assert resident_supported(a)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    x, numit, nres, conv = resident_adapgm_l1(
+        a, b, jnp.zeros(128, jnp.float32), 1 / lf, 1.0, 1e-4, 3000, interpret=True
+    )
+    f = LeastSquares(a=a, b=b)
+    g = ap.L1Norm(lam=jnp.float32(1.0))
+    ref = ap.adaptive_proxgrad(
+        jnp.zeros(128, jnp.float32), f=f, g=g,
+        rule=ap.AdaPGMRule(gamma=jnp.float32(1 / lf)), tol=1e-4, maxit=3000,
+    )
+    assert bool(conv)
+    assert abs(int(numit) - int(ref.numit)) <= 5
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-4, atol=1e-5)
+
+
+def test_resident_supported_limits():
+    from adaprox_tpu.ops.resident import resident_supported
+
+    big = jnp.zeros((8192, 8192), jnp.float32)  # 256MB > VMEM budget
+    assert not resident_supported(big)
+    assert not resident_supported(jnp.zeros((30, 128), jnp.float32))  # misaligned
