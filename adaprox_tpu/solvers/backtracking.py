@@ -155,12 +155,18 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov):
         return new, rec
 
     final, recs = run_loop(carry0, step, maxit, history)
+    # converged: counters at the check (the reference returns before the
+    # final pullback/momentum eval); maxed out: full counters including it
+    converged = final.norm_res <= tol
+    counters = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(converged, a, b), final.ck_counters, final.counters
+    )
     return SolveResult(
         x=final.z,
         y=None,
         numit=final.it,
         norm_res=final.norm_res,
-        counters=final.ck_counters,
+        counters=counters,
         records=recs,
         # failure-detection diagnostics: the reference logs an error when the
         # backtracked step drops below 1e-12 but continues (src/AdaProx.jl:
