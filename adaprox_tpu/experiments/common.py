@@ -21,13 +21,22 @@ __all__ = ["Sink", "group_rows", "plot_lines", "pick_platform"]
 
 def pick_platform(force_cpu: bool = False):
     """Experiments default to whatever backend JAX resolves (TPU when
-    available); --cpu forces the local CPU backend (see tests/conftest.py for
-    why this image needs the config override, not just JAX_PLATFORMS)."""
-    if force_cpu:
-        import jax
+    available, running f32); --cpu forces the local CPU backend in f64 — the
+    reference's numeric regime (see tests/conftest.py for why this image
+    needs the config override, not just JAX_PLATFORMS)."""
+    import jax
 
+    if force_cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    else:
+        # accelerator path runs f32: the f64-to-f32 truncation of the numpy
+        # problem data is intended, not a bug — silence the per-array warning
+        import warnings
+
+        warnings.filterwarnings(
+            "ignore", message=".*requested dtype float64.*", category=UserWarning
+        )
 
 
 class Sink:
