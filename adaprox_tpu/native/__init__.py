@@ -68,6 +68,22 @@ def get_lib():
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        lib.adaprox_libsvm_parse_coo.restype = ctypes.c_void_p
+        lib.adaprox_libsvm_parse_coo.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.adaprox_libsvm_coo_fill_dense.restype = ctypes.c_int
+        lib.adaprox_libsvm_coo_fill_dense.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
+        lib.adaprox_libsvm_coo_free.restype = None
+        lib.adaprox_libsvm_coo_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -77,8 +93,9 @@ def build_error() -> str | None:
 
 
 def parse_libsvm_dense(path, pad_to: int | None = None):
-    """Parse with the native parser. Returns (X, y, rows, cols) with X shaped
-    (rows_padded, cols_padded) float64, or None if the native lib is
+    """Parse with the native parser (single pass over the file into COO,
+    then a scatter into the dense buffer). Returns (X, y, rows, cols) with X
+    shaped (rows_padded, cols_padded) float64, or None if the native lib is
     unavailable (caller falls back to the Python parser)."""
     lib = get_lib()
     if lib is None:
@@ -87,24 +104,28 @@ def parse_libsvm_dense(path, pad_to: int | None = None):
     rows = ctypes.c_int64()
     cols = ctypes.c_int64()
     nnz = ctypes.c_int64()
-    if lib.adaprox_libsvm_dims(path_b, ctypes.byref(rows), ctypes.byref(cols),
-                               ctypes.byref(nnz)) != 0:
-        return None
-    r, c = rows.value, cols.value
-    if pad_to:
-        rp = -(-r // pad_to) * pad_to
-        cp = -(-c // pad_to) * pad_to
-    else:
-        rp, cp = r, c
-    x = np.zeros((rp, cp), dtype=np.float64)
-    y = np.zeros(rp, dtype=np.float64)
-    rc = lib.adaprox_libsvm_parse_dense(
-        path_b,
-        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        r,
-        cp,
+    handle = lib.adaprox_libsvm_parse_coo(
+        path_b, ctypes.byref(rows), ctypes.byref(cols), ctypes.byref(nnz)
     )
-    if rc != 0:
+    if not handle:
         return None
-    return x, y, r, c
+    try:
+        r, c = rows.value, cols.value
+        if pad_to:
+            rp = -(-r // pad_to) * pad_to
+            cp = -(-c // pad_to) * pad_to
+        else:
+            rp, cp = r, c
+        x = np.zeros((rp, max(cp, 1)), dtype=np.float64)
+        y = np.zeros(max(rp, 1), dtype=np.float64)
+        rc = lib.adaprox_libsvm_coo_fill_dense(
+            handle,
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            x.shape[1],
+        )
+        if rc != 0:
+            return None
+        return x, y, r, c
+    finally:
+        lib.adaprox_libsvm_coo_free(handle)

@@ -86,7 +86,112 @@ int n_threads() {
 
 }  // namespace
 
+namespace {
+
+// Per-thread COO triples from a single pass over the thread's line range.
+struct CooChunk {
+  std::vector<int32_t> rows;
+  std::vector<int32_t> cols;
+  std::vector<double> vals;
+  int64_t max_col = 0;
+  int err = 0;
+};
+
+}  // namespace
+
 extern "C" {
+
+// Single-pass parse into an opaque COO handle. Returns 0 on success and
+// fills rows/cols/nnz; retrieve the data with adaprox_libsvm_coo_fill then
+// free with adaprox_libsvm_coo_free.
+struct AdaproxCoo {
+  std::vector<CooChunk> chunks;
+  std::vector<double> labels;
+  int64_t rows = 0;
+  int64_t cols = 0;
+  int64_t nnz = 0;
+};
+
+void* adaprox_libsvm_parse_coo(const char* path, int64_t* out_rows,
+                               int64_t* out_cols, int64_t* out_nnz) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return nullptr;
+  std::vector<size_t> starts = line_starts(m);
+  auto* coo = new AdaproxCoo();
+  coo->rows = static_cast<int64_t>(starts.size());
+  coo->labels.assign(starts.size(), 0.0);
+
+  int nt = n_threads();
+  coo->chunks.resize(nt);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; t++) {
+    threads.emplace_back([&, t]() {
+      CooChunk& ck = coo->chunks[t];
+      ck.rows.reserve(m.size / (64 * nt));
+      for (size_t r = t; r < starts.size(); r += nt) {
+        const char* p = m.data + starts[r];
+        const char* end = line_end(m, starts[r]);
+        char* next;
+        coo->labels[r] = strtod(p, &next);
+        p = next;
+        while (p < end) {
+          while (p < end && (*p == ' ' || *p == '\t')) p++;
+          if (p >= end || *p == '\n' || *p == '\r') break;
+          long col = strtol(p, &next, 10);
+          if (next == p || *next != ':') {
+            ck.err = 3;
+            return;
+          }
+          p = next + 1;
+          double v = strtod(p, &next);
+          p = next;
+          if (col < 1) {
+            ck.err = 4;
+            return;
+          }
+          ck.rows.push_back(static_cast<int32_t>(r));
+          ck.cols.push_back(static_cast<int32_t>(col - 1));
+          ck.vals.push_back(v);
+          if (col > ck.max_col) ck.max_col = col;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  unmap(m);
+  for (auto& ck : coo->chunks) {
+    if (ck.err) {
+      delete coo;
+      return nullptr;
+    }
+    if (ck.max_col > coo->cols) coo->cols = ck.max_col;
+    coo->nnz += static_cast<int64_t>(ck.vals.size());
+  }
+  *out_rows = coo->rows;
+  *out_cols = coo->cols;
+  *out_nnz = coo->nnz;
+  return coo;
+}
+
+// Scatter the COO data into a caller-allocated zeroed dense (rows x ld)
+// matrix + labels, then free nothing (call coo_free separately).
+int adaprox_libsvm_coo_fill_dense(void* handle, double* x, double* y,
+                                  int64_t ld) {
+  auto* coo = static_cast<AdaproxCoo*>(handle);
+  if (coo == nullptr) return 1;
+  for (int64_t r = 0; r < coo->rows; r++) y[r] = coo->labels[r];
+  for (auto& ck : coo->chunks) {
+    for (size_t i = 0; i < ck.vals.size(); i++) {
+      if (ck.cols[i] >= ld) return 4;
+      x[static_cast<int64_t>(ck.rows[i]) * ld + ck.cols[i]] = ck.vals[i];
+    }
+  }
+  return 0;
+}
+
+void adaprox_libsvm_coo_free(void* handle) {
+  delete static_cast<AdaproxCoo*>(handle);
+}
 
 // Pass 1: rows, max feature index (1-based), and total nnz.
 // Returns 0 on success, nonzero errno-style code on failure.
