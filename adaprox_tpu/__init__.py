@@ -32,11 +32,13 @@ from .ops.prox import (
     IndBox,
     IndBall2,
     IndZero,
+    ElasticNet,
+    GroupL2,
     Translate,
     conjugate,
 )
 from .ops.oracles import SmoothOracle, FromFunction, ZeroSmooth, value_and_grad
-from .ops.linops import DenseOperator, SparseOperator, ScaledIdentity, opnorm2
+from .ops.linops import DenseOperator, SparseOperator, DifferenceOperator, ScaledIdentity, opnorm2
 from .solvers.rules import (
     Curvature,
     FixedStepsize,
@@ -65,9 +67,9 @@ __version__ = "0.1.0"
 __all__ = [
     # ops
     "Zero", "L1Norm", "L2Norm", "SqrL2Norm", "IndBox", "IndBall2", "IndZero",
-    "Translate", "conjugate",
+    "ElasticNet", "GroupL2", "Translate", "conjugate",
     "SmoothOracle", "FromFunction", "ZeroSmooth", "value_and_grad",
-    "DenseOperator", "SparseOperator", "ScaledIdentity", "opnorm2",
+    "DenseOperator", "SparseOperator", "DifferenceOperator", "ScaledIdentity", "opnorm2",
     # rules
     "Curvature", "FixedStepsize", "MalitskyMishchenkoRule",
     "AdaPGMRule", "AdaPGMPlusRule", "OurRule", "OurRulePlus",

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .._pytree import pytree_dataclass
 
-__all__ = ["DenseOperator", "SparseOperator", "ScaledIdentity", "opnorm2", "frobenius_norm"]
+__all__ = ["DenseOperator", "SparseOperator", "DifferenceOperator", "ScaledIdentity", "opnorm2", "frobenius_norm"]
 
 
 @pytree_dataclass(meta=("precision",))
@@ -98,6 +98,36 @@ class SparseOperator:
 
     def opnorm(self, iters: int = 100, key=None):
         return opnorm2(self, iters=iters, key=key, n=self.shape[1])
+
+
+@pytree_dataclass(meta=("n",))
+class DifferenceOperator:
+    """Matrix-free 1-D forward-difference operator D: (Dx)_i = x_{i+1} - x_i,
+    mapping R^n -> R^{n-1}. With h = lam*||.||_1 this is total-variation
+    denoising min 0.5||x-b||^2 + lam*||Dx||_1 — a structured h(Ax) showcase
+    beyond the reference's dense matrices. ||D||_2 <= 2 (exactly
+    2*sin(pi*(n-1)/(2n)))."""
+
+    n: int
+
+    @property
+    def shape(self):
+        return (self.n - 1, self.n)
+
+    def matvec(self, x):
+        return x[1:] - x[:-1]
+
+    def rmatvec(self, y):
+        # D' y = [-y_0, y_0 - y_1, ..., y_{m-2} - y_{m-1}... ] i.e. -div
+        z = jnp.zeros((self.n,), y.dtype)
+        z = z.at[:-1].add(-y)
+        z = z.at[1:].add(y)
+        return z
+
+    def norm(self):
+        import numpy as _np
+
+        return jnp.asarray(2.0 * _np.sin(_np.pi * (self.n - 1) / (2.0 * self.n)))
 
 
 @pytree_dataclass

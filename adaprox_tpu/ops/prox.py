@@ -35,6 +35,8 @@ __all__ = [
     "IndBox",
     "IndBall2",
     "IndZero",
+    "ElasticNet",
+    "GroupL2",
     "Translate",
     "MoreauConjugate",
     "conjugate",
@@ -158,6 +160,48 @@ class IndBall2:
         scale = jnp.where(nrm > self.r, self.r / jnp.where(nrm > 0, nrm, 1.0), 1.0)
         y = scale * v
         return y, jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class ElasticNet:
+    """g(x) = lam1 * ||x||_1 + (lam2/2) * ||x||_2^2; prox = soft-threshold
+    then shrink (closed form). Beyond the reference's operator set."""
+
+    lam1: jnp.ndarray = 1.0
+    lam2: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        return self.lam1 * jnp.sum(jnp.abs(x)) + 0.5 * self.lam2 * jnp.sum(x * x)
+
+    def prox(self, v, gamma):
+        soft = jnp.sign(v) * jnp.maximum(jnp.abs(v) - gamma * self.lam1, 0)
+        y = soft / (1 + gamma * self.lam2)
+        return y, self(y)
+
+
+@pytree_dataclass(meta=("n_groups",))
+class GroupL2:
+    """Group lasso penalty: g(x) = lam * sum_g ||x_g||_2 over ``n_groups``
+    equal contiguous groups; prox = per-group block soft-thresholding.
+    Beyond the reference's operator set."""
+
+    n_groups: int
+    lam: jnp.ndarray = 1.0
+
+    def _blocks(self, x):
+        return x.reshape(self.n_groups, -1)
+
+    def __call__(self, x):
+        blocks = self._blocks(x)
+        return self.lam * jnp.sum(jnp.sqrt(jnp.sum(blocks * blocks, axis=1)))
+
+    def prox(self, v, gamma):
+        blocks = self._blocks(v)
+        nrm = jnp.sqrt(jnp.sum(blocks * blocks, axis=1, keepdims=True))
+        thr = gamma * self.lam
+        scale = jnp.where(nrm > thr, 1 - thr / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+        y = (scale * blocks).reshape(v.shape)
+        return y, self(y)
 
 
 @pytree_dataclass
