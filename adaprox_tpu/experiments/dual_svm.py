@@ -45,14 +45,19 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
     x_np, y_np, source = _load(name_or_path)
     n_pts = y_np.shape[0]
 
-    dyx = y_np[:, None] * x_np
-    q_mat = dyx @ dyx.T
-    q_vec = -np.ones(n_pts)
-    f = Quadratic(q_mat=jnp.asarray(q_mat), q_vec=jnp.asarray(q_vec))
+    # build Q = D_y X X' D_y on-device: ships the (N, d) feature matrix to
+    # the accelerator instead of the (N, N) Gram matrix (runme.jl:47-48
+    # builds it host-side, which is fine for Julia but a 0.5 GB transfer here)
+    dyx = jnp.asarray(y_np)[:, None] * jnp.asarray(x_np)
+    q_mat = jax.lax.dot_general(
+        dyx, dyx, (((1,), (1,)), ((), ())), precision="highest"
+    )
+    q_vec = -jnp.ones(n_pts, q_mat.dtype)
+    f = Quadratic(q_mat=q_mat, q_vec=q_vec)
     g = ap.IndBox(lo=0.0, hi=float(big_c))
     h = ap.IndZero()
     a_op = ap.DenseOperator(a=jnp.asarray(y_np[None, :]))
-    lf = float(np.linalg.norm(q_mat))  # Julia norm(Q) = Frobenius (runme.jl:56)
+    lf = float(jnp.sqrt(jnp.sum(q_mat * q_mat)))  # Julia norm(Q) = Frobenius (runme.jl:56)
     norm_a = float(np.linalg.norm(y_np))
 
     x0 = jnp.zeros(n_pts)
