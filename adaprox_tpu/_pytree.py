@@ -32,10 +32,3 @@ def pytree_dataclass(cls=None, *, meta=()):
         return wrap
     return wrap(cls)
 
-
-def static_bool(x) -> bool | None:
-    """Return a concrete bool for ``x`` if possible, else None (traced)."""
-    try:
-        return bool(x)
-    except Exception:
-        return None

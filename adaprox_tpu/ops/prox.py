@@ -43,9 +43,6 @@ __all__ = [
 ]
 
 
-def _vdot(a, b):
-    return jnp.vdot(a, b).real
-
 
 @pytree_dataclass
 class Zero:

@@ -18,7 +18,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .._pytree import pytree_dataclass
 from ..ops.oracles import SmoothOracle
-from .mesh import COLS, ROWS
+from .mesh import ROWS
 
 __all__ = ["RowShardedFusedLS", "row_sharded_fused_ls"]
 
