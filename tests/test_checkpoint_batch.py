@@ -121,3 +121,31 @@ def test_profiling_utils(prob):
     rep = profiling.throughput_report(secs, 50, 2 * 64 * 128 * 8)
     assert rep["iters_per_sec"] > 0
     assert 0 <= rep["frac_roofline"]
+
+
+def test_scaling_harness_measure(prob):
+    """scaling.py's measure() runs on a subset of the virtual mesh and
+    returns a positive rate."""
+    import jax as _jax
+
+    from adaprox_tpu.experiments.scaling import measure
+
+    ips = measure(_jax.devices()[:2], m=64, n=128, iters=20, dtype_name="float64")
+    assert ips > 0
+
+
+def test_profiler_trace(tmp_path, prob):
+    """utils.profiling.trace wraps jax.profiler and produces trace files."""
+    import os
+
+    f, g, lf, p = prob
+    with profiling.trace(str(tmp_path)):
+        res = ap.adaptive_proxgrad(
+            jnp.zeros(128), f=f, g=g, rule=ap.AdaPGMRule(gamma=1 / lf),
+            tol=0.0, maxit=5,
+        )
+        jax.block_until_ready(res.x)
+    found = []
+    for root, _dirs, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found, "no trace files written"
