@@ -26,7 +26,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resident_adapgm_l1", "resident_supported"]
+__all__ = ["resident_adapgm", "resident_adapgm_l1", "resident_supported"]
+
+# static prox menu: kind -> (v, gamma, p1, p2) -> prox point
+_PROX = {
+    "l1": lambda v, gamma, p1, p2: jnp.sign(v) * jnp.maximum(jnp.abs(v) - gamma * p1, 0.0),
+    "box": lambda v, gamma, p1, p2: jnp.clip(v, p1, p2),
+    "elastic": lambda v, gamma, p1, p2: (
+        jnp.sign(v) * jnp.maximum(jnp.abs(v) - gamma * p1, 0.0) / (1 + gamma * p2)
+    ),
+    "zero": lambda v, gamma, p1, p2: v,
+}
 
 # both layouts must fit alongside scratch: 2 * itemsize * m * n <= ~48 MB
 _VMEM_BYTES = 24 * 1024 * 1024
@@ -40,23 +50,26 @@ def resident_supported(a) -> bool:
     )
 
 
-def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit):
-    """scal_ref (SMEM, (4,)): [gamma0, lam, tol, unused]. Outputs: x (1, n);
-    stats (SMEM, (4,)): [numit, norm_res, gamma, converged]."""
+def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind):
+    """scal_ref (SMEM, (4,)): [gamma0, tol, p1, p2] with (p1, p2) the static
+    prox menu's parameters. Outputs: x (1, n); stats (SMEM, (4,)):
+    [numit, norm_res, gamma, converged]."""
     a = a_ref[:]    # (m, n)
     at = at_ref[:]  # (n, m)
     b = b_ref[:]    # (1, m)
     gamma0 = scal_ref[0]
-    lam = scal_ref[1]
-    tol = scal_ref[2]
+    tol = scal_ref[1]
+    p1 = scal_ref[2]
+    p2 = scal_ref[3]
 
     def grad_of(x_row):  # (1, n) -> (1, n); both reductions over lanes
         res = jnp.sum(a * x_row, axis=1, keepdims=True).T - b  # (1, m)
         return jnp.sum(at * res, axis=1, keepdims=True).T      # (1, n)
 
+    prox_fn = _PROX[prox_kind]
+
     def prox(v, gamma):
-        thr = gamma * lam
-        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thr, 0.0)
+        return prox_fn(v, gamma, p1, p2)
 
     # warm-up (engine _init, reference src/AdaProx.jl:324-332)
     x0 = x0_ref[:]
@@ -112,9 +125,12 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit):
     stats_ref[3] = (final.norm_res <= tol).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
-def resident_adapgm_l1(a, b, x0, gamma0, lam, tol, maxit, interpret=False):
-    """Full AdaPGM lasso solve in one resident kernel.
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind"))
+def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
+                    p1=0.0, p2=0.0, interpret=False):
+    """Full AdaPGM solve of 0.5||Ax-b||^2 + g(x) in one resident kernel,
+    with g chosen from the static prox menu ("l1", "box", "elastic",
+    "zero") parameterized by (p1, p2).
 
     a: (m, n) f32 (tile-aligned, fits VMEM twice); b: (m,); x0: (n,).
     Returns (x, numit, norm_res, converged).
@@ -122,11 +138,11 @@ def resident_adapgm_l1(a, b, x0, gamma0, lam, tol, maxit, interpret=False):
     m, n = a.shape
     dt = x0.dtype
     scal = jnp.stack([
-        jnp.asarray(gamma0, dt), jnp.asarray(lam, dt),
-        jnp.asarray(tol, dt), jnp.asarray(0.0, dt),
+        jnp.asarray(gamma0, dt), jnp.asarray(tol, dt),
+        jnp.asarray(p1, dt), jnp.asarray(p2, dt),
     ])
     x_out, stats = pl.pallas_call(
-        functools.partial(_kernel, maxit=maxit),
+        functools.partial(_kernel, maxit=maxit, prox_kind=prox_kind),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -153,3 +169,9 @@ def resident_adapgm_l1(a, b, x0, gamma0, lam, tol, maxit, interpret=False):
         stats[1].astype(dt),
         stats[3] > 0,
     )
+
+
+def resident_adapgm_l1(a, b, x0, gamma0, lam, tol, maxit, interpret=False):
+    """Lasso specialization (g = lam * ||.||_1)."""
+    return resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
+                           p1=lam, interpret=interpret)

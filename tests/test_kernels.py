@@ -127,3 +127,27 @@ def test_resident_supported_limits():
     big = jnp.zeros((8192, 8192), jnp.float32)  # 256MB > VMEM budget
     assert not resident_supported(big)
     assert not resident_supported(jnp.zeros((30, 128), jnp.float32))  # misaligned
+
+
+@pytest.mark.parametrize("kind,p1,p2,make_g", [
+    ("box", -0.2, 0.4, lambda: ap.IndBox(lo=-0.2, hi=0.4)),
+    ("elastic", 0.5, 0.3, lambda: ap.ElasticNet(lam1=0.5, lam2=0.3)),
+    ("zero", 0.0, 0.0, lambda: ap.Zero()),
+], ids=["box", "elastic", "zero"])
+def test_resident_prox_menu(rng, kind, p1, p2, make_g):
+    from adaprox_tpu.ops.resident import resident_adapgm
+
+    m, n = 32, 128
+    a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    lf = float(np.linalg.norm(np.asarray(a), 2) ** 2)
+    x, numit, nres, conv = resident_adapgm(
+        a, b, jnp.zeros(n, jnp.float32), 1 / lf, 1e-4, 3000,
+        prox_kind=kind, p1=p1, p2=p2, interpret=True,
+    )
+    ref = ap.adaptive_proxgrad(
+        jnp.zeros(n, jnp.float32), f=LeastSquares(a=a, b=b), g=make_g(),
+        rule=ap.AdaPGMRule(gamma=jnp.float32(1 / lf)), tol=1e-4, maxit=3000,
+    )
+    assert abs(int(numit) - int(ref.numit)) <= 5
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-3, atol=1e-4)
