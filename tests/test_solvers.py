@@ -235,3 +235,43 @@ def test_vmap_over_rule_parameter(lasso_problem):
     for i, ga in enumerate(gammas):
         single = solve(float(ga))
         np.testing.assert_allclose(float(batched[i]), float(single), rtol=1e-8)
+
+
+def test_immediate_convergence(lasso_problem):
+    """Huge tol: engine must stop at iteration 1 with one valid record."""
+    f, g, lf, optimum, n = lasso_problem
+    res = ap.adaptive_proxgrad(
+        jnp.zeros(n), f=f, g=g, rule=ap.AdaPGMRule(gamma=1 / lf),
+        tol=1e9, maxit=100, history=True,
+    )
+    assert int(res.numit) == 1
+    assert int(res.records.valid.sum()) == 1
+
+
+def test_maxit_zero(lasso_problem):
+    """maxit=0 mirrors the reference: init prox-step only, numit=0."""
+    f, g, lf, optimum, n = lasso_problem
+    res = ap.adaptive_proxgrad(
+        jnp.zeros(n), f=f, g=g, rule=ap.AdaPGMRule(gamma=1 / lf),
+        tol=1e-7, maxit=0,
+    )
+    assert int(res.numit) == 0
+    # x is the warm-up prox point prox_g(x0 - gamma*grad(x0))
+    _, grad0 = f.value_and_grad(jnp.zeros(n))
+    x1, _ = g.prox(-grad0 / lf, 1 / lf)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(x1), rtol=1e-12)
+
+
+def test_start_at_stationary_point():
+    """x0 with zero gradient and free prox: converge at once, no NaNs."""
+    from adaprox_tpu.models.objectives import Quadratic
+
+    n = 8
+    f = Quadratic(q_mat=jnp.eye(n), q_vec=jnp.zeros(n))  # min at 0
+    res = ap.adaptive_proxgrad(
+        jnp.zeros(n), f=f, g=ap.Zero(), rule=ap.AdaPGMRule(gamma=0.5),
+        tol=1e-10, maxit=100,
+    )
+    assert int(res.numit) == 1
+    assert float(res.norm_res) == 0.0
+    assert np.isfinite(np.asarray(res.x)).all()
