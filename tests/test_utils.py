@@ -144,3 +144,15 @@ def test_libsvm_label_validation(tmp_path):
     p.write_text("1 1:1\n2 1:1\n3 1:1\n")
     with pytest.raises(ValueError):
         load_libsvm_dataset(p, labels=(0.0, 1.0))
+
+
+def test_load_or_synthesize_offline():
+    """Offline environments fall back to shape-matched synthetic data."""
+    from adaprox_tpu.utils.datasets import DATASET_SHAPES, load_or_synthesize
+
+    x, y, source = load_or_synthesize("heart_scale", labels=(-1.0, 1.0),
+                                      local_dir="/nonexistent_dir_xyz")
+    m, n, _ = DATASET_SHAPES["heart_scale"]
+    assert x.shape == (m, n)
+    assert set(np.unique(y)) <= {-1.0, 1.0}
+    assert source == "synthetic"
