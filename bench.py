@@ -120,6 +120,30 @@ def main():
     best_name = max(("xla", "fused"), key=lambda k: results[k]["iters_per_sec"])
     best = results[best_name]
 
+    # reference-benchmark-size solve via the VMEM-resident whole-solve kernel
+    try:
+        from adaprox_tpu.ops.resident import resident_adapgm_l1
+
+        prob_r = random_lasso(m=4000, n=1000, pfactor=10, seed=0)
+        a_r = jnp.asarray(np.pad(prob_r.a, ((0, 96), (0, 24))), dtype)
+        b_r = jnp.asarray(np.pad(prob_r.b, (0, 96)), dtype)
+        lf_r = float(np.linalg.norm(prob_r.a, 2) ** 2)
+
+        def run_resident():
+            x, numit, nres, conv = resident_adapgm_l1(
+                a_r, b_r, jnp.zeros(1024, dtype), 1 / lf_r, 1.0, 1e-4, 4000
+            )
+            return nres, numit
+
+        dt_r, out_r = time_solve(run_resident)
+        results["resident_reference_size"] = {
+            "solve_ms": round(dt_r * 1e3, 2),
+            "numit": int(out_r[1]),
+            "iters_per_sec": round(int(out_r[1]) / dt_r, 1),
+        }
+    except Exception as e:
+        results["resident_reference_size"] = {"error": str(e)[:200]}
+
     # convergence sanity on the known-optimum problem (f32, small)
     prob = random_lasso(m=1024, n=2048, pfactor=10, seed=0)
     f_small = LeastSquares(a=jnp.asarray(prob.a, dtype), b=jnp.asarray(prob.b, dtype))

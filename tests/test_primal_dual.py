@@ -190,3 +190,21 @@ def test_pd_history_mode(dsvm):
     assert float(res.records.norm_res[nv - 1]) == pytest.approx(float(res.norm_res))
     # sigma column populated for PD (the reference logs sigma only for PD runs)
     assert float(res.records.sigma[0]) > 0
+
+
+def test_adapdm_plus_inner_loop_counters(sqrt_lasso):
+    """AdaPDM+ meters every inner linesearch trial: each costs one prox_h +
+    one A'-matvec (src/AdaProx.jl:523-526), so prox_h_evals == At_evals - 1
+    (the extra At is the warm-up at :496) and both exceed numit when any
+    backtracking occurred."""
+    f, g, h, a_op, norm_a, m, n = sqrt_lasso
+    res = ap.adaptive_linesearch_primal_dual(
+        jnp.zeros(n + 1), jnp.zeros(m), f=f, g=g, h=h, A=a_op,
+        eta=norm_a, t=1.0, tol=1e-6, maxit=5000,
+    )
+    it = int(res.numit)
+    prox_h = int(res.counters.prox_h_evals)
+    at = int(res.counters.At_evals)
+    assert prox_h == at - 1
+    assert prox_h >= it  # at least one trial per outer iteration
+    assert int(res.counters.A_evals) == it + 1
