@@ -1,0 +1,63 @@
+"""Randomized robustness fuzz: many random problem instances through the
+solver families; every run must stay finite and reach a sane objective.
+Shapes are fixed so the whole sweep reuses one compiled program per solver.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import adaprox_tpu as ap
+from adaprox_tpu.models.objectives import LeastSquares
+
+
+M, N = 24, 48
+
+
+def _problem(seed, scale):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((M, N)) * scale
+    b = rng.standard_normal(M) * scale
+    return LeastSquares(a=jnp.asarray(a), b=jnp.asarray(b)), float(
+        np.linalg.norm(a, 2) ** 2
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("scale", [1e-3, 1.0, 1e3])
+def test_adapgm_fuzz(seed, scale):
+    """Badly scaled random instances: no NaN, residual criterion met."""
+    f, lf = _problem(seed, scale)
+    g = ap.L1Norm(lam=0.1 * scale**2)
+    res = ap.adaptive_proxgrad(
+        jnp.zeros(N), f=f, g=g, rule=ap.AdaPGMRule(gamma=1 / lf),
+        tol=1e-7 * max(1.0, scale**2), maxit=50_000,
+    )
+    assert np.isfinite(np.asarray(res.x)).all()
+    assert np.isfinite(float(res.norm_res))
+    assert float(res.norm_res) <= 1e-7 * max(1.0, scale**2)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_all_solvers_finite_fuzz(seed):
+    """Every PG family stays finite on random instances (fixed budget)."""
+    f, lf = _problem(seed + 100, 1.0)
+    g = ap.ElasticNet(lam1=0.2, lam2=0.1)
+    x0 = jnp.zeros(N)
+    kw = dict(f=f, g=g, tol=0.0, maxit=300)
+    runs = [
+        ap.adaptive_proxgrad(x0, rule=ap.AdaPGMRule(gamma=1 / lf), **kw),
+        ap.adaptive_proxgrad(x0, rule=ap.MalitskyMishchenkoRule(gamma=1 / lf), **kw),
+        ap.adaptive_proxgrad(x0, rule=ap.AdaPGMPlusRule(gamma=1 / lf), **kw),
+        ap.backtracking_proxgrad(x0, gamma0=1.0, xi=2.0, **kw),
+        ap.backtracking_nesterov(x0, gamma0=1.0, **kw),
+        ap.fixed_nesterov(x0, gamma=1 / lf, **kw),
+        ap.agraal(x0, gamma0=1 / lf, **kw),
+    ]
+    objs = []
+    for r in runs:
+        assert np.isfinite(np.asarray(r.x)).all()
+        objs.append(float(f.value(r.x) + g(r.x)))
+    # all families should be within a loose band of the best found objective
+    best = min(objs)
+    assert all(o <= best + 1.0 + 0.5 * abs(best) for o in objs)
