@@ -14,6 +14,11 @@ reference-size lasso solves in ~40 ms.
 Matches the engine's iteration structure (solvers/primal_dual._step with
 A=None) so trajectories agree with the reference semantics; validated
 against the engine in tests.
+
+NB: `jax.vmap` over the kernel works in interpret mode but the compiled TPU
+batching rule rejects the batched SMEM scalar block — for batched solves on
+hardware use the engine path (solvers.batch.batch_solve), which vmaps
+cleanly.
 """
 
 from __future__ import annotations

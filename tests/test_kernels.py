@@ -152,3 +152,26 @@ def test_resident_prox_menu(rng, kind, p1, p2, make_g):
     # f32 reassociation drift shifts the stopping iteration near tol
     assert abs(int(numit) - int(ref.numit)) <= max(25, int(ref.numit) // 10)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-3, atol=1e-4)
+
+
+def test_resident_kernel_vmaps(rng):
+    """Batched whole-solves: vmap over the resident kernel's prox parameter
+    (a regularization path of complete solves in one compiled program)."""
+    from adaprox_tpu.ops.resident import resident_adapgm
+
+    m, n = 32, 128
+    a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    lf = float(np.linalg.norm(np.asarray(a), 2) ** 2)
+    lams = jnp.asarray([0.2, 0.6, 1.2], jnp.float32)
+
+    def solve(lam):
+        return resident_adapgm(a, b, jnp.zeros(n, jnp.float32), 1 / lf, 1e-4,
+                               2000, prox_kind="l1", p1=lam, interpret=True)
+
+    xs, numits, nres, conv = jax.vmap(solve)(lams)
+    assert xs.shape == (3, n)
+    for i in range(3):
+        x1, n1, r1, c1 = solve(lams[i])
+        assert int(numits[i]) == int(n1)
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(x1), rtol=1e-5, atol=1e-6)
