@@ -55,7 +55,31 @@ def resident_supported(a) -> bool:
     )
 
 
-def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind):
+def _rule_adapgm(g1, g0, ndg2, dgdx, ndx2):
+    """AdaPGM update (PG case; solvers/rules.AdaPGMRule.update)."""
+    dd_raw = g1 * (g1 * ndg2 - dgdx) / ndx2
+    dd = jnp.where(jnp.isnan(dd_raw), 0.0, dd_raw)
+    denom = jnp.maximum(dd + jnp.sqrt(dd * dd), 0.0)
+    gamma = jnp.minimum(g1 * jnp.sqrt(1 + g1 / g0), g1 / jnp.sqrt(2.0 * denom))
+    return gamma, gamma, g1
+
+
+def _rule_mm(g1, g0, ndg2, dgdx, ndx2):
+    """Malitsky-Mishchenko update; state reuse: g1 = gamma_prev, g0 = rho."""
+    lip = jnp.sqrt(ndg2) / jnp.sqrt(ndx2)
+    growth = jnp.sqrt(1 + g0) * g1
+    gamma = jnp.where(jnp.isnan(lip), growth, jnp.minimum(growth, 1 / (2 * lip)))
+    return gamma, gamma, gamma / g1
+
+
+def _rule_fixed(g1, g0, ndg2, dgdx, ndx2):
+    return g1, g1, g0
+
+
+_RULES = {"adapgm": _rule_adapgm, "mm": _rule_mm, "fixed": _rule_fixed}
+
+
+def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind):
     """scal_ref (SMEM, (4,)): [gamma0, tol, p1, p2] with (p1, p2) the static
     prox menu's parameters. Outputs: x (1, n); stats (SMEM, (4,)):
     [numit, norm_res, gamma, converged]."""
@@ -93,33 +117,29 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
         g0: jnp.ndarray
         norm_res: jnp.ndarray
 
+    rule_fn = _RULES[rule_kind]
+
     def body(c):
         grad = grad_of(c.x)
         primal = (c.v - c.x) / c.gamma + grad
         norm_res = jnp.sqrt(jnp.sum(primal * primal))
-        # AdaPGM rule (norm_a = 0 PG case; solvers/rules.AdaPGMRule.update)
         dg = grad - c.grad_prev
         dx = c.x - c.x_prev
         ndg2 = jnp.sum(dg * dg)
         dgdx = jnp.sum(dg * dx)
         ndx2 = jnp.sum(dx * dx)
-        dd_raw = c.g1 * (c.g1 * ndg2 - dgdx) / ndx2
-        dd = jnp.where(jnp.isnan(dd_raw), 0.0, dd_raw)
-        denom = jnp.maximum(dd + jnp.sqrt(dd * dd), 0.0)
-        gamma = jnp.minimum(
-            c.g1 * jnp.sqrt(1 + c.g1 / c.g0),
-            c.g1 / jnp.sqrt(2.0 * denom),
-        )
+        gamma, g1_new, g0_new = rule_fn(c.g1, c.g0, ndg2, dgdx, ndx2)
         v = c.x - gamma * grad
         x_new = prox(v, gamma)
-        return C(c.it + 1, x_new, v, c.x, grad, gamma, gamma, c.g1, norm_res)
+        return C(c.it + 1, x_new, v, c.x, grad, gamma, g1_new, g0_new, norm_res)
 
     def cond(c):
         return jnp.logical_and(c.it < maxit, c.norm_res > tol)
 
+    g0_init = jnp.asarray(jnp.inf, x.dtype) if rule_kind == "mm" else gamma0
     init = C(
         jnp.zeros((), jnp.int32), x, v, x0, grad0,
-        gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, x.dtype),
+        gamma0, gamma0, g0_init, jnp.asarray(jnp.inf, x.dtype),
     )
     final = jax.lax.while_loop(cond, body, init)
 
@@ -130,12 +150,13 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
     stats_ref[3] = (final.norm_res <= tol).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind"))
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind"))
 def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
-                    p1=0.0, p2=0.0, interpret=False):
-    """Full AdaPGM solve of 0.5||Ax-b||^2 + g(x) in one resident kernel,
-    with g chosen from the static prox menu ("l1", "box", "elastic",
-    "zero") parameterized by (p1, p2).
+                    p1=0.0, p2=0.0, rule_kind="adapgm", interpret=False):
+    """Full adaptive PG solve of 0.5||Ax-b||^2 + g(x) in one resident
+    kernel, with g chosen from the static prox menu ("l1", "box",
+    "elastic", "zero") parameterized by (p1, p2) and the stepsize rule from
+    {"adapgm", "mm", "fixed"}.
 
     a: (m, n) f32 (tile-aligned, fits VMEM twice); b: (m,); x0: (n,).
     Returns (x, numit, norm_res, converged).
@@ -147,7 +168,7 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
         jnp.asarray(p1, dt), jnp.asarray(p2, dt),
     ])
     x_out, stats = pl.pallas_call(
-        functools.partial(_kernel, maxit=maxit, prox_kind=prox_kind),
+        functools.partial(_kernel, maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -175,3 +175,27 @@ def test_resident_kernel_vmaps(rng):
         x1, n1, r1, c1 = solve(lams[i])
         assert int(numits[i]) == int(n1)
         np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(x1), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("rule_kind,make_rule", [
+    ("mm", lambda g0: ap.MalitskyMishchenkoRule(gamma=g0)),
+    ("fixed", lambda g0: ap.FixedStepsize(gamma=g0)),
+], ids=["mm", "fixed"])
+def test_resident_rule_menu(rng, rule_kind, make_rule):
+    from adaprox_tpu.ops.resident import resident_adapgm
+
+    m, n = 32, 128
+    a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    lf = float(np.linalg.norm(np.asarray(a), 2) ** 2)
+    x, numit, nres, conv = resident_adapgm(
+        a, b, jnp.zeros(n, jnp.float32), 1 / lf, 1e-4, 5000,
+        prox_kind="l1", p1=0.3, rule_kind=rule_kind, interpret=True,
+    )
+    ref = ap.adaptive_proxgrad(
+        jnp.zeros(n, jnp.float32), f=LeastSquares(a=a, b=b),
+        g=ap.L1Norm(lam=jnp.float32(0.3)),
+        rule=make_rule(jnp.float32(1 / lf)), tol=1e-4, maxit=5000,
+    )
+    assert abs(int(numit) - int(ref.numit)) <= max(25, int(ref.numit) // 10)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-3, atol=1e-4)
