@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resident_adapgm", "resident_adapgm_l1", "resident_supported"]
+__all__ = ["resident_adapgm", "resident_adapgm_l1", "resident_adapdm_dsvm", "resident_supported"]
 
 # static prox menu: kind -> (v, gamma, p1, p2) -> prox point
 _PROX = {
@@ -201,3 +201,151 @@ def resident_adapgm_l1(a, b, x0, gamma0, lam, tol, maxit, interpret=False):
     """Lasso specialization (g = lam * ||.||_1)."""
     return resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
                            p1=lam, interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# whole-solve primal-dual kernel for the dual-SVM shape
+# --------------------------------------------------------------------------
+
+
+def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
+    """AdaPDM (engine half1/half2 structure, solvers/primal_dual._step) for
+    the dual-SVM problem: f = 0.5 x'Qx - 1'x (Q symmetric, VMEM-resident),
+    g = IndBox(0, C), h = IndZero with A = labels^T (so prox_{sigma h*} is
+    the identity and the dual y is a scalar).
+
+    scal_ref (SMEM, (6,)): [t, norm_a, big_c, tol, theta_big, unused].
+    stats: [numit, norm_res, gamma, converged].
+    """
+    q = q_ref[:]      # (N, N), symmetric
+    lab = lab_ref[:]  # (1, N)
+    t = scal_ref[0]
+    norm_a = scal_ref[1]
+    big_c = scal_ref[2]
+    tol = scal_ref[3]
+    theta_big = scal_ref[4]
+
+    def grad_of(x_row):  # (1, N): Qx - 1 via the symmetric trick
+        qx = jnp.sum(q * x_row, axis=1, keepdims=True).T
+        return qx - 1.0
+
+    def a_mv(x_row):  # scalar labels'x
+        return jnp.sum(lab * x_row)
+
+    def clamp(v):
+        return jnp.clip(v, 0.0, big_c)
+
+    # warm-up (src/AdaProx.jl:324-332); y0 = 0
+    gamma0 = 1.0 / (2 * theta_big * t * norm_a)
+    n = q.shape[0]
+    x0 = jnp.zeros((1, n), q.dtype)
+    a_x0 = a_mv(x0)
+    grad0 = grad_of(x0)
+    v = x0 - gamma0 * grad0  # At_y0 = 0
+    x = clamp(v)
+
+    class C(NamedTuple):
+        it: jnp.ndarray
+        x: jnp.ndarray
+        v: jnp.ndarray
+        y: jnp.ndarray
+        at_y: jnp.ndarray  # (1, N)
+        x_prev: jnp.ndarray
+        a_x_prev: jnp.ndarray
+        grad_prev: jnp.ndarray
+        gamma: jnp.ndarray
+        g1: jnp.ndarray
+        g0: jnp.ndarray
+        norm_res: jnp.ndarray
+
+    def body(c):
+        a_x = a_mv(c.x)
+        grad = grad_of(c.x)
+        primal = (c.v - c.x) / c.gamma + grad + c.at_y
+        # AdaPGM rule with coupling (solvers/rules.AdaPGMRule.update)
+        dg = grad - c.grad_prev
+        dx = c.x - c.x_prev
+        ndg2 = jnp.sum(dg * dg)
+        dgdx = jnp.sum(dg * dx)
+        ndx2 = jnp.sum(dx * dx)
+        dd_raw = c.g1 * (c.g1 * ndg2 - dgdx) / ndx2
+        dd = jnp.where(jnp.isnan(dd_raw), 0.0, dd_raw)
+        xi = t * t * c.g1 * c.g1 * norm_a * norm_a
+        m4 = 1 - 4 * xi
+        denom = jnp.maximum(dd + jnp.sqrt(dd * dd + xi * m4), 0.0)
+        gamma = jnp.minimum(
+            c.g1 * jnp.sqrt(1 + c.g1 / c.g0),
+            jnp.minimum(
+                1 / (2 * theta_big * t * norm_a),
+                c.g1 * jnp.sqrt(m4) / jnp.sqrt(2.0 * denom),
+            ),
+        )
+        sigma = gamma * t * t
+        rho = gamma / c.gamma
+        w = c.y + sigma * ((1 + rho) * a_x - rho * c.a_x_prev)
+        y = w  # prox of (IndZero)* = Zero: identity
+        # dual_res = (w - y)/sigma - a_x = -a_x
+        norm_res = jnp.sqrt(jnp.sum(primal * primal) + a_x * a_x)
+        at_y = lab * y
+        v = c.x - gamma * (grad + at_y)
+        x_new = clamp(v)
+        return C(c.it + 1, x_new, v, y, at_y, c.x, a_x, grad, gamma, gamma,
+                 c.g1, norm_res)
+
+    def cond(c):
+        return jnp.logical_and(c.it < maxit, c.norm_res > tol)
+
+    init = C(
+        jnp.zeros((), jnp.int32), x, v, jnp.zeros((), q.dtype),
+        jnp.zeros((1, n), q.dtype), x0, a_x0, grad0,
+        gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, q.dtype),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    x_ref[:] = final.x
+    stats_ref[0] = final.it.astype(jnp.float32)
+    stats_ref[1] = final.norm_res
+    stats_ref[2] = final.gamma
+    stats_ref[3] = (final.norm_res <= tol).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
+def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit, interpret=False):
+    """Whole-solve AdaPDM for the dual SVM: min 0.5 x'Qx - 1'x over
+    0 <= x <= C with labels'x = 0 enforced via the scalar dual. Q stays
+    VMEM-resident (covers the reference's heart_scale/svmguide3 instantly;
+    Q must be symmetric and tile-aligned).
+
+    Returns (x, numit, norm_res, converged).
+    """
+    n = q.shape[0]
+    dt = q.dtype
+    scal = jnp.stack([
+        jnp.asarray(t, dt), jnp.asarray(norm_a, dt), jnp.asarray(big_c, dt),
+        jnp.asarray(tol, dt), jnp.asarray(1.2, dt), jnp.asarray(0.0, dt),
+    ])
+    x_out, stats = pl.pallas_call(
+        functools.partial(_pd_kernel, maxit=maxit),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dt),
+            jax.ShapeDtypeStruct((4,), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(q, labels.reshape(1, n), scal)
+    return (
+        x_out[0],
+        stats[0].astype(jnp.int32),
+        stats[1].astype(dt),
+        stats[3] > 0,
+    )

@@ -199,3 +199,36 @@ def test_resident_rule_menu(rng, rule_kind, make_rule):
     )
     assert abs(int(numit) - int(ref.numit)) <= max(25, int(ref.numit) // 10)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-3, atol=1e-4)
+
+
+def test_resident_pd_dsvm_matches_engine(rng):
+    """Whole-solve PD kernel for the dual-SVM shape vs the engine."""
+    from adaprox_tpu.ops.resident import resident_adapdm_dsvm
+    from adaprox_tpu.models.objectives import Quadratic
+
+    n = 128
+    feats = rng.standard_normal((n, 6)).astype(np.float32)
+    labels = np.sign(rng.standard_normal(n)).astype(np.float32)
+    labels[labels == 0] = 1.0
+    q = ((labels[:, None] * feats) @ (labels[:, None] * feats).T).astype(np.float32)
+    big_c, t = 0.5, 1.0
+    norm_a = float(np.linalg.norm(labels))
+
+    x, numit, nres, conv = resident_adapdm_dsvm(
+        jnp.asarray(q), jnp.asarray(labels), big_c, t, norm_a, 1e-4, 20_000,
+        interpret=True,
+    )
+    ref = ap.adaptive_primal_dual(
+        jnp.zeros(n, jnp.float32), jnp.zeros(1, jnp.float32),
+        f=Quadratic(q_mat=jnp.asarray(q), q_vec=-jnp.ones(n, jnp.float32)),
+        g=ap.IndBox(lo=0.0, hi=big_c), h=ap.IndZero(),
+        A=ap.DenseOperator(a=jnp.asarray(labels[None, :])),
+        rule=ap.AdaPGMRule.make(t=t, norm_a=norm_a), tol=1e-4, maxit=20_000,
+    )
+    assert bool(conv)
+    assert abs(int(numit) - int(ref.numit)) <= max(25, int(ref.numit) // 10)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-3, atol=1e-4)
+    # feasibility
+    xs = np.asarray(x)
+    assert (xs >= -1e-6).all() and (xs <= big_c + 1e-6).all()
+    assert abs(labels @ xs) < 1e-2
