@@ -66,6 +66,16 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 200))
 
     import jax
+
+    # persistent compile cache: repeat bench runs (and future rounds) reuse
+    # executables instead of re-queueing the remote compiler
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     import adaprox_tpu as ap
