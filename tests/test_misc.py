@@ -157,3 +157,25 @@ def test_gram_least_squares_matches(rng):
                               rule=ap.AdaPGMRule(gamma=1 / lf), tol=1e-9, maxit=10_000)
     gap = float(f1.value(r2.x) + g(r2.x)) - prob.optimum
     assert abs(gap) < 1e-7
+
+
+def test_bench_script_runs_small(monkeypatch, capsys):
+    """bench.py must emit one valid JSON line even on CPU at tiny sizes
+    (future rounds catch benchmark regressions in the suite)."""
+    import importlib
+    import json as _json
+    import sys
+
+    monkeypatch.setenv("BENCH_M", "64")
+    monkeypatch.setenv("BENCH_N", "128")
+    monkeypatch.setenv("BENCH_ITERS", "5")
+    sys.path.insert(0, ".")
+    import bench
+
+    importlib.reload(bench)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = _json.loads(out)
+    assert payload["unit"] == "iter/s"
+    assert payload["value"] > 0
+    assert "vs_baseline" in payload and "detail" in payload
