@@ -37,8 +37,11 @@ def measure(mesh_devices, m, n, iters, dtype_name="float32"):
     dtype = jnp.dtype(dtype_name)
     mesh = make_mesh((len(mesh_devices), 1), devices=mesh_devices)
     key = jax.random.PRNGKey(0)
+    # NB float(...): a raw np.float64 scalar is strong-typed in JAX and
+    # would silently promote the f32 matrix to f64 under jax_enable_x64
     a = shard_array(
-        jax.random.normal(key, (m, n), dtype) * (1.0 / np.sqrt(n)), mesh, P(ROWS, COLS)
+        jax.random.normal(key, (m, n), dtype) * float(1.0 / np.sqrt(n)),
+        mesh, P(ROWS, COLS),
     )
     b = shard_array(jax.random.normal(jax.random.PRNGKey(1), (m,), dtype), mesh, P(ROWS))
     x0 = shard_array(jnp.zeros(n, dtype), mesh, P(COLS))

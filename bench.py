@@ -86,7 +86,7 @@ def main():
     dev = jax.devices()[0]
 
     # large on-device problem for throughput (no host transfer of A)
-    a = jax.random.normal(jax.random.PRNGKey(0), (m, n), dtype) * (1.0 / np.sqrt(n))
+    a = jax.random.normal(jax.random.PRNGKey(0), (m, n), dtype) * float(1.0 / np.sqrt(n))
     b = jax.random.normal(jax.random.PRNGKey(1), (m,), dtype)
     x0 = jnp.zeros(n, dtype)
     g = ap.L1Norm(lam=jnp.asarray(0.01, dtype))

@@ -149,3 +149,18 @@ def test_profiler_trace(tmp_path, prob):
     for root, _dirs, files in os.walk(tmp_path):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_scaling_cli(capsys):
+    """scaling.py CLI produces one JSON line per mesh size with efficiency."""
+    import json as _json
+
+    from adaprox_tpu.experiments import scaling
+
+    scaling.main(["--m", "64", "--n", "128", "--iters", "10", "--mode", "strong",
+                  "--devices", "2"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2  # 1 and 2 devices
+    rows = [_json.loads(l) for l in lines]
+    assert rows[0]["devices"] == 1 and rows[1]["devices"] == 2
+    assert all("efficiency" in r for r in rows)
