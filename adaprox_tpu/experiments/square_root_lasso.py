@@ -41,7 +41,9 @@ def make_h(inner_cls, y):
     return ap.Translate(inner=inner, b=-jnp.asarray(y))
 
 
-def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000):
+def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
+                  vmap_sweep=False):
+    import jax
     import jax.numpy as jnp
 
     import adaprox_tpu as ap
@@ -64,17 +66,36 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000)
         tol=tol, maxit=maxit, history=True, name="Condat-Vu",
     ), primal_dual=True)
 
-    for t in T_VALUES:
-        sink.add(ap.malitsky_pock(
-            x0, y0, f=f, g=g, h=h, A=a_op, sigma=1.0, t=float(t),
-            tol=tol, maxit=maxit, history=True, name=f"Malitsky-Pock (t={t})",
-        ), primal_dual=True)
+    def add_sweep(fam, solve_t):
+        """Run the t grid either sequentially (reference structure,
+        square_root_lasso/runme.jl:48,80-95) or as ONE vmapped kernel over
+        the coupling t — nested linesearch while_loop and all."""
+        if vmap_sweep:
+            batched = jax.vmap(solve_t)(jnp.asarray(T_VALUES))
+            for i, t in enumerate(T_VALUES):
+                one = jax.tree_util.tree_map(lambda arr: arr[i], batched)
+                sink.add(one.with_name(f"{fam} (t={t})"), primal_dual=True)
+        else:
+            for t in T_VALUES:
+                res = solve_t(float(t))
+                sink.add(res.with_name(f"{fam} (t={t})"), primal_dual=True)
 
-    for t in T_VALUES:
-        sink.add(ap.adaptive_linesearch_primal_dual(
-            x0, y0, f=f, g=g, h=h, A=a_op, eta=norm_a, t=float(t),
-            tol=tol, maxit=maxit, history=True, name=f"AdaPDM+ (t={t})",
-        ), primal_dual=True)
+    def solve_mp(t):
+        res = ap.malitsky_pock(
+            x0, y0, f=f, g=g, h=h, A=a_op, sigma=1.0, t=t,
+            tol=tol, maxit=maxit, history=True,
+        )
+        return res._replace(name=None, extra=None, diag=None)
+
+    def solve_pdmp(t):
+        res = ap.adaptive_linesearch_primal_dual(
+            x0, y0, f=f, g=g, h=h, A=a_op, eta=norm_a, t=t,
+            tol=tol, maxit=maxit, history=True,
+        )
+        return res._replace(name=None, extra=None, diag=None)
+
+    add_sweep("Malitsky-Pock", solve_mp)
+    add_sweep("AdaPDM+", solve_pdmp)
     return source
 
 
@@ -110,6 +131,7 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
     p.add_argument("--lam", type=float, default=10.0)
     p.add_argument("--datasets", default="cpusmall_scale,abalone,housing_scale")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--vmap-sweep", action="store_true")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu)
@@ -120,7 +142,7 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
         sink = Sink(path, keys=KEYS)
         src = run_composite(ds, sink, inner_cls, lam=args.lam, tol=args.tol,
-                            maxit=args.maxit)
+                            maxit=args.maxit, vmap_sweep=args.vmap_sweep)
         print(f"{path}: data={src}")
         if not args.no_plot:
             plot_residual(path, title)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops import prox as prox_ops
 from ..solvers.rules import nan_to_zero
-from .common import Counters, Records, SolveResult, l2sq, run_loop
+from .common import Counters, Records, SolveResult, l2sq, reopen, run_loop
 
 __all__ = ["adaptive_linesearch_primal_dual"]
 
@@ -45,11 +45,13 @@ class _Carry(NamedTuple):
     norm_res: jnp.ndarray
     ck_x: jnp.ndarray
     ck_counters: Counters
+    ls_failed: jnp.ndarray  # latched: some linesearch exhausted _MAX_TRIALS
     done: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history"))
-def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxit, history):
+def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxit, history,
+           resume_state=None):
     f, g, h, a_op = parts
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
@@ -57,35 +59,39 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
         jnp.asarray(v, dt) for v in (t, big_theta, r, big_r, tol, eta0))
     delta1 = 1 + jnp.asarray(delta, dt)
 
-    # warm-up (src/AdaProx.jl:491-499)
-    a_x = a_op.matvec(x0)
-    _, aux0 = f.value_and_aux(x0)
-    grad0 = f.grad_from_aux(x0, aux0)
-    at_y = a_op.rmatvec(y0)
-    counters = Counters.zeros().bump(A_evals=1, f_evals=1, grad_f_evals=1, At_evals=1)
-    gamma0 = jnp.asarray(gamma0, dt)
-    v = x0 - gamma0 * (grad0 + at_y)
-    x1, _ = g.prox(v, gamma0)
-    counters = counters.bump(prox_g_evals=1)
+    if resume_state is not None:
+        carry0 = reopen(resume_state, dt)
+    else:
+        # warm-up (src/AdaProx.jl:491-499)
+        a_x = a_op.matvec(x0)
+        _, aux0 = f.value_and_aux(x0)
+        grad0 = f.grad_from_aux(x0, aux0)
+        at_y = a_op.rmatvec(y0)
+        counters = Counters.zeros().bump(A_evals=1, f_evals=1, grad_f_evals=1, At_evals=1)
+        gamma0 = jnp.asarray(gamma0, dt)
+        v = x0 - gamma0 * (grad0 + at_y)
+        x1, _ = g.prox(v, gamma0)
+        counters = counters.bump(prox_g_evals=1)
 
-    carry0 = _Carry(
-        it=jnp.zeros((), jnp.int32),
-        x=x1,
-        v=v,
-        y=y0,
-        at_y=at_y,
-        x_prev=x0,
-        a_x_prev=a_x,
-        grad_prev=grad0,
-        gamma=gamma0,
-        gamma_prev=gamma0,
-        eta=jnp.asarray(eta0, dt),
-        counters=counters,
-        norm_res=jnp.asarray(jnp.inf, dt),
-        ck_x=x1,
-        ck_counters=counters,
-        done=jnp.zeros((), jnp.bool_),
-    )
+        carry0 = _Carry(
+            it=jnp.zeros((), jnp.int32),
+            x=x1,
+            v=v,
+            y=y0,
+            at_y=at_y,
+            x_prev=x0,
+            a_x_prev=a_x,
+            grad_prev=grad0,
+            gamma=gamma0,
+            gamma_prev=gamma0,
+            eta=jnp.asarray(eta0, dt),
+            counters=counters,
+            norm_res=jnp.asarray(jnp.inf, dt),
+            ck_x=x1,
+            ck_counters=counters,
+            ls_failed=jnp.zeros((), jnp.bool_),
+            done=jnp.zeros((), jnp.bool_),
+        )
 
     def step(c):
         # outer half 1 (src/AdaProx.jl:502-514)
@@ -144,9 +150,10 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
             return trial(eta * r, counters, trials + 1)
 
         c0 = trial(eta, counters, jnp.zeros((), jnp.int32))
-        eta, gamma_next, sigma, w, y, at_y, _, counters, _ = jax.lax.while_loop(
+        eta, gamma_next, sigma, w, y, at_y, ok, counters, _ = jax.lax.while_loop(
             cond, body, c0
         )
+        ls_failed = jnp.logical_not(ok)  # only possible when the cap hit
         gamma, gamma_prev = gamma_next, c.gamma
 
         dual_res = (w - y) / sigma - a_x
@@ -195,6 +202,7 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
             norm_res=norm_res,
             ck_x=c.x,
             ck_counters=ck,
+            ls_failed=jnp.logical_or(c.ls_failed, ls_failed),
             done=jnp.logical_or(c.done, norm_res <= tol),
         )
         return new, rec
@@ -212,6 +220,8 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
         norm_res=final.norm_res,
         counters=counters,
         records=recs,
+        extra=final,  # resumable loop carry
+        diag={"eta": final.eta, "trials_exhausted": final.ls_failed},
     )
 
 
@@ -234,6 +244,7 @@ def adaptive_linesearch_primal_dual(
     maxit=10_000,
     name="AdaPDM+",
     history=False,
+    resume_state=None,
 ):
     """AdaPDM+ (reference src/AdaProx.jl:463-550): fully adaptive PD that
     needs no ||A||, only an initial estimate ``eta``."""
@@ -249,5 +260,6 @@ def adaptive_linesearch_primal_dual(
     res = _solve(
         (f, g, h, A), x0, jnp.asarray(y0), gamma, eta, t, delta, Theta, r, R,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
+        resume_state=resume_state,
     )
     return res.with_name(name)

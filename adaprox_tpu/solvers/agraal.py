@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .common import Counters, Records, SolveResult, l2sq, run_loop
+from .common import Counters, Records, SolveResult, l2sq, reopen, run_loop
 
 __all__ = ["agraal"]
 
@@ -35,10 +35,17 @@ class _Carry(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history"))
-def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history):
+def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history,
+           resume_state=None):
     f, g = parts
     dt = jnp.result_type(x1)
     gamma_max, tol = jnp.asarray(gamma_max, dt), jnp.asarray(tol, dt)
+    phi = jnp.asarray(phi, dt)
+    rho = 1 / phi + 1 / phi**2
+
+    if resume_state is not None:
+        carry0 = reopen(resume_state, dt)
+        return _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history)
 
     _, aux1 = f.value_and_aux(x1)
     grad_x = f.grad_from_aux(x1, aux1)
@@ -51,8 +58,6 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history):
         jnp.asarray(gamma0, dt),
         jnp.sqrt(l2sq(x1 - x0)) / jnp.sqrt(l2sq(grad_x - grad_x_prev)),
     )
-    phi = jnp.asarray(phi, dt)
-    rho = 1 / phi + 1 / phi**2
 
     carry0 = _Carry(
         it=jnp.zeros((), jnp.int32),
@@ -68,6 +73,12 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history):
         norm_res=jnp.asarray(jnp.inf, dt),
         done=jnp.zeros((), jnp.bool_),
     )
+    return _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history)
+
+
+def _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history):
+    f, g = parts
+    dt = carry0.gamma.dtype
 
     def step(c):
         # src/AdaProx.jl:175-189; identical iterates give C = 0/0 = NaN —
@@ -140,6 +151,7 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history):
         norm_res=final.norm_res,
         counters=counters,
         records=recs,
+        extra=final,  # resumable loop carry
     )
 
 
@@ -157,6 +169,7 @@ def agraal(
     name="aGRAAL",
     key=None,
     history=False,
+    resume_state=None,
 ):
     """aGRAAL (reference src/AdaProx.jl:150-192). ``x0`` defaults to a random
     perturbation of ``x1`` (pass ``key`` for determinism); ``gamma0`` defaults
@@ -171,5 +184,6 @@ def agraal(
     res = _solve(
         (f, g), x1, jnp.asarray(x0), gamma0, gamma_max, phi,
         jnp.asarray(tol, jnp.result_type(x1)), int(maxit), bool(history),
+        resume_state=resume_state,
     )
     return res.with_name(name)

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .common import Counters, Records, SolveResult, l2sq, run_loop
+from .common import Counters, Records, SolveResult, l2sq, reopen, run_loop
 
 __all__ = ["backtracking_proxgrad", "backtracking_nesterov"]
 
@@ -30,8 +30,11 @@ _MAX_TRIALS = 100
 
 def _backtrack(gamma, x, f_x, grad_x, *, f, g, counters, shrink):
     """``backtrack_stepsize`` (src/AdaProx.jl:34-48): halve gamma until the
-    quadratic upper bound holds. Returns (gamma, z, f_z, g_z, aux_z, counters).
-    """
+    quadratic upper bound holds. Returns
+    (gamma, z, f_z, g_z, aux_z, counters, failed) — ``failed`` is true when
+    the trial cap was hit with the sufficient-descent test still violated
+    (the reference loops unboundedly; a traced loop cannot, so the failure
+    must be surfaced instead of silently accepting the bad point)."""
 
     def trial(gamma, counters, trials):
         z, g_z = g.prox(x - gamma * grad_x, gamma)
@@ -53,7 +56,8 @@ def _backtrack(gamma, x, f_x, grad_x, *, f, g, counters, shrink):
 
     c0 = trial(gamma, counters, jnp.zeros((), jnp.int32))
     gamma, z, f_z, g_z, aux, counters, _ = jax.lax.while_loop(cond, body, c0)
-    return gamma, z, f_z, g_z, aux, counters
+    failed = f_z > upper_bound(gamma, z)  # acceptance test at loop exit
+    return gamma, z, f_z, g_z, aux, counters, failed
 
 
 class _PGCarry(NamedTuple):
@@ -68,6 +72,7 @@ class _PGCarry(NamedTuple):
     counters: Counters
     ck_counters: Counters
     norm_res: jnp.ndarray
+    ls_failed: jnp.ndarray  # latched: some backtrack exhausted _MAX_TRIALS
     done: jnp.ndarray
 
 
@@ -90,34 +95,39 @@ def _record(it, gamma, norm_res, objective, ck, done):
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "nesterov"))
-def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov):
+def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
+              resume_state=None):
     f, g = parts
     dt0 = jnp.result_type(x0)
     gamma0, xi, shrink, tol = (jnp.asarray(v, dt0) for v in (gamma0, xi, shrink, tol))
-    f_x0, aux0 = f.value_and_aux(x0)
-    grad0 = f.grad_from_aux(x0, aux0)
-    counters = Counters.zeros().bump(f_evals=1, grad_f_evals=1)
     dt = jnp.result_type(x0)
-    carry0 = _PGCarry(
-        it=jnp.zeros((), jnp.int32),
-        x=x0,
-        z=x0,
-        gamma=jnp.asarray(gamma0, dt),
-        f_x=f_x0,
-        grad_x=grad0,
-        theta=jnp.ones((), dt),
-        z_prev=x0,
-        counters=counters,
-        ck_counters=counters,
-        norm_res=jnp.asarray(jnp.inf, dt),
-        done=jnp.zeros((), jnp.bool_),
-    )
+    if resume_state is not None:
+        carry0 = reopen(resume_state, dt)
+    else:
+        f_x0, aux0 = f.value_and_aux(x0)
+        grad0 = f.grad_from_aux(x0, aux0)
+        counters = Counters.zeros().bump(f_evals=1, grad_f_evals=1)
+        carry0 = _PGCarry(
+            it=jnp.zeros((), jnp.int32),
+            x=x0,
+            z=x0,
+            gamma=jnp.asarray(gamma0, dt),
+            f_x=f_x0,
+            grad_x=grad0,
+            theta=jnp.ones((), dt),
+            z_prev=x0,
+            counters=counters,
+            ck_counters=counters,
+            norm_res=jnp.asarray(jnp.inf, dt),
+            ls_failed=jnp.zeros((), jnp.bool_),
+            done=jnp.zeros((), jnp.bool_),
+        )
 
     def step(c):
         # reference: PG inflates the trial step by xi each iteration
         # (src/AdaProx.jl:54); Nesterov does not (src/AdaProx.jl:72)
         trial_gamma = c.gamma * (1.0 if nesterov else xi)
-        gamma, z, f_z, g_z, aux, counters = _backtrack(
+        gamma, z, f_z, g_z, aux, counters, bt_failed = _backtrack(
             trial_gamma, c.x, c.f_x, c.grad_x, f=f, g=g, counters=c.counters, shrink=shrink
         )
         norm_res = jnp.sqrt(l2sq(z - c.x)) / gamma
@@ -150,6 +160,7 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov):
             counters=counters,
             ck_counters=ck,
             norm_res=norm_res,
+            ls_failed=jnp.logical_or(c.ls_failed, bt_failed),
             done=jnp.logical_or(c.done, norm_res <= tol),
         )
         return new, rec
@@ -168,10 +179,16 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov):
         norm_res=final.norm_res,
         counters=counters,
         records=recs,
+        extra=final,  # resumable loop carry
         # failure-detection diagnostics: the reference logs an error when the
         # backtracked step drops below 1e-12 but continues (src/AdaProx.jl:
-        # 40-42); here the final gamma is surfaced so callers can check
-        extra={"gamma": final.gamma, "stepsize_underflow": final.gamma < 1e-12},
+        # 40-42); a traced loop additionally caps the trial count, so a
+        # cap-exhausted (poisoned) backtrack is latched and surfaced too
+        diag={
+            "gamma": final.gamma,
+            "stepsize_underflow": final.gamma < 1e-12,
+            "trials_exhausted": final.ls_failed,
+        },
     )
 
 
@@ -187,13 +204,17 @@ def backtracking_proxgrad(
     maxit=100_000,
     name="Backtracking PG",
     history=False,
+    resume_state=None,
 ):
     """Prox-gradient with sufficient-descent backtracking and optional
-    per-iteration stepsize inflation ``xi`` (reference src/AdaProx.jl:50-64)."""
+    per-iteration stepsize inflation ``xi`` (reference src/AdaProx.jl:50-64).
+
+    ``resume_state``: a previous result's ``.extra`` carry — continues that
+    solve; ``maxit`` is the cumulative iteration cap."""
     x0 = jnp.asarray(x0)
     res = _solve_bt(
         (f, g), x0, gamma0, xi, shrink, jnp.asarray(tol, jnp.result_type(x0)),
-        int(maxit), bool(history), False,
+        int(maxit), bool(history), False, resume_state=resume_state,
     )
     return res.with_name(name)
 
@@ -209,12 +230,13 @@ def backtracking_nesterov(
     maxit=100_000,
     name="Backtracking Nesterov",
     history=False,
+    resume_state=None,
 ):
     """Accelerated PG with backtracking; momentum theta recurrence
     ``(1 + sqrt(1 + 4 theta^2))/2`` (reference src/AdaProx.jl:66-84)."""
     x0 = jnp.asarray(x0)
     res = _solve_bt(
         (f, g), x0, gamma0, 1.0, shrink, jnp.asarray(tol, jnp.result_type(x0)),
-        int(maxit), bool(history), True,
+        int(maxit), bool(history), True, resume_state=resume_state,
     )
     return res.with_name(name)

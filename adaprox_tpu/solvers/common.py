@@ -58,7 +58,19 @@ class Records(NamedTuple):
 
 class SolveResult(NamedTuple):
     """What every solver returns. The reference returns ``(x, numit)`` or
-    ``(x, y, numit)``; here counters/records/norm_res come along for free."""
+    ``(x, y, numit)``; here counters/records/norm_res come along for free.
+
+    ``extra`` is the solver's final loop carry — pass it back as
+    ``resume_state=`` (possibly via utils.checkpoint) to continue the solve
+    bit-exactly. ``diag`` holds failure-detection scalars (the reference only
+    error-logs these and continues, src/AdaProx.jl:40-42,566-568):
+
+      * ``stepsize_underflow`` — the accepted step fell below 1e-12;
+      * ``trials_exhausted`` — a backtracking/linesearch inner loop hit the
+        trip-count cap with its acceptance test still failing, so a
+        not-sufficiently-decreasing point was accepted (solvers with an
+        inner loop only).
+    """
 
     x: jnp.ndarray
     y: Optional[jnp.ndarray]
@@ -68,6 +80,7 @@ class SolveResult(NamedTuple):
     records: Optional[Records] = None
     name: Optional[str] = None
     extra: Any = None
+    diag: Optional[dict] = None
 
     def with_name(self, name):
         return self._replace(name=name)
@@ -90,6 +103,16 @@ def cast_floats(tree, dtype):
         return v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
 
     return jax.tree_util.tree_map(cast, tree)
+
+
+def reopen(carry, dtype):
+    """Reset a checkpointed loop carry so the solver loop runs again from it:
+    un-latch ``done`` (the loop's only gate). Everything else — counters,
+    rule state, previous-iterate curvature memory, and the last known
+    ``norm_res`` (truthful if the resumed run is granted zero further
+    iterations) — is preserved, so a resumed solve continues bit-exactly."""
+    del dtype
+    return carry._replace(done=jnp.zeros((), jnp.bool_))
 
 
 def run_loop(carry0, step, maxit, history):

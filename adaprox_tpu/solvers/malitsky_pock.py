@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import prox as prox_ops
-from .common import Counters, Records, SolveResult, l2sq, run_loop
+from .common import Counters, Records, SolveResult, l2sq, reopen, run_loop
 
 __all__ = ["malitsky_pock"]
 
@@ -38,35 +38,39 @@ class _Carry(NamedTuple):
     sigma: jnp.ndarray
     counters: Counters
     norm_res: jnp.ndarray
+    ls_failed: jnp.ndarray  # latched: some linesearch exhausted _MAX_TRIALS
     done: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history"))
-def _solve(parts, x0, y0, sigma0, t, tol, maxit, history):
+def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None):
     f, g, h, a_op = parts
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
     t, tol, sigma0 = (jnp.asarray(v, dt) for v in (t, tol, sigma0))
-
-    a_x = a_op.matvec(x0)
-    at_y = a_op.rmatvec(y0)
-    counters = Counters.zeros().bump(A_evals=1, At_evals=1)
     # NB: the reference initializes theta = 1 and never updates it in the
     # outer loop (src/AdaProx.jl:597; the linesearch helper's theta is local),
     # so sigma grows by sqrt(2) each iteration before backtracking.
     sqrt2 = jnp.sqrt(jnp.asarray(2.0, dt))
 
-    carry0 = _Carry(
-        it=jnp.zeros((), jnp.int32),
-        x=x0,
-        y=y0,
-        a_x=a_x,
-        at_y=at_y,
-        sigma=jnp.asarray(sigma0, dt),
-        counters=counters,
-        norm_res=jnp.asarray(jnp.inf, dt),
-        done=jnp.zeros((), jnp.bool_),
-    )
+    if resume_state is not None:
+        carry0 = reopen(resume_state, dt)
+    else:
+        a_x = a_op.matvec(x0)
+        at_y = a_op.rmatvec(y0)
+        counters = Counters.zeros().bump(A_evals=1, At_evals=1)
+        carry0 = _Carry(
+            it=jnp.zeros((), jnp.int32),
+            x=x0,
+            y=y0,
+            a_x=a_x,
+            at_y=at_y,
+            sigma=jnp.asarray(sigma0, dt),
+            counters=counters,
+            norm_res=jnp.asarray(jnp.inf, dt),
+            ls_failed=jnp.zeros((), jnp.bool_),
+            done=jnp.zeros((), jnp.bool_),
+        )
 
     def step(c):
         # dual ascent step (src/AdaProx.jl:600-603)
@@ -110,9 +114,11 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history):
             return trial(sigma / 2, counters, trials + 1)
 
         c0 = trial(sigma, counters, jnp.zeros((), jnp.int32))
-        sigma, gamma, x, v, a_x, f_x, aux, _, counters, _ = jax.lax.while_loop(
+        sigma, gamma, x, v, a_x, f_x, aux, lhs, counters, _ = jax.lax.while_loop(
             cond, body, c0
         )
+        # acceptance test at loop exit: still failing means the trial cap hit
+        ls_failed = lhs > 0.95 * l2sq(x - x_prev)
         grad_x = f.grad_from_aux(x, aux)
         counters = counters.bump(grad_f_evals=1)
 
@@ -149,6 +155,7 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history):
             sigma=sigma,
             counters=counters,
             norm_res=norm_res,
+            ls_failed=jnp.logical_or(c.ls_failed, ls_failed),
             done=jnp.logical_or(c.done, norm_res <= tol),
         )
         return new, rec
@@ -161,8 +168,13 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history):
         norm_res=final.norm_res,
         counters=final.counters,
         records=recs,
+        extra=final,  # resumable loop carry
         # cf. the reference's underflow error at src/AdaProx.jl:566-568
-        extra={"sigma": final.sigma, "stepsize_underflow": final.sigma < 1e-12},
+        diag={
+            "sigma": final.sigma,
+            "stepsize_underflow": final.sigma < 1e-12,
+            "trials_exhausted": final.ls_failed,
+        },
     )
 
 
@@ -180,6 +192,7 @@ def malitsky_pock(
     maxit=10_000,
     name="MP-ls",
     history=False,
+    resume_state=None,
 ):
     """Malitsky-Pock linesearch PD (reference src/AdaProx.jl:581-629).
     ``t`` couples the steps via gamma = t^2 * sigma."""
@@ -187,5 +200,6 @@ def malitsky_pock(
     res = _solve(
         (f, g, h, A), x0, jnp.asarray(y0), sigma, t,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
+        resume_state=resume_state,
     )
     return res.with_name(name)

@@ -12,7 +12,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .common import Counters, Records, SolveResult, l2sq, run_loop
+from .common import Counters, Records, SolveResult, l2sq, reopen, run_loop
 
 __all__ = ["fixed_nesterov"]
 
@@ -28,22 +28,26 @@ class _Carry(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "strongly_convex"))
-def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_convex):
+def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_convex,
+           resume_state=None):
     f, g = parts
     dt = jnp.result_type(x0)
     gamma, muf, mug, theta0, tol = (jnp.asarray(v, dt) for v in (gamma, muf, mug, theta0, tol))
     mu = muf + mug
     q = gamma * mu / (1 + gamma * mug)
 
-    carry0 = _Carry(
-        it=jnp.zeros((), jnp.int32),
-        x=x0,
-        x_prev=x0,
-        theta=jnp.asarray(theta0, dt),
-        counters=Counters.zeros(),
-        norm_res=jnp.asarray(jnp.inf, dt),
-        done=jnp.zeros((), jnp.bool_),
-    )
+    if resume_state is not None:
+        carry0 = reopen(resume_state, dt)
+    else:
+        carry0 = _Carry(
+            it=jnp.zeros((), jnp.int32),
+            x=x0,
+            x_prev=x0,
+            theta=jnp.asarray(theta0, dt),
+            counters=Counters.zeros(),
+            norm_res=jnp.asarray(jnp.inf, dt),
+            done=jnp.zeros((), jnp.bool_),
+        )
 
     def step(c):
         theta_prev = c.theta
@@ -110,6 +114,7 @@ def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_con
         norm_res=final.norm_res,
         counters=final.counters,
         records=recs,
+        extra=final,  # resumable loop carry
     )
 
 
@@ -127,6 +132,7 @@ def fixed_nesterov(
     maxit=100_000,
     name="Fixed Nesterov",
     history=False,
+    resume_state=None,
 ):
     """Fixed-step accelerated PG; q-based momentum when muf+mug > 0
     (reference src/AdaProx.jl:91-142)."""
@@ -146,6 +152,6 @@ def fixed_nesterov(
     res = _solve(
         (f, g), x0, gamma, muf, mug, theta,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
-        bool(mu != 0),
+        bool(mu != 0), resume_state=resume_state,
     )
     return res.with_name(name)

