@@ -61,6 +61,8 @@ from .solvers.agraal import agraal
 from .solvers.malitsky_pock import malitsky_pock
 from .solvers.adapdm_plus import adaptive_linesearch_primal_dual
 from .solvers.auto import auto_adaptive_proxgrad
+from .solvers.pd_fused import fused_adaptive_primal_dual, fused_condat_vu
+from .ops.sparse import ELLOperator
 
 __version__ = "0.1.0"
 
@@ -78,5 +80,6 @@ __all__ = [
     "adaptive_primal_dual", "adaptive_proxgrad", "fixed_proxgrad", "condat_vu",
     "backtracking_proxgrad", "backtracking_nesterov", "fixed_nesterov",
     "agraal", "malitsky_pock", "adaptive_linesearch_primal_dual",
+    "fused_adaptive_primal_dual", "fused_condat_vu", "ELLOperator",
     "auto_adaptive_proxgrad",
 ]

@@ -19,15 +19,20 @@ from ..utils import logging as tlog
 __all__ = ["Sink", "group_rows", "plot_lines", "pick_platform"]
 
 
-def pick_platform(force_cpu: bool = False):
+def pick_platform(force_cpu: bool = False, x64: bool = False):
     """Experiments default to whatever backend JAX resolves (TPU when
     available, running f32); --cpu forces the local CPU backend in f64 — the
     reference's numeric regime (see tests/conftest.py for why this image
-    needs the config override, not just JAX_PLATFORMS)."""
+    needs the config override, not just JAX_PLATFORMS). --f64 (x64=True)
+    keeps the accelerator backend but enables f64 end to end — XLA:TPU
+    emulated f64, the mode that meets the reference's tol-1e-7 criteria on
+    hardware (PARITY_TPU.md)."""
     import jax
 
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    elif x64:
         jax.config.update("jax_enable_x64", True)
     else:
         # accelerator path runs f32: the f64-to-f32 truncation of the numpy

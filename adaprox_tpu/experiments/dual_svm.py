@@ -140,10 +140,12 @@ def main(argv=None):
     p.add_argument("--datasets", default="svmguide3,mushrooms,heart_scale")
     p.add_argument("--C", default="0.1,1")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--f64", action="store_true",
+                   help="f64 on the accelerator (reference-regime parity)")
     p.add_argument("--vmap-sweep", action="store_true")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
-    pick_platform(args.cpu)
+    pick_platform(args.cpu, x64=args.f64)
 
     for big_c in (float(v) for v in args.C.split(",")):
         for ds in args.datasets.split(","):

@@ -75,9 +75,11 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=1e-7)
     p.add_argument("--sizes", default="100x300x10,500x1000x10,4000x1000x10")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--f64", action="store_true",
+                   help="f64 on the accelerator (reference-regime parity)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
-    pick_platform(args.cpu)
+    pick_platform(args.cpu, x64=args.f64)
 
     for spec in args.sizes.split(","):
         m, n, pf = (int(v) for v in spec.split("x"))

@@ -63,9 +63,11 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=100)
     p.add_argument("--L", type=float, default=100.0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--f64", action="store_true",
+                   help="f64 on the accelerator (reference-regime parity)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
-    pick_platform(args.cpu)
+    pick_platform(args.cpu, x64=args.f64)
 
     path = os.path.join(args.outdir, "nesterov_worst_case.jsonl")
     sink = Sink(path)

@@ -17,6 +17,7 @@ def main(argv=None):
     p.add_argument("--outdir", default="results")
     p.add_argument("--fast", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--f64", action="store_true")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
 
@@ -33,6 +34,8 @@ def main(argv=None):
     common = ["--outdir"]
     plot = ["--no-plot"] if args.no_plot else []
     cpu = ["--cpu"] if args.cpu else []
+    if args.f64:
+        cpu = cpu + ["--f64"]
 
     def budget(full, fast):
         return str(fast if args.fast else full)

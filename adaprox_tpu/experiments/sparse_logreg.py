@@ -92,9 +92,11 @@ def main(argv=None):
     p.add_argument("--lam", type=float, default=0.01)
     p.add_argument("--datasets", default="mushrooms,a5a,phishing")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--f64", action="store_true",
+                   help="f64 on the accelerator (reference-regime parity)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
-    pick_platform(args.cpu)
+    pick_platform(args.cpu, x64=args.f64)
 
     for ds in args.datasets.split(","):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")

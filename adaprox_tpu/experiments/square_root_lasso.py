@@ -131,10 +131,12 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
     p.add_argument("--lam", type=float, default=10.0)
     p.add_argument("--datasets", default="cpusmall_scale,abalone,housing_scale")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--f64", action="store_true",
+                   help="f64 on the accelerator (reference-regime parity)")
     p.add_argument("--vmap-sweep", action="store_true")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
-    pick_platform(args.cpu)
+    pick_platform(args.cpu, x64=args.f64)
 
     inner_cls = ap.L2Norm if inner == "l2" else ap.L1Norm
     title = "Square root lasso" if inner == "l2" else "Least absolute deviation"

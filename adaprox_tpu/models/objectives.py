@@ -32,7 +32,11 @@ def _acc_dtype(a, v):
 
 
 def _mv(a, v, precision):
-    """a @ v with explicit MXU precision and f32 accumulation for bf16 data."""
+    """a @ v with explicit MXU precision and f32 accumulation for bf16 data.
+    ``a`` may also be any LinearOperator (e.g. ops.sparse.ELLOperator) —
+    the sparse data path plugs into every oracle through here."""
+    if hasattr(a, "matvec"):
+        return a.matvec(v)
     return jax.lax.dot_general(
         a, v, (((1,), (0,)), ((), ())),
         precision=precision, preferred_element_type=_acc_dtype(a, v),
@@ -41,6 +45,8 @@ def _mv(a, v, precision):
 
 def _vm(v, a, precision):
     """v @ a (the transposed matvec, contraction-local for row-sharded a)."""
+    if hasattr(a, "rmatvec"):
+        return a.rmatvec(v)
     return jax.lax.dot_general(
         v, a, (((0,), (0,)), ((), ())),
         precision=precision, preferred_element_type=_acc_dtype(a, v),
@@ -69,7 +75,8 @@ class LeastSquares(SmoothOracle):
     def _use_fused(self):
         from ..ops import kernels
 
-        return self.fused and kernels.ls_supported(self.a, self.b, None)
+        return (self.fused and not hasattr(self.a, "matvec")
+                and kernels.ls_supported(self.a, self.b, None))
 
     def value_and_aux(self, w):
         if self._use_fused():
@@ -150,7 +157,8 @@ class LogisticLoss(SmoothOracle):
     def _use_fused(self):
         from ..ops import kernels
 
-        return self.fused and kernels.ls_supported(self.x, self.y, None)
+        return (self.fused and not hasattr(self.x, "matvec")
+                and kernels.ls_supported(self.x, self.y, None))
 
     def value_and_aux(self, w):
         if self._use_fused():

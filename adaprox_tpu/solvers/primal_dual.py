@@ -71,11 +71,15 @@ class _Carry(NamedTuple):
     done: jnp.ndarray
 
 
-def _init(f, g, a_op, rule, x0, y0):
-    """Warm-up phase, reference src/AdaProx.jl:324-332."""
+def _init(f, g, a_op, rule, x0, y0, sdt):
+    """Warm-up phase, reference src/AdaProx.jl:324-332. ``sdt`` is the
+    scalar dtype for steps/rule state/residual norms (the f64-scalar hybrid
+    when wider than the iterate dtype)."""
     (gamma, sigma), rstate = rule.init()
     counters = Counters.zeros()
     dual = a_op is not None
+    vdt = jnp.result_type(x0)
+    gamma_v = gamma.astype(vdt)  # step for vector arithmetic
 
     a_x = None
     at_y = None
@@ -88,13 +92,13 @@ def _init(f, g, a_op, rule, x0, y0):
     if dual:
         at_y = a_op.rmatvec(y0)
         counters = counters.bump(At_evals=1)
-        v = x0 - gamma * (grad + at_y)
+        v = x0 - gamma_v * (grad + at_y)
     else:
-        v = x0 - gamma * grad
-    x1, _ = g.prox(v, gamma)
+        v = x0 - gamma_v * grad
+    x1, _ = g.prox(v, gamma_v)
     counters = counters.bump(prox_g_evals=1)
 
-    inf = jnp.asarray(jnp.inf, dtype=jnp.result_type(x0))
+    inf = jnp.asarray(jnp.inf, dtype=sdt)
     return _Carry(
         it=jnp.zeros((), jnp.int32),
         x=x1,
@@ -115,11 +119,16 @@ def _init(f, g, a_op, rule, x0, y0):
     )
 
 
-def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective):
+def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective, sdt):
     """One full iteration (reference src/AdaProx.jl:334-362). Returns the new
-    carry and the record row for this iteration."""
+    carry and the record row for this iteration. Scalar arithmetic (rule
+    update, residual norms, step sizes) runs in ``sdt``; vector arithmetic
+    stays in the iterate dtype."""
     dual = a_op is not None
     counters = c.counters
+    vdt = jnp.result_type(c.x)
+    upcast = sdt != vdt
+    gamma_v = c.gamma.astype(vdt)
 
     # -- first half: evaluate, adapt steps, dual update, residuals ----------
     a_x = None
@@ -130,19 +139,30 @@ def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective):
     grad_x = f.grad_from_aux(c.x, aux)
     counters = counters.bump(f_evals=1, grad_f_evals=1)
 
-    primal_res = (c.v - c.x) / c.gamma + grad_x
+    if upcast:
+        # exact f32 differences in f64, then the 1/gamma amplification
+        # happens on f64 values (the residual's cancellation-sensitive path)
+        primal_res = (c.v.astype(sdt) - c.x.astype(sdt)) / c.gamma + grad_x.astype(sdt)
+    else:
+        primal_res = (c.v - c.x) / c.gamma + grad_x
     if dual:
-        primal_res = primal_res + c.at_y
+        primal_res = primal_res + (c.at_y.astype(sdt) if upcast else c.at_y)
 
-    curv = rules_mod.Curvature.of(c.x, grad_x, c.x_prev, c.grad_prev)
+    curv = rules_mod.Curvature.of(
+        c.x, grad_x, c.x_prev, c.grad_prev, dtype=sdt if upcast else None)
     (gamma, sigma), rstate = rule.update(c.rstate, curv)
     rho = gamma / c.gamma
+    gamma_nv = gamma.astype(vdt)
+    sigma_v = sigma.astype(vdt)
 
     if dual:
-        w = c.y + sigma * ((1 + rho) * a_x - rho * c.a_x_prev)
-        y, _ = h_conj.prox(w, sigma)
+        w = c.y + sigma_v * ((1 + rho).astype(vdt) * a_x - rho.astype(vdt) * c.a_x_prev)
+        y, _ = h_conj.prox(w, sigma_v)
         counters = counters.bump(prox_h_evals=1)
-        dual_res = (w - y) / sigma - a_x
+        if upcast:
+            dual_res = (w.astype(sdt) - y.astype(sdt)) / sigma - a_x.astype(sdt)
+        else:
+            dual_res = (w - y) / sigma - a_x
         norm_res = jnp.sqrt(l2sq(primal_res) + l2sq(dual_res))
     else:
         y = None
@@ -179,11 +199,11 @@ def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective):
     if dual:
         at_y = a_op.rmatvec(y)
         counters = counters.bump(At_evals=1)
-        v = c.x - gamma * (grad_x + at_y)
+        v = c.x - gamma_nv * (grad_x + at_y)
     else:
         at_y = None
-        v = c.x - gamma * grad_x
-    x_new, _ = g.prox(v, gamma)
+        v = c.x - gamma_nv * grad_x
+    x_new, _ = g.prox(v, gamma_nv)
     counters = counters.bump(prox_g_evals=1)
 
     new = _Carry(
@@ -207,17 +227,19 @@ def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective):
     return new, record
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "history"))
-def _solve_pd(parts, rule, x0, y0, tol, maxit, history, resume_state=None):
+@functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype"))
+def _solve_pd(parts, rule, x0, y0, tol, maxit, history, resume_state=None,
+              scalar_dtype=None):
     f, g, h, a_op = parts
     dt = jnp.result_type(x0)
-    rule = cast_floats(rule, dt)
-    tol = jnp.asarray(tol, dt)
+    sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
+    rule = cast_floats(rule, sdt)
+    tol = jnp.asarray(tol, sdt)
     h_conj = prox_ops.conjugate(h) if h is not None else None
     if resume_state is not None:
         carry0 = reopen(resume_state, dt)
     else:
-        carry0 = _init(f, g, a_op, rule, x0, y0)
+        carry0 = _init(f, g, a_op, rule, x0, y0, sdt)
     step = functools.partial(
         _step,
         f=f,
@@ -228,6 +250,7 @@ def _solve_pd(parts, rule, x0, y0, tol, maxit, history, resume_state=None):
         rule=rule,
         tol=tol,
         with_objective=history,
+        sdt=sdt,
     )
 
     final, recs = run_loop(carry0, step, maxit, history)
@@ -262,6 +285,7 @@ def adaptive_primal_dual(
     name="AdaPDM",
     history=False,
     resume_state=None,
+    scalar_dtype=None,
 ):
     """Adaptive primal-dual (AdaPDM) for min_x f(x) + g(x) + h(Ax).
 
@@ -272,6 +296,13 @@ def adaptive_primal_dual(
     ``resume_state``: a previous result's ``.extra`` carry (possibly loaded
     via utils.checkpoint) — continues that solve; ``maxit`` is the cumulative
     iteration cap.
+
+    ``scalar_dtype``: run the stepsize rule, curvature reductions, and
+    residual norms in this (wider) dtype while matvecs/iterates stay in the
+    x0 dtype — the f64-over-f32 hybrid for TPU (needs jax_enable_x64). The
+    f32->f64 upcasts happen BEFORE the cross-iterate subtractions, so the
+    rule sees exact differences; the remaining precision floor is the f32
+    matvec itself.
     """
     if A is not None and y0 is None:
         raise ValueError("y0 is required when A is given")
@@ -284,18 +315,18 @@ def adaptive_primal_dual(
     tol = jnp.asarray(tol, dtype=jnp.result_type(x0))
     res = _solve_pd(
         (f, g, h, A), rule, x0, y0, tol, int(maxit), bool(history),
-        resume_state=resume_state,
+        resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)
 
 
 def adaptive_proxgrad(x0, *, f, g, rule, tol=1e-5, maxit=100_000, name="AdaPGM",
-                      history=False, resume_state=None):
+                      history=False, resume_state=None, scalar_dtype=None):
     """Adaptive proximal gradient: the PD engine with h=Zero, A=0
     (reference src/AdaProx.jl:418-421)."""
     return adaptive_primal_dual(
         x0, f=f, g=g, rule=rule, tol=tol, maxit=maxit, name=name,
-        history=history, resume_state=resume_state,
+        history=history, resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
 
 

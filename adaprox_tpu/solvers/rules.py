@@ -51,7 +51,14 @@ class Curvature(NamedTuple):
     ndx2: jnp.ndarray  # ||x_1 - x_0||^2
 
     @staticmethod
-    def of(x1, grad1, x0, grad0):
+    def of(x1, grad1, x0, grad0, dtype=None):
+        """``dtype``: compute the reductions in a wider dtype (the f64-scalar
+        hybrid). Upcasting BEFORE the subtraction makes the differences of
+        f32 iterates exact in f64, so the delicate dgdx inner product (the
+        reference's f64 regime, src/AdaProx.jl:260-261) loses nothing to
+        cancellation even though the iterates live in f32."""
+        if dtype is not None:
+            x1, grad1, x0, grad0 = (v.astype(dtype) for v in (x1, grad1, x0, grad0))
         dg = grad1 - grad0
         dx = x1 - x0
         return Curvature(
@@ -97,7 +104,14 @@ class MalitskyMishchenkoRule:
     def update(self, state, curv):
         gamma_prev, rho = state
         lip = jnp.sqrt(curv.ndg2) / jnp.sqrt(curv.ndx2)
-        growth = jnp.sqrt(1 + rho) * gamma_prev
+        # rho is inf on the first update (init state): growth bound inactive.
+        # Guard explicitly rather than relying on sqrt(1+inf)==inf — XLA:TPU
+        # emulated f64 evaluates sqrt(1+inf) to NaN (measured on v5e), which
+        # poisoned every MM solve on hardware; the where() gives the exact
+        # limit on every backend.
+        growth = jnp.where(
+            jnp.isfinite(rho), jnp.sqrt(1 + rho) * gamma_prev, jnp.inf
+        )
         # identical iterates give L = 0/0 = NaN; fall back to the growth
         # bound instead of poisoning gamma (latent in the f64 reference)
         gamma = jnp.where(

@@ -154,6 +154,44 @@ def main():
     except Exception as e:
         results["resident_reference_size"] = {"error": str(e)[:200]}
 
+    # fused one-pass PD path (sqrt-lasso-shaped: f = 0, the A traffic IS the
+    # iteration) vs the two-pass engine at the same size
+    try:
+        iters_pd = max(20, iters // 4)
+        yv = jax.random.normal(jax.random.PRNGKey(5), (m,), dtype)
+        h = ap.Translate(inner=ap.L2Norm(lam=jnp.asarray(1.0, dtype)), b=-yv)
+        g_pd = ap.L1Norm(lam=jnp.asarray(0.01, dtype))
+        na = float(jnp.sqrt(jnp.sum(a * a)))
+        rule_pd = ap.AdaPGMRule.make(t=1.0, norm_a=na)
+        y0_pd = jnp.zeros(m, dtype)
+
+        def run_pd_xla():
+            res = ap.adaptive_primal_dual(
+                x0, y0_pd, f=ap.ZeroSmooth(), g=g_pd, h=h,
+                A=ap.DenseOperator(a=a), rule=rule_pd,
+                tol=0.0, maxit=iters_pd, history=False)
+            return res.norm_res, res.numit
+
+        def run_pd_fused():
+            res = ap.fused_adaptive_primal_dual(
+                x0, y0_pd, f=ap.ZeroSmooth(), g=g_pd, h=h, A=a, rule=rule_pd,
+                tol=0.0, maxit=iters_pd, history=False)
+            return res.norm_res, res.numit
+
+        dt_x, _ = time_solve(run_pd_xla)
+        dt_f, _ = time_solve(run_pd_fused)
+        results["pd_xla"] = {
+            "iters_per_sec": round(iters_pd / dt_x, 2),
+            "achieved_gbps": round(2 * m * n * 4 * iters_pd / dt_x / 1e9, 1),
+        }
+        results["pd_fused"] = {
+            "iters_per_sec": round(iters_pd / dt_f, 2),
+            "achieved_gbps": round(m * n * 4 * iters_pd / dt_f / 1e9, 1),
+            "speedup_vs_xla": round(dt_x / dt_f, 2),
+        }
+    except Exception as e:
+        results["pd_fused"] = {"error": str(e)[:200]}
+
     # convergence sanity on the known-optimum problem (f32, small)
     prob = random_lasso(m=1024, n=2048, pfactor=10, seed=0)
     f_small = LeastSquares(a=jnp.asarray(prob.a, dtype), b=jnp.asarray(prob.b, dtype))

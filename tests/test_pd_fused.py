@@ -1,0 +1,129 @@
+"""Engine parity of the fused one-pass PD path (ops.pd_kernels +
+solvers.pd_fused) against solvers.primal_dual — same algorithm, half the
+HBM passes (VERDICT r1 item 3). Interpret mode on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import adaprox_tpu as ap
+from adaprox_tpu.models.synthetic import random_lasso
+from adaprox_tpu.ops import pd_kernels
+from adaprox_tpu.solvers.pd_fused import (
+    fused_adaptive_primal_dual,
+    fused_condat_vu,
+    prox_menu_entry,
+)
+
+
+@pytest.fixture(scope="module")
+def srl_problem():
+    """Square-root-lasso shaped problem: f = 0, g = lam*l1,
+    h = Translate(L2, -y), A dense (m, n) with kernel-aligned dims."""
+    prob = random_lasso(m=64, n=256, pfactor=8, seed=11)
+    a = jnp.asarray(prob.a, jnp.float64)
+    yv = jnp.asarray(prob.b, jnp.float64)
+    h = ap.Translate(inner=ap.L2Norm(lam=1.0), b=-yv)
+    return a, yv, h
+
+
+def test_kernel_matches_xla(srl_problem, rng):
+    a, yv, h = srl_problem
+    m, n = a.shape
+    y = jnp.asarray(rng.standard_normal(m))
+    x = jnp.asarray(rng.standard_normal(n))
+    grad = jnp.asarray(rng.standard_normal(n))
+    for kind, p1, p2 in [("l1", 0.7, 0.0), ("box", -0.5, 0.5),
+                         ("elastic", 0.3, 0.2), ("zero", 0.0, 0.0)]:
+        ref = pd_kernels.pd_primal_update_xla(a, y, x, grad, 0.01, p1, p2,
+                                              prox_kind=kind)
+        got = pd_kernels.fused_pd_primal_update(a, y, x, grad, 0.01, p1, p2,
+                                                prox_kind=kind, interpret=True)
+        for r, g_ in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g_), np.asarray(r),
+                                       rtol=1e-10, atol=1e-12)
+
+
+def test_fused_engine_matches_engine_adapdm(srl_problem):
+    a, yv, h = srl_problem
+    m, n = a.shape
+    na = float(np.linalg.norm(np.asarray(a)))
+    kw = dict(f=ap.ZeroSmooth(), g=ap.L1Norm(lam=10.0), h=h,
+              rule=ap.AdaPGMRule.make(t=1.0, norm_a=na), tol=1e-9, maxit=400)
+    ref = ap.adaptive_primal_dual(
+        jnp.zeros(n), jnp.zeros(m), A=ap.DenseOperator(a=a), **kw)
+    got = fused_adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m), A=a, **kw)
+    assert int(got.numit) == int(ref.numit)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.y), np.asarray(ref.y),
+                               rtol=1e-9, atol=1e-11)
+    # below tol both residuals sit at the f64 noise floor; reassociation
+    # in the fused reductions moves the last bits
+    np.testing.assert_allclose(float(got.norm_res), float(ref.norm_res),
+                               rtol=1e-8, atol=1e-12)
+    # oracle-count parity at the convergence check (log-time semantics)
+    for k in ref.counters._fields:
+        assert int(getattr(got.counters, k)) == int(getattr(ref.counters, k)), k
+
+
+def test_fused_engine_matches_engine_condat_vu(srl_problem):
+    a, yv, h = srl_problem
+    m, n = a.shape
+    na = float(np.linalg.norm(np.asarray(a), 2))
+    kw = dict(f=ap.ZeroSmooth(), g=ap.L1Norm(lam=10.0), h=h, Lf=0.0,
+              tol=1e-9, maxit=300)
+    ref = ap.condat_vu(jnp.zeros(n), jnp.zeros(m), A=ap.DenseOperator(a=a),
+                       norm_A=na, **kw)
+    got = fused_condat_vu(jnp.zeros(n), jnp.zeros(m), A=a, norm_A=na, **kw)
+    assert int(got.numit) == int(ref.numit)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_fused_engine_history_records(srl_problem):
+    """Scan-mode records must carry the reference JSONL schema semantics."""
+    a, yv, h = srl_problem
+    m, n = a.shape
+    na = float(np.linalg.norm(np.asarray(a)))
+    got = fused_adaptive_primal_dual(
+        jnp.zeros(n), jnp.zeros(m), f=ap.ZeroSmooth(), g=ap.L1Norm(lam=10.0),
+        h=h, A=a, rule=ap.AdaPGMRule.make(t=1.0, norm_a=na),
+        tol=1e-9, maxit=50, history=True)
+    ref = ap.adaptive_primal_dual(
+        jnp.zeros(n), jnp.zeros(m), f=ap.ZeroSmooth(), g=ap.L1Norm(lam=10.0),
+        h=h, A=ap.DenseOperator(a=a), rule=ap.AdaPGMRule.make(t=1.0, norm_a=na),
+        tol=1e-9, maxit=50, history=True)
+    np.testing.assert_allclose(np.asarray(got.records.norm_res),
+                               np.asarray(ref.records.norm_res),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(got.records.A_evals),
+                                  np.asarray(ref.records.A_evals))
+    np.testing.assert_allclose(np.asarray(got.records.objective),
+                               np.asarray(ref.records.objective),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_fused_engine_resume(srl_problem):
+    a, yv, h = srl_problem
+    m, n = a.shape
+    na = float(np.linalg.norm(np.asarray(a)))
+    kw = dict(f=ap.ZeroSmooth(), g=ap.L1Norm(lam=10.0), h=h, A=a,
+              rule=ap.AdaPGMRule.make(t=1.0, norm_a=na), tol=1e-12)
+    straight = fused_adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m), maxit=100, **kw)
+    part1 = fused_adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m), maxit=40, **kw)
+    part2 = fused_adaptive_primal_dual(
+        jnp.zeros(n), jnp.zeros(m), maxit=100, resume_state=part1.extra, **kw)
+    np.testing.assert_array_equal(np.asarray(part2.x), np.asarray(straight.x))
+
+
+def test_prox_menu_entry():
+    assert prox_menu_entry(ap.L1Norm(lam=2.0))[0] == "l1"
+    assert prox_menu_entry(ap.IndBox(lo=0.0, hi=1.0))[0] == "box"
+    assert prox_menu_entry(ap.ElasticNet(lam1=1.0, lam2=2.0))[0] == "elastic"
+    assert prox_menu_entry(ap.Zero())[0] == "zero"
+    assert prox_menu_entry(ap.L2Norm(lam=1.0)) is None
+    with pytest.raises(ValueError):
+        fused_adaptive_primal_dual(
+            jnp.zeros(4), jnp.zeros(4), f=ap.ZeroSmooth(), g=ap.L2Norm(lam=1.0),
+            h=ap.IndZero(), A=jnp.eye(4), rule=ap.AdaPGMRule(gamma=0.1))
