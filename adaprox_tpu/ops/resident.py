@@ -65,9 +65,11 @@ def _rule_adapgm(g1, g0, ndg2, dgdx, ndx2):
 
 
 def _rule_mm(g1, g0, ndg2, dgdx, ndx2):
-    """Malitsky-Mishchenko update; state reuse: g1 = gamma_prev, g0 = rho."""
+    """Malitsky-Mishchenko update; state reuse: g1 = gamma_prev, g0 = rho.
+    The isfinite guard mirrors solvers/rules.py: sqrt(1+inf) is NaN under
+    XLA:TPU emulated f64 (and costs nothing in f32)."""
     lip = jnp.sqrt(ndg2) / jnp.sqrt(ndx2)
-    growth = jnp.sqrt(1 + g0) * g1
+    growth = jnp.where(jnp.isfinite(g0), jnp.sqrt(1 + g0) * g1, jnp.inf)
     gamma = jnp.where(jnp.isnan(lip), growth, jnp.minimum(growth, 1 / (2 * lip)))
     return gamma, gamma, gamma / g1
 
@@ -79,10 +81,15 @@ def _rule_fixed(g1, g0, ndg2, dgdx, ndx2):
 _RULES = {"adapgm": _rule_adapgm, "mm": _rule_mm, "fixed": _rule_fixed}
 
 
-def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind):
+def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind, momentum=False):
     """scal_ref (SMEM, (4,)): [gamma0, tol, p1, p2] with (p1, p2) the static
     prox menu's parameters. Outputs: x (1, n); stats (SMEM, (4,)):
-    [numit, norm_res, gamma, converged]."""
+    [numit, norm_res, gamma, converged].
+
+    ``momentum=True`` runs the accelerated iteration (fixed_nesterov,
+    reference src/AdaProx.jl:91-142 with muf = mug = 0): theta recurrence,
+    extrapolation point z, gradient at z, residual ||x_new - z|| / gamma —
+    the resident counterpart of solvers/nesterov.py."""
     a = a_ref[:]    # (m, n)
     at = at_ref[:]  # (n, m)
     b = b_ref[:]    # (1, m)
@@ -115,32 +122,57 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
         gamma: jnp.ndarray
         g1: jnp.ndarray
         g0: jnp.ndarray
+        theta: jnp.ndarray
         norm_res: jnp.ndarray
 
     rule_fn = _RULES[rule_kind]
 
-    def body(c):
-        grad = grad_of(c.x)
-        primal = (c.v - c.x) / c.gamma + grad
-        norm_res = jnp.sqrt(jnp.sum(primal * primal))
-        dg = grad - c.grad_prev
-        dx = c.x - c.x_prev
-        ndg2 = jnp.sum(dg * dg)
-        dgdx = jnp.sum(dg * dx)
-        ndx2 = jnp.sum(dx * dx)
-        gamma, g1_new, g0_new = rule_fn(c.g1, c.g0, ndg2, dgdx, ndx2)
-        v = c.x - gamma * grad
-        x_new = prox(v, gamma)
-        return C(c.it + 1, x_new, v, c.x, grad, gamma, g1_new, g0_new, norm_res)
+    if momentum:
+        # accelerated iteration (solvers/nesterov._solve, mu = 0):
+        # carry reuse — x: current iterate, x_prev: previous iterate
+        def body(c):
+            theta = (1 + jnp.sqrt(1 + 4 * c.theta * c.theta)) / 2
+            beta = (c.theta - 1) / theta
+            z = c.x + beta * (c.x - c.x_prev)
+            grad_z = grad_of(z)
+            x_new = prox(z - c.gamma * grad_z, c.gamma)
+            norm_res = jnp.sqrt(jnp.sum((x_new - z) * (x_new - z))) / c.gamma
+            return C(c.it + 1, x_new, z, c.x, grad_z, c.gamma, c.g1, c.g0,
+                     theta, norm_res)
+    else:
+        def body(c):
+            grad = grad_of(c.x)
+            primal = (c.v - c.x) / c.gamma + grad
+            norm_res = jnp.sqrt(jnp.sum(primal * primal))
+            dg = grad - c.grad_prev
+            dx = c.x - c.x_prev
+            ndg2 = jnp.sum(dg * dg)
+            dgdx = jnp.sum(dg * dx)
+            ndx2 = jnp.sum(dx * dx)
+            gamma, g1_new, g0_new = rule_fn(c.g1, c.g0, ndg2, dgdx, ndx2)
+            v = c.x - gamma * grad
+            x_new = prox(v, gamma)
+            return C(c.it + 1, x_new, v, c.x, grad, gamma, g1_new, g0_new,
+                     c.theta, norm_res)
 
     def cond(c):
         return jnp.logical_and(c.it < maxit, c.norm_res > tol)
 
     g0_init = jnp.asarray(jnp.inf, x.dtype) if rule_kind == "mm" else gamma0
-    init = C(
-        jnp.zeros((), jnp.int32), x, v, x0, grad0,
-        gamma0, gamma0, g0_init, jnp.asarray(jnp.inf, x.dtype),
-    )
+    if momentum:
+        # the momentum path starts from x0 directly (fixed_nesterov's
+        # x = x_prev = x0, theta = 1 init at solvers/nesterov.py)
+        init = C(
+            jnp.zeros((), jnp.int32), x0, x0, x0, grad0,
+            gamma0, gamma0, g0_init, jnp.ones((), x.dtype),
+            jnp.asarray(jnp.inf, x.dtype),
+        )
+    else:
+        init = C(
+            jnp.zeros((), jnp.int32), x, v, x0, grad0,
+            gamma0, gamma0, g0_init, jnp.ones((), x.dtype),
+            jnp.asarray(jnp.inf, x.dtype),
+        )
     final = jax.lax.while_loop(cond, body, init)
 
     x_ref[:] = final.x
@@ -150,13 +182,15 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
     stats_ref[3] = (final.norm_res <= tol).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind"))
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum"))
 def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
-                    p1=0.0, p2=0.0, rule_kind="adapgm", interpret=False):
+                    p1=0.0, p2=0.0, rule_kind="adapgm", momentum=False,
+                    interpret=False):
     """Full adaptive PG solve of 0.5||Ax-b||^2 + g(x) in one resident
     kernel, with g chosen from the static prox menu ("l1", "box",
     "elastic", "zero") parameterized by (p1, p2) and the stepsize rule from
-    {"adapgm", "mm", "fixed"}.
+    {"adapgm", "mm", "fixed"}. ``momentum=True`` runs the accelerated
+    (fixed_nesterov) iteration instead — use with rule_kind="fixed".
 
     a: (m, n) f32 (tile-aligned, fits VMEM twice); b: (m,); x0: (n,).
     Returns (x, numit, norm_res, converged).
@@ -168,7 +202,8 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
         jnp.asarray(p1, dt), jnp.asarray(p2, dt),
     ])
     x_out, stats = pl.pallas_call(
-        functools.partial(_kernel, maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind),
+        functools.partial(_kernel, maxit=maxit, prox_kind=prox_kind,
+                          rule_kind=rule_kind, momentum=momentum),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -154,6 +154,47 @@ def main():
     except Exception as e:
         results["resident_reference_size"] = {"error": str(e)[:200]}
 
+    # batched multi-problem solves on the ENGINE path (the documented
+    # workaround for the resident kernel's SMEM vmap limitation): a
+    # 16-value regularization path at the reference's largest size, one
+    # vmapped kernel vs the sequential loop
+    try:
+        from adaprox_tpu.solvers.batch import regularization_path
+
+        prob_b = random_lasso(m=4000, n=1000, pfactor=10, seed=0)
+        a_b = jnp.asarray(prob_b.a, dtype)
+        b_b = jnp.asarray(prob_b.b, dtype)
+        f_b = LeastSquares(a=a_b, b=b_b)
+        lf_b = float(np.linalg.norm(prob_b.a, 2) ** 2)
+        lams = jnp.asarray(np.geomspace(0.05, 5.0, 16), dtype)
+        it_b = 300
+
+        def run_batched():
+            res = regularization_path(
+                jnp.zeros(1000, dtype), f=f_b, lams=lams,
+                gamma=jnp.asarray(1 / lf_b, dtype), tol=0.0, maxit=it_b)
+            return res.norm_res
+
+        def run_sequential():
+            outs = []
+            for i in range(lams.shape[0]):
+                outs.append(ap.adaptive_proxgrad(
+                    jnp.zeros(1000, dtype), f=f_b,
+                    g=ap.L1Norm(lam=lams[i]),
+                    rule=ap.AdaPGMRule(gamma=jnp.asarray(1 / lf_b, dtype)),
+                    tol=0.0, maxit=it_b).norm_res)
+            return jnp.stack(outs)
+
+        dt_bat, _ = time_solve(run_batched)
+        dt_seq, _ = time_solve(run_sequential)
+        results["batched_regpath_16x4000x1000"] = {
+            "batched_s": round(dt_bat, 4),
+            "sequential_s": round(dt_seq, 4),
+            "speedup": round(dt_seq / dt_bat, 2),
+        }
+    except Exception as e:
+        results["batched_regpath_16x4000x1000"] = {"error": str(e)[:200]}
+
     # fused one-pass PD path (sqrt-lasso-shaped: f = 0, the A traffic IS the
     # iteration) vs the two-pass engine at the same size
     try:

@@ -232,3 +232,32 @@ def test_resident_pd_dsvm_matches_engine(rng):
     xs = np.asarray(x)
     assert (xs >= -1e-6).all() and (xs <= big_c + 1e-6).all()
     assert abs(labels @ xs) < 1e-2
+
+
+def test_resident_momentum_matches_fixed_nesterov():
+    """Resident kernel's momentum path (VERDICT r1 item 9) vs the engine's
+    fixed_nesterov on a lasso instance (interpret mode)."""
+    import numpy as np
+
+    import adaprox_tpu as ap
+    from adaprox_tpu.models.objectives import LeastSquares
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident import resident_adapgm
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=6)
+    a = jnp.asarray(prob.a, jnp.float32)
+    b = jnp.asarray(prob.b, jnp.float32)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    x, numit, nres, conv = resident_adapgm(
+        a, b, jnp.zeros(128, jnp.float32), 1 / lf, 1e-5, 800,
+        prox_kind="l1", p1=1.0, rule_kind="fixed", momentum=True,
+        interpret=True)
+    ref = ap.fixed_nesterov(
+        jnp.zeros(128, jnp.float32),
+        f=LeastSquares(a=a, b=b), g=ap.L1Norm(lam=jnp.float32(1.0)),
+        gamma=jnp.float32(1 / lf), tol=1e-5, maxit=800)
+    assert int(numit) == int(ref.numit)
+    # dual-layout lane reductions vs XLA matmul: f32 drift over ~500 iters
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-5)
+    assert bool(conv) == (float(ref.norm_res) <= 1e-5)
