@@ -65,7 +65,9 @@ def main():
       "BASELINE.md; problems with analytic optima give exact ground truth. "
       "'met' = the reference's own stopping criterion (norm_res <= tol within "
       "maxit); reference methods that max out (fixed PGM, aGRAAL on lasso etc.) "
-      "max out in the Julia reference too — parity includes matching those.\n\n")
+      "max out in the Julia reference too — parity includes matching those. "
+      "'secs' includes remote-compile queue wait on first-compiled graphs "
+      "(warm-cache solves are <1 s at these sizes).\n\n")
 
     # ---- lasso grid (experiments/lasso/runme.jl:191-211): tol 1e-7, maxit 2000
     sizes = [(100, 300, 10), (500, 1000, 10)] if args.fast else \
