@@ -59,6 +59,12 @@ class Sink:
         """A non-solver record (e.g. the known optimum, lasso runme.jl:79)."""
         tlog.write_jsonl(self.path, [row], keys=self.keys)
 
+    def emit_meta(self, **meta):
+        """An unprojected metadata row (e.g. data_source) — bypasses the key
+        projection so labels like synthetic-vs-libsvm survive into the file
+        (summaries must say which tables ran on fallback data)."""
+        tlog.write_jsonl(self.path, [dict(meta)], keys=None)
+
     def add(self, result, primal_dual=None):
         rows = tlog.records_to_rows(result.records, result.name, primal_dual=primal_dual)
         tlog.write_jsonl(self.path, rows, keys=self.keys)

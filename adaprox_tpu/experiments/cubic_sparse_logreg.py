@@ -114,6 +114,7 @@ def main(argv=None):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
         sink = Sink(path)
         src = run_cubic_logreg_data(ds, sink, lam=args.lam, tol=args.tol, maxit=args.maxit)
+        sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")
         if not args.no_plot:
             plot_convergence(path)

@@ -153,6 +153,7 @@ def main(argv=None):
             sink = Sink(path, keys=KEYS)
             src = run_dsvm(ds, sink, big_c=big_c, tol=args.tol, maxit=args.maxit,
                            vmap_sweep=args.vmap_sweep)
+            sink.emit_meta(data_source=src)
             print(f"{path}: data={src}")
             if not args.no_plot:
                 plot_residual(path)

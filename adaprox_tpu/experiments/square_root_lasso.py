@@ -145,6 +145,7 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
         sink = Sink(path, keys=KEYS)
         src = run_composite(ds, sink, inner_cls, lam=args.lam, tol=args.tol,
                             maxit=args.maxit, vmap_sweep=args.vmap_sweep)
+        sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")
         if not args.no_plot:
             plot_residual(path, title)

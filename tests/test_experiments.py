@@ -38,7 +38,7 @@ def test_sparse_logreg_driver(tmp_path):
     rows = read_jsonl(tmp_path / "heart_scale.jsonl")
     assert "AdaPGM (Ours)" in _methods(rows)
     # the high-accuracy ground-truth run is present with method == None
-    assert any(r["method"] is None for r in rows)
+    assert any(r.get("method") is None for r in rows)
 
 
 def test_dual_svm_driver(tmp_path):
@@ -66,7 +66,7 @@ def test_dual_svm_vmap_sweep_matches_sequential(tmp_path):
     vm = read_jsonl(tmp_path / "vm" / "heart_scale_C_0.1.jsonl")
 
     def final_res(rows, method):
-        return [r for r in rows if r["method"] == method][-1]["norm_res"]
+        return [r for r in rows if r.get("method") == method][-1]["norm_res"]
 
     for t in (0.1, 1, 10):
         a = final_res(seq, f"AdaPDM (t={t})")
@@ -101,7 +101,7 @@ def test_sqrt_lasso_vmap_sweep_matches_sequential(tmp_path):
     vm = read_jsonl(tmp_path / "vm" / "housing_scale.jsonl")
 
     def final_res(rows, method):
-        return [r for r in rows if r["method"] == method][-1]["norm_res"]
+        return [r for r in rows if r.get("method") == method][-1]["norm_res"]
 
     for fam in ("AdaPDM+", "Malitsky-Pock"):
         for t in (0.1, 1, 100):
@@ -139,7 +139,7 @@ def test_nesterov_worst_case_driver(tmp_path):
     assert rows[0]["method"] is None
 
     def final_gap(method):
-        sel = [r for r in rows if r["method"] == method]
+        sel = [r for r in rows if r.get("method") == method]
         return sel[-1]["objective"] - opt
 
     assert final_gap("Fixed Nesterov") <= final_gap("Fixed stepsize PGM") + 1e-12

@@ -42,9 +42,14 @@ def main():
         rel = os.path.relpath(path, args.results)
         by_method: dict[str, list] = {}
         optimum = None
+        data_source = None
         for r in rows:
+            if r.get("data_source") is not None:
+                data_source = r["data_source"]
+                continue
             if r.get("method") is None:
-                optimum = min(filter(None, [optimum, r.get("objective")]))
+                if r.get("objective") is not None:
+                    optimum = min(filter(None, [optimum, r.get("objective")]))
                 continue
             by_method.setdefault(r["method"], []).append(r)
         if optimum is None:
@@ -53,7 +58,9 @@ def main():
             finite = [o for o in objs if o not in (None,) and o == o and o != float("inf")]
             optimum = min(finite) if finite else None
 
-        lines.append(f"\n## {rel}\n\n")
+        label = {"synthetic": " — SYNTHETIC fallback data",
+                 "libsvm": " — real LIBSVM data"}.get(data_source, "")
+        lines.append(f"\n## {rel}{label}\n\n")
         lines.append("| family | best variant | numit | final norm_res | final gap |\n")
         lines.append("|---|---|---|---|---|\n")
         fams: dict[str, list] = {}
