@@ -66,11 +66,12 @@ class Sink:
         tlog.write_jsonl(self.path, [dict(meta)], keys=None)
 
     def add(self, result, primal_dual=None):
-        rows = tlog.records_to_rows(result.records, result.name, primal_dual=primal_dual)
-        tlog.write_jsonl(self.path, rows, keys=self.keys)
-        if self.echo and rows:
-            tlog.echo_logstep_rows(rows[-1:], self.base)
-        return rows
+        n, last = tlog.write_records_jsonl(
+            self.path, result.records, result.name,
+            primal_dual=primal_dual, keys=self.keys)
+        if self.echo and last is not None:
+            tlog.echo_logstep_rows([last], self.base)
+        return n
 
 
 def group_rows(rows):

@@ -92,6 +92,71 @@ def build_error() -> str | None:
     return _build_error
 
 
+# --------------------------------------------------------------------------
+# JSONL sink (jsonl_sink.cpp) — same lazy-build/ctypes/fallback pattern
+# --------------------------------------------------------------------------
+
+_SINK_SRC = os.path.join(_HERE, "jsonl_sink.cpp")
+_SINK_SO = os.path.join(_HERE, "_jsonl_sink.so")
+_sink_lib = None
+_sink_error: str | None = None
+
+
+def get_sink_lib():
+    global _sink_lib, _sink_error
+    with _lock:
+        if _sink_lib is not None or _sink_error is not None:
+            return _sink_lib
+        if not (os.path.exists(_SINK_SO)
+                and os.path.getmtime(_SINK_SO) >= os.path.getmtime(_SINK_SRC)):
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                   _SINK_SRC, "-o", _SINK_SO + ".tmp"]
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+            except (OSError, subprocess.TimeoutExpired) as e:
+                _sink_error = f"g++ unavailable: {e}"
+                return None
+            if proc.returncode != 0:
+                _sink_error = f"g++ failed: {proc.stderr[:500]}"
+                return None
+            os.replace(_SINK_SO + ".tmp", _SINK_SO)
+        lib = ctypes.CDLL(_SINK_SO)
+        lib.adaprox_write_jsonl.restype = ctypes.c_int
+        lib.adaprox_write_jsonl.argtypes = [
+            ctypes.c_char_p,                      # path
+            ctypes.c_char_p,                      # mode
+            ctypes.c_char_p,                      # method (or None)
+            ctypes.POINTER(ctypes.c_char_p),      # keys
+            ctypes.c_int,                         # n_keys
+            ctypes.POINTER(ctypes.c_double),      # values (n_rows, n_keys)
+            ctypes.POINTER(ctypes.c_ubyte),       # is_int per key
+            ctypes.c_longlong,                    # n_rows
+        ]
+        _sink_lib = lib
+        return _sink_lib
+
+
+def write_jsonl_native(path, method, keys, values, is_int, mode="a") -> bool:
+    """Write (n_rows, n_keys) float64 ``values`` as JSONL rows via the C++
+    sink. Returns False if the native lib is unavailable or the write failed
+    (caller falls back to the Python writer)."""
+    lib = get_sink_lib()
+    if lib is None:
+        return False
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    is_int_arr = np.asarray(is_int, dtype=np.uint8)
+    key_arr = (ctypes.c_char_p * len(keys))(*[k.encode() for k in keys])
+    rc = lib.adaprox_write_jsonl(
+        os.fspath(path).encode(), mode.encode(),
+        method.encode() if method is not None else None,
+        key_arr, len(keys),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        is_int_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        values.shape[0],
+    )
+    return rc == 0
+
+
 def parse_libsvm_dense(path, pad_to: int | None = None):
     """Parse with the native parser (single pass over the file into COO,
     then a scatter into the dense buffer). Returns (X, y, rows, cols) with X

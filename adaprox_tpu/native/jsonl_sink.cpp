@@ -1,0 +1,90 @@
+// Native JSONL sink for solver telemetry.
+//
+// The reference writes one JSON object per iteration through Julia's
+// FormatLogger (experiments/logging.jl:22-27). Here the records come out of
+// the compiled loop as stacked arrays (solvers/common.Records); this sink
+// formats and writes N rows from column-major double data in one C call,
+// avoiding the per-row dict + json.dumps cost of the Python path (the grid
+// writes ~10^5-10^6 rows per experiment sweep).
+//
+// Shortest-round-trip float formatting: try %.15g, %.16g, %.17g and keep the
+// first that parses back bit-equal — the same contract as Python repr(), so
+// files are interchangeable with the Python writer.
+//
+// C ABI (ctypes): see adaprox_write_jsonl below. Thread-safety: none needed
+// (one sink per experiment file, written from the driver thread).
+
+#include <charconv>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+// shortest representation of v that round-trips: std::to_chars's default
+// (shortest) mode — the same contract as Python repr, ~10x faster than a
+// snprintf+strtod precision ladder (which dominated the first version's
+// profile at 1.5 us/value)
+void format_double(char *buf, size_t cap, double v) {
+    auto res = std::to_chars(buf, buf + cap - 1, v);
+    *res.ptr = '\0';
+}
+
+}  // namespace
+
+extern "C" {
+
+// Write n_rows JSONL records to `path` (mode "a" or "w").
+//   method:   UTF-8 string or NULL -> no "method" field
+//   keys:     n_keys column names
+//   values:   row-major (n_rows, n_keys) doubles
+//   is_int:   per-column flag: format as integer
+// Returns 0 on success, nonzero errno-style code on failure.
+int adaprox_write_jsonl(const char *path, const char *mode, const char *method,
+                        const char **keys, int n_keys, const double *values,
+                        const unsigned char *is_int, long long n_rows) {
+    FILE *f = fopen(path, mode);
+    if (!f) return 1;
+    // big stdio buffer: one syscall per ~1 MB instead of per row
+    static_cast<void>(setvbuf(f, nullptr, _IOFBF, 1 << 20));
+
+    char num[64];
+    for (long long r = 0; r < n_rows; ++r) {
+        fputc('{', f);
+        bool first = true;
+        if (method) {
+            fputs("\"method\": \"", f);
+            // method names are plain ASCII identifiers; escape the two
+            // JSON-critical characters anyway
+            for (const char *p = method; *p; ++p) {
+                if (*p == '"' || *p == '\\') fputc('\\', f);
+                fputc(*p, f);
+            }
+            fputc('"', f);
+            first = false;
+        }
+        const double *row = values + static_cast<size_t>(r) * n_keys;
+        for (int k = 0; k < n_keys; ++k) {
+            if (!first) fputs(", ", f);
+            first = false;
+            fputc('"', f);
+            fputs(keys[k], f);
+            fputs("\": ", f);
+            double v = row[k];
+            if (is_int[k]) {
+                snprintf(num, sizeof num, "%lld", static_cast<long long>(v));
+            } else if (v != v) {
+                snprintf(num, sizeof num, "NaN");  // json.dumps parity
+            } else {
+                format_double(num, sizeof num, v);
+            }
+            fputs(num, f);
+        }
+        fputs("}\n", f);
+    }
+    int err = ferror(f);
+    fclose(f);
+    return err ? 2 : 0;
+}
+
+}  // extern "C"

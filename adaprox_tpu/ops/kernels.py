@@ -131,39 +131,60 @@ def fused_ls_value_grad(a, b, x, interpret=False, block_rows=None):
     return f_out[0, 0], grad_out[0]
 
 
-def _stream_kernel(a_ref, s_ref):
+def _stream_kernel(a_ref, scale_ref, acc_ref):
     # pure read + reduce: the fastest thing a kernel can do per HBM byte.
     # Establishes the attainable stream bandwidth on this chip — the honest
     # denominator for "fraction of roofline" (nominal spec sheets are not
     # achievable for real access patterns; VERDICT r1 weak item 1).
-    i = pl.program_id(0)
+    #
+    # The reduction is a structured sublane (axis=0) sum into a (1, n) VMEM
+    # accumulator — NOT a full-tile jnp.sum to an SMEM scalar, which Mosaic
+    # lowers to serialized cross-lane code ~700x slower than the stream
+    # (measured 37 GB/s vs 650; the scalar finish happens outside).
+    #
+    # grid = (repeats, tiles): the outer grid dimension re-streams the whole
+    # array with NO host/loop overhead between passes — pure back-to-back
+    # DMA, the cleanest attainable-bandwidth measurement on this backend
+    # (a lax.fori_loop around the kernel costs ~0.4 ms/pass in loop-carry
+    # serialization; a single dispatch costs ~25 ms of relay latency).
+    k = pl.program_id(0)
+    i = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_and(k == 0, i == 0))
     def _():
-        s_ref[0, 0] = jnp.zeros((), jnp.float32)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s_ref[0, 0] += jnp.sum(a_ref[:].astype(jnp.float32))
+    acc_ref[:] += scale_ref[0, 0] * jnp.sum(
+        a_ref[:].astype(jnp.float32), axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def hbm_read_reduce(a, block_rows=None):
-    """sum(a) via a row-tiled Pallas read-reduce — the stream-bandwidth
-    calibration kernel. Time this over a >=1 GB array to measure the chip's
-    attainable HBM read rate."""
+@functools.partial(jax.jit, static_argnames=("block_rows", "repeats"))
+def hbm_read_reduce(a, scale=1.0, block_rows=None, repeats=1):
+    """repeats * scale * sum(a) via a row-tiled Pallas read-reduce — the
+    stream-bandwidth calibration kernel: ``repeats`` full passes over ``a``
+    back-to-back inside one kernel launch. Time over a >=1 GB array to
+    measure the chip's attainable HBM read rate; divide by ``repeats``.
+    ``scale`` is traced so even the single launch can be made loop-carry
+    dependent by a caller."""
     m, n = a.shape
     tm = block_rows or pick_block_rows(m, n, a.dtype.itemsize)
+    scale2 = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     out = pl.pallas_call(
         _stream_kernel,
-        grid=(m // tm,),
-        in_specs=[pl.BlockSpec((tm, n), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        grid=(repeats, m // tm),
+        in_specs=[
+            pl.BlockSpec((tm, n), lambda k, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda k, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=m * n, bytes_accessed=m * n * a.dtype.itemsize, transcendentals=0
+            flops=repeats * m * n,
+            bytes_accessed=repeats * m * n * a.dtype.itemsize, transcendentals=0
         ),
-    )(a)
-    return out[0, 0]
+    )(a, scale2)
+    return jnp.sum(out)
 
 
 def ls_value_grad_xla(a, b, x, precision="highest"):

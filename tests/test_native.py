@@ -75,3 +75,92 @@ def test_native_speedup(tmp_path, native_available):
     load_libsvm_dataset(p, engine="native")
     t_native = time.perf_counter() - t0
     assert t_native < t_py  # typically 10-50x on real datasets
+
+
+def test_native_jsonl_sink_matches_python(tmp_path):
+    """The C++ JSONL sink writes byte-identical rows to the Python writer
+    (shortest-round-trip float formatting, same key order/projection)."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import adaprox_tpu as ap
+    from adaprox_tpu import native
+    from adaprox_tpu.models.objectives import LeastSquares
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.utils import logging as tlog
+
+    if native.get_sink_lib() is None:
+        import pytest
+
+        pytest.skip(f"native sink unavailable: {native._sink_error}")
+
+    prob = random_lasso(m=32, n=64, pfactor=8, seed=1)
+    f = LeastSquares(a=jnp.asarray(prob.a), b=jnp.asarray(prob.b))
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    res = ap.adaptive_proxgrad(
+        jnp.zeros(64), f=f, g=ap.L1Norm(lam=1.0),
+        rule=ap.AdaPGMRule(gamma=1 / lf), tol=1e-9, maxit=120, history=True)
+
+    p_native = tmp_path / "native.jsonl"
+    p_python = tmp_path / "python.jsonl"
+    n, last = tlog.write_records_jsonl(p_native, res.records, "AdaPGM")
+    rows = tlog.records_to_rows(res.records, "AdaPGM")
+    tlog.write_jsonl(p_python, rows)
+    assert n == len(rows)
+
+    nat = p_native.read_text().splitlines()
+    py = p_python.read_text().splitlines()
+    assert len(nat) == len(py)
+    for a_line, b_line in zip(nat, py):
+        assert json.loads(a_line) == json.loads(b_line)
+    # and the echo row matches the final python row
+    assert last == rows[-1]
+
+    # projected keys (the dual_svm/sqrt-lasso pattern), appending
+    keys = ["method", "it", "f_evals", "norm_res"]
+    tlog.write_records_jsonl(p_native, res.records, "AdaPGM", keys=keys)
+    projected = tlog.read_jsonl(p_native)[len(rows):]
+    assert list(projected[0].keys()) == keys
+    assert len(projected) == len(rows)
+
+
+def test_native_jsonl_sink_speed(tmp_path):
+    """Native sink should beat the per-row Python writer (informational;
+    asserts only that it is not slower than 2x python)."""
+    import time
+
+    import numpy as np
+
+    from adaprox_tpu import native
+    from adaprox_tpu.solvers.common import Records
+    from adaprox_tpu.utils import logging as tlog
+
+    if native.get_sink_lib() is None:
+        import pytest
+
+        pytest.skip("native sink unavailable")
+
+    n = 200_000
+    rng = np.random.default_rng(0)
+    recs = Records(
+        it=np.arange(1, n + 1, dtype=np.int32),
+        gamma=rng.random(n), sigma=np.zeros(n), norm_res=rng.random(n),
+        objective=rng.random(n),
+        f_evals=np.arange(n, dtype=np.int32),
+        grad_f_evals=np.arange(n, dtype=np.int32),
+        prox_g_evals=np.arange(n, dtype=np.int32),
+        prox_h_evals=np.zeros(n, np.int32),
+        A_evals=np.zeros(n, np.int32), At_evals=np.zeros(n, np.int32),
+        valid=np.ones(n, bool),
+    )
+    t0 = time.perf_counter()
+    tlog.write_records_jsonl(tmp_path / "n.jsonl", recs, "m")
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tlog.write_jsonl(tmp_path / "p.jsonl", tlog.records_to_rows(recs, "m"))
+    t_python = time.perf_counter() - t0
+    print(f"native {t_native:.3f}s python {t_python:.3f}s "
+          f"({t_python / t_native:.1f}x)")
+    assert t_native < 2 * t_python
