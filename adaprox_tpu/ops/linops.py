@@ -73,6 +73,9 @@ class SparseOperator:
     matvec lowers to gather/scatter off the MXU), so this exists for parity
     and for genuinely huge, very sparse problems on CPU hosts. Construct via
     ``SparseOperator.from_dense`` or from a ``jax.experimental.sparse.BCOO``.
+
+    For the TPU-native sparse path (padded-row ELL, gather-only matvecs in
+    both directions) see ``ops.sparse.ELLOperator``.
     """
 
     a: object  # jax.experimental.sparse.BCOO

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resident_adapgm", "resident_adapgm_l1", "resident_adapdm_dsvm", "resident_supported"]
+__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_adapdm_dsvm", "resident_supported"]
 
 # static prox menu: kind -> (v, gamma, p1, p2) -> prox point
 _PROX = {
@@ -81,22 +81,11 @@ def _rule_fixed(g1, g0, ndg2, dgdx, ndx2):
 _RULES = {"adapgm": _rule_adapgm, "mm": _rule_mm, "fixed": _rule_fixed}
 
 
-def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind, momentum=False):
-    """scal_ref (SMEM, (4,)): [gamma0, tol, p1, p2] with (p1, p2) the static
-    prox menu's parameters. Outputs: x (1, n); stats (SMEM, (4,)):
-    [numit, norm_res, gamma, converged].
-
-    ``momentum=True`` runs the accelerated iteration (fixed_nesterov,
-    reference src/AdaProx.jl:91-142 with muf = mug = 0): theta recurrence,
-    extrapolation point z, gradient at z, residual ||x_new - z|| / gamma —
-    the resident counterpart of solvers/nesterov.py."""
-    a = a_ref[:]    # (m, n)
-    at = at_ref[:]  # (n, m)
-    b = b_ref[:]    # (1, m)
-    gamma0 = scal_ref[0]
-    tol = scal_ref[1]
-    p1 = scal_ref[2]
-    p2 = scal_ref[3]
+def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
+                rule_kind, momentum):
+    """The whole-solve loop on VMEM-resident values. Returns
+    (x_final(1, n), it, norm_res, gamma, converged). Shared by the single
+    and the batched (grid-over-instances) kernels."""
 
     def grad_of(x_row):  # (1, n) -> (1, n); both reductions over lanes
         res = jnp.sum(a * x_row, axis=1, keepdims=True).T - b  # (1, m)
@@ -108,7 +97,6 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
         return prox_fn(v, gamma, p1, p2)
 
     # warm-up (engine _init, reference src/AdaProx.jl:324-332)
-    x0 = x0_ref[:]
     grad0 = grad_of(x0)
     v = x0 - gamma0 * grad0
     x = prox(v, gamma0)
@@ -174,12 +162,49 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
             jnp.asarray(jnp.inf, x.dtype),
         )
     final = jax.lax.while_loop(cond, body, init)
+    converged = (final.norm_res <= tol).astype(jnp.float32)
+    return final.x, final.it.astype(jnp.float32), final.norm_res, final.gamma, converged
 
-    x_ref[:] = final.x
-    stats_ref[0] = final.it.astype(jnp.float32)
-    stats_ref[1] = final.norm_res
-    stats_ref[2] = final.gamma
-    stats_ref[3] = (final.norm_res <= tol).astype(jnp.float32)
+
+def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind, momentum=False):
+    """scal_ref (SMEM, (4,)): [gamma0, tol, p1, p2] with (p1, p2) the static
+    prox menu's parameters. Outputs: x (1, n); stats (SMEM, (4,)):
+    [numit, norm_res, gamma, converged].
+
+    ``momentum=True`` runs the accelerated iteration (fixed_nesterov,
+    reference src/AdaProx.jl:91-142 with muf = mug = 0): theta recurrence,
+    extrapolation point z, gradient at z, residual ||x_new - z|| / gamma —
+    the resident counterpart of solvers/nesterov.py."""
+    x_f, it_f, nres, gamma, conv = _solve_core(
+        a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
+        maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
+        momentum=momentum)
+    x_ref[:] = x_f
+    stats_ref[0] = it_f
+    stats_ref[1] = nres
+    stats_ref[2] = gamma
+    stats_ref[3] = conv
+
+
+def _batch_kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref,
+                  *, maxit, prox_kind, rule_kind, momentum=False):
+    """One grid step per problem INSTANCE — the multi-problem batch that
+    ``jax.vmap`` over the kernel cannot compile (the batched SMEM scalar
+    block has no TPU batching rule): the batch is a leading grid dimension
+    instead, with per-instance scalars in a blocked SMEM row. Each step
+    loads its own (m, n)+(n, m) matrices into VMEM and runs the full
+    early-exit solve."""
+    x_f, it_f, nres, gamma, conv = _solve_core(
+        a_ref[0], at_ref[0], b_ref[0], x0_ref[0],
+        scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3],
+        maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
+        momentum=momentum)
+    x_ref[0] = x_f
+    stats_ref[0, 0] = it_f
+    stats_ref[0, 1] = nres
+    stats_ref[0, 2] = gamma
+    stats_ref[0, 3] = conv
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum"))
@@ -229,6 +254,51 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
         stats[0].astype(jnp.int32),
         stats[1].astype(dt),
         stats[3] > 0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum"))
+def resident_adapgm_batch(a, b, x0, scal, maxit, prox_kind="l1",
+                          rule_kind="adapgm", momentum=False, interpret=False):
+    """Multi-problem resident solve: B independent instances as a leading
+    GRID dimension (one Pallas program; per-instance early exit).
+
+    a: (B, m, n); b: (B, m); x0: (B, n); scal: (B, 4) rows of
+    [gamma0, tol, p1, p2]. Returns (x (B, n), numit (B,), norm_res (B,),
+    converged (B,)). This is the compiled-TPU answer to ``jax.vmap`` over
+    the single kernel, which Mosaic rejects (SMEM scalar batching)."""
+    bsz, m, n = a.shape
+    dt = x0.dtype
+    at = jnp.swapaxes(a, 1, 2)
+    x_out, stats = pl.pallas_call(
+        functools.partial(_batch_kernel, maxit=maxit, prox_kind=prox_kind,
+                          rule_kind=rule_kind, momentum=momentum),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, m, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, 1, n), dt),
+            jax.ShapeDtypeStruct((bsz, 4), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(a, at, b.reshape(bsz, 1, m), x0.reshape(bsz, 1, n), scal.astype(dt))
+    return (
+        x_out[:, 0, :],
+        stats[:, 0].astype(jnp.int32),
+        stats[:, 1].astype(dt),
+        stats[:, 3] > 0,
     )
 
 

@@ -261,3 +261,38 @@ def test_resident_momentum_matches_fixed_nesterov():
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                rtol=1e-3, atol=1e-5)
     assert bool(conv) == (float(ref.norm_res) <= 1e-5)
+
+
+def test_resident_batch_matches_single():
+    """Grid-batched multi-problem resident solve (one grid step per
+    instance, per-instance SMEM scalars) == per-instance single solves
+    (interpret mode). This is the compiled answer to the SMEM-vmap
+    limitation documented in ops/resident.py."""
+    import numpy as np
+
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident import resident_adapgm, resident_adapgm_batch
+
+    mats, rhs, x0s, scals = [], [], [], []
+    for seed, lam in [(0, 1.0), (1, 0.5), (2, 2.0), (3, 1.0)]:
+        prob = random_lasso(m=64, n=128, pfactor=8, seed=seed)
+        lf = float(np.linalg.norm(prob.a, 2) ** 2)
+        mats.append(np.asarray(prob.a, np.float32))
+        rhs.append(np.asarray(prob.b, np.float32))
+        x0s.append(np.zeros(128, np.float32))
+        scals.append([1 / lf, 1e-5, lam, 0.0])
+    a = jnp.asarray(np.stack(mats))
+    b = jnp.asarray(np.stack(rhs))
+    x0 = jnp.asarray(np.stack(x0s))
+    scal = jnp.asarray(np.asarray(scals, np.float32))
+
+    xb, itb, nresb, convb = resident_adapgm_batch(
+        a, b, x0, scal, maxit=600, interpret=True)
+    for i in range(4):
+        x1, it1, nres1, conv1 = resident_adapgm(
+            a[i], b[i], x0[i], scal[i, 0], float(scal[i, 1]), 600,
+            prox_kind="l1", p1=scal[i, 2], interpret=True)
+        assert int(itb[i]) == int(it1)
+        assert bool(convb[i]) == bool(conv1)
+        np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(x1),
+                                   rtol=1e-6, atol=1e-7)
