@@ -9,21 +9,26 @@ streams the coupling matrix A twice per iteration:
 
 The two halves are separated by the dual prox (which needs ALL of A_x), so
 they cannot fuse within one iteration. But half 2 of iteration k and half 1
-of iteration k+1 CAN: iterate over COLUMN tiles of A, and for each tile
+of iteration k+1 CAN: for each coordinate block j of x,
 
-    At_y_j   = A[:, j]' y            # reduce over rows, tile in VMEM
+    At_y_j   = A'[j, :] y            # reduce over lanes, tile in VMEM
     v_j      = x_j - gamma (grad_j + At_y_j)
-    x_new_j  = prox_g(v_j, gamma)    # separable g: l1 / box / zero
-    A_xnew  += A[:, j] @ x_new_j     # SAME tile — the next iteration's A_x
+    x_new_j  = prox_g(v_j, gamma)    # separable g: l1 / box / elastic / zero
+    A_xnew  += A'[j, :]' x_new_j     # SAME tile — the next iteration's A_x
 
-— one HBM pass over A instead of two, because the primal prox is
-coordinate-separable so each column's new x is known as soon as that
-column's A'y entry is. (The dual prox keeps full generality: it runs in
-XLA vector space on m-vectors, outside this kernel.) This is the PD
-counterpart of the PG forward+pullback fusion in ops.kernels.
+— one HBM pass instead of two, because the primal prox is coordinate-
+separable so each coordinate's new x is known as soon as its A'y entry is.
+(The dual prox keeps full generality: it runs in XLA vector space on
+m-vectors, outside this kernel.) This is the PD counterpart of the PG
+forward+pullback fusion in ops.kernels.
 
-VMEM: the tile is a full column block (m, tn); tn is chosen so the tile
-fits the budget, so the kernel supports m up to ~100k rows at f32.
+LAYOUT: the kernel takes the TRANSPOSED matrix ``at`` (n, m) and iterates
+over its row tiles — contiguous DMA slabs. (A first version tiled columns
+of row-major A; the strided slabs cost ~25% bandwidth: 492 vs 661 GB/s
+measured on v5e.) Both in-kernel reductions are then the fast ones: A'y
+reduces over lanes, A@x_new over sublanes. The fused engine
+(solvers.pd_fused) keeps ONLY ``at`` in HBM — memory-neutral vs the
+two-pass path.
 
 VPU formulation (elementwise multiply + reduce, not width-1 MXU dots) for
 full f32 accuracy — see ops.kernels._ls_kernel for the measured rationale.
@@ -42,25 +47,26 @@ __all__ = ["fused_pd_primal_update", "pd_primal_update_xla", "pd_fusable"]
 
 _LANE = 128
 _SUBLANE = 8
-_TILE_BUDGET = 8 * 1024 * 1024  # per column tile (m * tn * itemsize)
+_TILE_BUDGET = 8 * 1024 * 1024  # per row tile of at: tn * m * itemsize
 
 
-def _pick_block_cols(m: int, n: int, itemsize: int) -> int:
-    """Largest column tile (multiple of 128, <= 1024) whose (m, tn) tile fits
-    the VMEM budget and divides n."""
-    tn = max(_LANE, min(1024, _TILE_BUDGET // max(1, m * itemsize)))
-    tn = (tn // _LANE) * _LANE
-    while tn > _LANE and n % tn:
-        tn -= _LANE
+def _pick_block_rows_t(n: int, m: int, itemsize: int) -> int:
+    """Largest At row tile (multiple of 8, <= 1024) within the VMEM budget
+    that divides n."""
+    tn = max(_SUBLANE, min(1024, _TILE_BUDGET // max(1, m * itemsize)))
+    tn = (tn // _SUBLANE) * _SUBLANE
+    while tn > _SUBLANE and n % tn:
+        tn -= _SUBLANE
     return tn
 
 
-def pd_fusable(a) -> bool:
-    m, n = a.shape
+def pd_fusable(at) -> bool:
+    """at: the (n, m) transposed coupling matrix."""
+    n, m = at.shape
     return (
-        m % _SUBLANE == 0
-        and n % _LANE == 0
-        and n % _pick_block_cols(m, n, a.dtype.itemsize) == 0
+        n % _SUBLANE == 0
+        and m % _LANE == 0
+        and n % _pick_block_rows_t(n, m, at.dtype.itemsize) == 0
     )
 
 
@@ -89,16 +95,16 @@ _PROX = {"l1": _prox_l1, "box": _prox_box, "zero": _prox_zero,
          "elastic": _prox_elastic}
 
 
-def _kernel(y_ref, x_ref, grad_ref, scal_ref, a_ref,
+def _kernel(y_ref, x_ref, grad_ref, scal_ref, at_ref,
             aty_ref, v_ref, xn_ref, axn_ref, *, prox_kind, acc_dtype):
     j = pl.program_id(0)
     gamma = scal_ref[0, 0]
     p1 = scal_ref[0, 1]
     p2 = scal_ref[0, 2]
-    a_tile = a_ref[:].astype(acc_dtype)  # (m, tn)
+    at_tile = at_ref[:].astype(acc_dtype)  # (tn, m) — contiguous slab
 
-    # A'y over this column tile: reduce rows
-    aty = jnp.sum(a_tile * y_ref[:], axis=0, keepdims=True)  # (1, tn)
+    # A'y for this coordinate block: reduce over lanes (m)
+    aty = jnp.sum(at_tile * y_ref[:], axis=1, keepdims=True)  # (tn, 1)
     v = x_ref[:] - gamma * (grad_ref[:] + aty)
     x_new = _PROX[prox_kind](v, gamma, p1, p2)
 
@@ -106,30 +112,30 @@ def _kernel(y_ref, x_ref, grad_ref, scal_ref, a_ref,
     v_ref[:] = v
     xn_ref[:] = x_new
 
-    # A @ x_new contribution from this tile: reduce lanes
+    # A @ x_new contribution: reduce over sublanes (tn)
     @pl.when(j == 0)
     def _():
         axn_ref[:] = jnp.zeros_like(axn_ref)
 
-    axn_ref[:] += jnp.sum(a_tile * x_new, axis=1, keepdims=True)  # (m, 1)
+    axn_ref[:] += jnp.sum(at_tile * x_new, axis=0, keepdims=True)  # (1, m)
 
 
 @functools.partial(jax.jit, static_argnames=("prox_kind", "interpret"))
-def fused_pd_primal_update(a, y, x, grad, gamma, p1=0.0, p2=0.0,
+def fused_pd_primal_update(at, y, x, grad, gamma, p1=0.0, p2=0.0,
                            prox_kind="l1", interpret=False):
     """One-pass (A'y, v, x_new, A@x_new) for the PD primal half-step.
 
-    ``a``: (m, n) with m % 8 == 0, n % 128 == 0; ``y``: (m,); ``x``/``grad``:
-    (n,); ``gamma``/``p1``/``p2`` scalars (prox params, meaning per
-    ``prox_kind``: l1 -> p1=lam; box -> (lo, hi); elastic -> (l1, l2)).
-    Returns (at_y(n,), v(n,), x_new(n,), a_x_new(m,)).
+    ``at``: the TRANSPOSED coupling matrix (n, m) with n % 8 == 0,
+    m % 128 == 0; ``y``: (m,); ``x``/``grad``: (n,); ``gamma``/``p1``/``p2``
+    scalars (prox params per ``prox_kind``: l1 -> p1=lam; box -> (lo, hi);
+    elastic -> (l1, l2)). Returns (at_y(n,), v(n,), x_new(n,), a_x_new(m,)).
     """
-    m, n = a.shape
+    n, m = at.shape
     acc = x.dtype
-    tn = _pick_block_cols(m, n, a.dtype.itemsize)
-    y2 = y.reshape(m, 1).astype(acc)
-    x2 = x.reshape(1, n)
-    g2 = grad.reshape(1, n)
+    tn = _pick_block_rows_t(n, m, at.dtype.itemsize)
+    y2 = y.reshape(1, m).astype(acc)
+    x2 = x.reshape(n, 1)
+    g2 = grad.reshape(n, 1)
     scal = jnp.stack([jnp.asarray(gamma, acc), jnp.asarray(p1, acc),
                       jnp.asarray(p2, acc)]).reshape(1, 3)
 
@@ -137,48 +143,49 @@ def fused_pd_primal_update(a, y, x, grad, gamma, p1=0.0, p2=0.0,
         functools.partial(_kernel, prox_kind=prox_kind, acc_dtype=acc),
         grid=(n // tn,),
         in_specs=[
-            pl.BlockSpec((m, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, m), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, n), acc),
-            jax.ShapeDtypeStruct((1, n), acc),
-            jax.ShapeDtypeStruct((1, n), acc),
-            jax.ShapeDtypeStruct((m, 1), acc),
+            jax.ShapeDtypeStruct((n, 1), acc),
+            jax.ShapeDtypeStruct((n, 1), acc),
+            jax.ShapeDtypeStruct((n, 1), acc),
+            jax.ShapeDtypeStruct((1, m), acc),
         ),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * m * n, bytes_accessed=m * n * a.dtype.itemsize,
+            flops=4 * m * n, bytes_accessed=m * n * at.dtype.itemsize,
             transcendentals=0,
         ),
-    )(y2, x2, g2, scal, a)
-    return aty[0], v[0], xn[0], axn[:, 0]
+    )(y2, x2, g2, scal, at)
+    return aty[:, 0], v[:, 0], xn[:, 0], axn[0]
 
 
-def pd_primal_update_xla(a, y, x, grad, gamma, p1=0.0, p2=0.0,
+def pd_primal_update_xla(at, y, x, grad, gamma, p1=0.0, p2=0.0,
                          prox_kind="l1", precision="highest"):
-    """Two-pass XLA reference implementation (validation/fallback)."""
+    """Two-pass XLA reference implementation (validation/fallback).
+    Takes the same transposed ``at`` (n, m)."""
     acc = x.dtype
     aty = jax.lax.dot_general(
-        y, a, (((0,), (0,)), ((), ())), precision=precision,
+        at, y, (((1,), (0,)), ((), ())), precision=precision,
         preferred_element_type=acc,
     )
     v = x - gamma * (grad + aty)
     x_new = _PROX[prox_kind](v, gamma, jnp.asarray(p1, acc), jnp.asarray(p2, acc))
     axn = jax.lax.dot_general(
-        a, x_new, (((1,), (0,)), ((), ())), precision=precision,
+        x_new, at, (((0,), (0,)), ((), ())), precision=precision,
         preferred_element_type=acc,
     )
     return aty, v, x_new, axn

@@ -2,10 +2,11 @@
 
 Same algorithm as ``solvers.primal_dual.adaptive_primal_dual`` (reference
 src/AdaProx.jl:312-364) with the iteration re-cut so the two A matvecs per
-iteration (``A @ x`` at :335, ``A' @ y`` at :358) become ONE HBM pass over
-A: half 2 of iteration k (A'y, primal prox) is fused with half 1 of
-iteration k+1 (A @ x_new) in a column-tile Pallas kernel
-(ops.pd_kernels.fused_pd_primal_update). The loop carry holds ``a_x``
+iteration (``A @ x`` at :335, ``A' @ y`` at :358) become ONE HBM pass:
+half 2 of iteration k (A'y, primal prox) is fused with half 1 of
+iteration k+1 (A @ x_new) in a Pallas kernel over contiguous row tiles of
+the transposed matrix (ops.pd_kernels.fused_pd_primal_update; only A' is
+kept in HBM — memory-neutral). The loop carry holds ``a_x``
 (= A @ x for the CURRENT iterate), produced by the previous step's fused
 pass, so no standalone A@x ever runs after warm-up.
 
@@ -73,7 +74,7 @@ class _Carry(NamedTuple):
     jax.jit, static_argnames=("maxit", "history", "prox_kind", "interpret"))
 def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
            interpret, resume_state=None):
-    f, g, h, a_mat = parts
+    f, g, h, at_mat = parts  # TRANSPOSED (n, m) — the only copy of A needed
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
     rule = cast_floats(rule, dt)
@@ -83,7 +84,7 @@ def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
 
     def fused(y, x, grad, gamma):
         return pd_kernels.fused_pd_primal_update(
-            a_mat, y, x, grad, gamma, p1, p2, prox_kind=prox_kind,
+            at_mat, y, x, grad, gamma, p1, p2, prox_kind=prox_kind,
             interpret=interpret)
 
     if resume_state is not None:
@@ -92,7 +93,7 @@ def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
         # warm-up (src/AdaProx.jl:324-332): one standalone A@x, then the
         # first fused pass plays the role of the engine's first half 2
         (gamma, sigma), rstate = rule.init()
-        a_x0 = a_mat @ x0
+        a_x0 = x0 @ at_mat  # A @ x0 through the transposed layout
         _, aux0 = f.value_and_aux(x0)
         grad0 = f.grad_from_aux(x0, aux0)
         counters = Counters.zeros().bump(A_evals=1, f_evals=1, grad_f_evals=1)
@@ -235,8 +236,11 @@ def fused_adaptive_primal_dual(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     x0 = jnp.asarray(x0)
+    # one-time transpose: the kernel streams contiguous row tiles of A'
+    # (column tiles of row-major A cost ~25% bandwidth in strided DMA)
+    at_mat = jnp.asarray(a_mat).T
     res = _solve(
-        (f, g, h, a_mat), rule, x0, jnp.asarray(y0), p1, p2,
+        (f, g, h, at_mat), rule, x0, jnp.asarray(y0), p1, p2,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
         kind, bool(interpret), resume_state=resume_state,
     )

@@ -195,7 +195,7 @@ def main():
             res = regularization_path(
                 jnp.zeros(1000, dtype), f=f_b, lams=lams,
                 gamma=jnp.asarray(1 / lf_b, dtype), tol=0.0, maxit=it_b)
-            return res.norm_res
+            return jnp.sum(res.norm_res)  # scalar for the timing sync
 
         def run_sequential():
             outs = []
@@ -205,7 +205,7 @@ def main():
                     g=ap.L1Norm(lam=lams[i]),
                     rule=ap.AdaPGMRule(gamma=jnp.asarray(1 / lf_b, dtype)),
                     tol=0.0, maxit=it_b).norm_res)
-            return jnp.stack(outs)
+            return jnp.stack(outs).sum()
 
         dt_bat, _ = time_solve(run_batched)
         dt_seq, _ = time_solve(run_sequential)

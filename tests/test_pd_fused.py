@@ -30,14 +30,15 @@ def srl_problem():
 def test_kernel_matches_xla(srl_problem, rng):
     a, yv, h = srl_problem
     m, n = a.shape
+    at = a.T
     y = jnp.asarray(rng.standard_normal(m))
     x = jnp.asarray(rng.standard_normal(n))
     grad = jnp.asarray(rng.standard_normal(n))
     for kind, p1, p2 in [("l1", 0.7, 0.0), ("box", -0.5, 0.5),
                          ("elastic", 0.3, 0.2), ("zero", 0.0, 0.0)]:
-        ref = pd_kernels.pd_primal_update_xla(a, y, x, grad, 0.01, p1, p2,
+        ref = pd_kernels.pd_primal_update_xla(at, y, x, grad, 0.01, p1, p2,
                                               prox_kind=kind)
-        got = pd_kernels.fused_pd_primal_update(a, y, x, grad, 0.01, p1, p2,
+        got = pd_kernels.fused_pd_primal_update(at, y, x, grad, 0.01, p1, p2,
                                                 prox_kind=kind, interpret=True)
         for r, g_ in zip(ref, got):
             np.testing.assert_allclose(np.asarray(g_), np.asarray(r),
