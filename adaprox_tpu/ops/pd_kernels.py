@@ -120,9 +120,9 @@ def _kernel(y_ref, x_ref, grad_ref, scal_ref, at_ref,
     axn_ref[:] += jnp.sum(at_tile * x_new, axis=0, keepdims=True)  # (1, m)
 
 
-@functools.partial(jax.jit, static_argnames=("prox_kind", "interpret"))
+@functools.partial(jax.jit, static_argnames=("prox_kind", "interpret", "block_rows"))
 def fused_pd_primal_update(at, y, x, grad, gamma, p1=0.0, p2=0.0,
-                           prox_kind="l1", interpret=False):
+                           prox_kind="l1", interpret=False, block_rows=None):
     """One-pass (A'y, v, x_new, A@x_new) for the PD primal half-step.
 
     ``at``: the TRANSPOSED coupling matrix (n, m) with n % 8 == 0,
@@ -132,7 +132,7 @@ def fused_pd_primal_update(at, y, x, grad, gamma, p1=0.0, p2=0.0,
     """
     n, m = at.shape
     acc = x.dtype
-    tn = _pick_block_rows_t(n, m, at.dtype.itemsize)
+    tn = block_rows or _pick_block_rows_t(n, m, at.dtype.itemsize)
     y2 = y.reshape(1, m).astype(acc)
     x2 = x.reshape(n, 1)
     g2 = grad.reshape(n, 1)

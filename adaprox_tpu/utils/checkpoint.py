@@ -31,7 +31,9 @@ def save_pytree(path, tree):
 def load_pytree(path, like):
     """Load arrays saved by ``save_pytree`` into the structure of ``like``
     (the treedef string is stored for sanity only — the target structure
-    comes from ``like``, which must match leaf-for-leaf)."""
+    comes from ``like``, which must match leaf-for-leaf in count, shape,
+    and dtype; a same-count checkpoint from a different solver is rejected
+    instead of silently loading garbage)."""
     data = np.load(path)
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = len([k for k in data.files if k.startswith("leaf_")])
@@ -40,4 +42,11 @@ def load_pytree(path, like):
             f"checkpoint has {n} leaves but target structure has {len(leaves_like)}"
         )
     leaves = [data[f"leaf_{i}"] for i in range(n)]
+    for i, (got, want) in enumerate(zip(leaves, leaves_like)):
+        want = np.asarray(want)
+        if tuple(got.shape) != tuple(want.shape) or got.dtype != want.dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} is {got.dtype}{got.shape} but target "
+                f"structure expects {want.dtype}{tuple(want.shape)}"
+            )
     return jax.tree_util.tree_unflatten(treedef, leaves)

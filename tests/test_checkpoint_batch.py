@@ -249,3 +249,20 @@ def test_scaling_cli(capsys):
     rows = [_json.loads(l) for l in lines]
     assert rows[0]["devices"] == 1 and rows[1]["devices"] == 2
     assert all("efficiency" in r for r in rows)
+
+
+def test_load_pytree_rejects_shape_mismatch(prob, tmp_path):
+    """A same-leaf-count checkpoint with different shapes/dtypes must be
+    rejected, not silently loaded into the wrong solver's carry."""
+    f, g, lf, p = prob
+    r1 = ap.adaptive_proxgrad(
+        jnp.zeros(128), f=f, g=g, rule=ap.AdaPGMRule(gamma=1 / lf),
+        tol=1e-12, maxit=10)
+    path = tmp_path / "s.npz"
+    ckpt.save_pytree(path, r1.extra)
+    # same tree STRUCTURE (same leaf count), wrong leaf shapes
+    bad_like = jax.tree_util.tree_map(
+        lambda a: np.zeros((3,) if np.ndim(a) else (), np.asarray(a).dtype),
+        r1.extra)
+    with pytest.raises(ValueError, match="leaf"):
+        ckpt.load_pytree(path, like=bad_like)
