@@ -20,11 +20,16 @@ TPU-native sparse matvec must be re-designed rather than ported:
     reference's own datasets the dense path stays faster on TPU; this
     operator is for genuinely large sparse problems.
 
-The XLA path (jnp.take) runs everywhere. The Pallas kernel keeps the row
-tile's vals/cols streaming through VMEM while ``x`` stays resident,
-avoiding XLA's materialization of the (m, k) gathered intermediate in HBM
-(one write + one read of m*k*4 bytes saved when the fused-into-reduce
-lowering does not fire).
+The XLA path (jnp.take) runs everywhere and is the production TPU path.
+The Pallas kernel exists for interpret-mode validation and as the
+forward-looking design: Mosaic's dynamic lane gather (measured on v5e,
+jax 0.8 era) supports ONLY single-vreg sources — take_along_axis with
+source width exactly 128 lanes and indices.shape == source.shape; wider
+sources fail with "Multiple source vregs along gather dimension", and a
+broadcast_in_dim source fails even at width 128. A gather kernel
+restricted to n <= 128 loses to the dense matvec by construction (the
+padded k reaches n there), so ``use_pallas`` stays off on TPU until
+Mosaic grows multi-vreg gathers.
 """
 
 from __future__ import annotations
@@ -83,10 +88,21 @@ def ell_matvec_xla(vals, cols, x, out_rows):
     return jnp.sum(vals.astype(acc) * gathered, axis=1)[:out_rows]
 
 
-def _ell_kernel(x_ref, vals_ref, cols_ref, y_ref, *, acc_dtype):
-    xv = x_ref[0, :]
-    idx = cols_ref[:]
-    gathered = jnp.take(xv, idx, axis=0)  # (tm, k) lane-gather from VMEM
+def _ell_kernel(x_ref, vals_ref, cols_ref, y_ref, *, acc_dtype, tm):
+    # Mosaic's lane gather requires indices.shape == source.shape (its
+    # dynamic-gather lowering asserts exactly that), so the (tm, k) index
+    # block is padded in-VMEM to the source width n_pad and the result
+    # sliced back. Gather COMPUTE is then n_pad/k times the useful work —
+    # cheap for the LIBSVM-like regime (n_pad/k <= ~4, see ell_matvec_pallas
+    # which gates on it) — while HBM traffic stays at the sparse m*k*8.
+    idx = cols_ref[:]                                   # (tm, k)
+    n_pad = x_ref.shape[1]
+    k = idx.shape[1]
+    xb = jnp.broadcast_to(x_ref[:], (tm, n_pad))
+    if n_pad > k:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((tm, n_pad - k), jnp.int32)], axis=1)
+    gathered = jnp.take_along_axis(xb, idx, axis=1)[:, :k]
     y_ref[:] = jnp.sum(vals_ref[:].astype(acc_dtype) * gathered, axis=1,
                        keepdims=True)
 
@@ -98,14 +114,21 @@ def ell_matvec_pallas(vals, cols, x, interpret=False, block_rows=None):
     m, k = vals.shape
     n = x.shape[0]
     acc = x.dtype
-    tm = block_rows or max(_SUBLANE, min(512, (4 * 1024 * 1024 // (k * 8)) // _SUBLANE * _SUBLANE))
+    n_pad = _pad_up(n, _LANE)
+    # tile must fit: vals+cols (tm*k*8) plus the broadcast gather source
+    # (tm * n_pad * itemsize)
+    budget = 4 * 1024 * 1024
+    tm = block_rows or max(
+        _SUBLANE,
+        min(512, budget // max(1, k * 8 + n_pad * x.dtype.itemsize))
+        // _SUBLANE * _SUBLANE,
+    )
     while m % tm:
         tm -= _SUBLANE
-    n_pad = _pad_up(n, _LANE)
     x2 = jnp.zeros((1, n_pad), acc).at[0, :n].set(x)
 
     y = pl.pallas_call(
-        functools.partial(_ell_kernel, acc_dtype=acc),
+        functools.partial(_ell_kernel, acc_dtype=acc, tm=tm),
         grid=(m // tm,),
         in_specs=[
             pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -154,10 +177,9 @@ class ELLOperator:
         return self.vals.shape[1] / self.shape[1]
 
     def _mv(self, vals, cols, x, out_rows, pad_to):
-        if self.use_pallas and jax.default_backend() in ("tpu", "axon"):
-            xp = x
-            y = ell_matvec_pallas(vals, cols, xp)
-            return y[:out_rows]
+        # TPU: XLA gather (see module docstring for why the Pallas kernel
+        # is not viable on current Mosaic); the kernel remains exercised in
+        # interpret mode by tests
         return ell_matvec_xla(vals, cols, x, out_rows)
 
     def matvec(self, x):
