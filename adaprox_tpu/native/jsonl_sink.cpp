@@ -7,14 +7,15 @@
 // avoiding the per-row dict + json.dumps cost of the Python path (the grid
 // writes ~10^5-10^6 rows per experiment sweep).
 //
-// Shortest-round-trip float formatting: try %.15g, %.16g, %.17g and keep the
-// first that parses back bit-equal — the same contract as Python repr(), so
+// Shortest-round-trip float formatting via std::to_chars (the same
+// contract as Python repr), NaN/Infinity spelled as json.dumps does, so
 // files are interchangeable with the Python writer.
 //
 // C ABI (ctypes): see adaprox_write_jsonl below. Thread-safety: none needed
 // (one sink per experiment file, written from the driver thread).
 
 #include <charconv>
+#include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -75,6 +76,11 @@ int adaprox_write_jsonl(const char *path, const char *mode, const char *method,
                 snprintf(num, sizeof num, "%lld", static_cast<long long>(v));
             } else if (v != v) {
                 snprintf(num, sizeof num, "NaN");  // json.dumps parity
+            } else if (std::isinf(v)) {
+                // json.dumps writes Infinity/-Infinity (non-standard JSON,
+                // but what json.loads round-trips) — to_chars would emit
+                // "inf", which json.loads rejects
+                snprintf(num, sizeof num, v > 0 ? "Infinity" : "-Infinity");
             } else {
                 format_double(num, sizeof num, v);
             }
@@ -83,7 +89,8 @@ int adaprox_write_jsonl(const char *path, const char *mode, const char *method,
         fputs("}\n", f);
     }
     int err = ferror(f);
-    fclose(f);
+    // fclose flushes the 1 MB buffer — ITS failure is a lost-rows failure
+    if (fclose(f) != 0) err = 1;
     return err ? 2 : 0;
 }
 

@@ -168,6 +168,10 @@ def hbm_read_reduce(a, scale=1.0, block_rows=None, repeats=1):
     dependent by a caller."""
     m, n = a.shape
     tm = block_rows or pick_block_rows(m, n, a.dtype.itemsize)
+    if m % tm:
+        raise ValueError(
+            f"block_rows={tm} does not divide m={m}: the skipped tail would "
+            "silently inflate the measured bandwidth")
     scale2 = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     out = pl.pallas_call(
         _stream_kernel,

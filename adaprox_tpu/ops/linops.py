@@ -153,7 +153,8 @@ def frobenius_norm(a):
     return jnp.sqrt(jnp.sum(a * a))
 
 
-def opnorm2(op, iters: int = 100, key=None, n: int | None = None):
+def opnorm2(op, iters: int = 100, key=None, n: int | None = None,
+            dtype=None):
     """Largest singular value of a linear operator via power iteration on A'A.
 
     Sharding-friendly replacement for the reference's exact ``opnorm(A)``
@@ -166,7 +167,8 @@ def opnorm2(op, iters: int = 100, key=None, n: int | None = None):
         n = op.shape[1] if hasattr(op, "shape") else None
     if n is None:
         raise ValueError("pass n= for operators without a .shape")
-    dtype = op.a.dtype if hasattr(op, "a") else jnp.float32
+    if dtype is None:
+        dtype = op.a.dtype if hasattr(op, "a") else jnp.float32
     v = jax.random.normal(key, (n,), dtype=dtype)
     v = v / jnp.sqrt(jnp.sum(v * v))
 

@@ -133,6 +133,11 @@ def fused_pd_primal_update(at, y, x, grad, gamma, p1=0.0, p2=0.0,
     n, m = at.shape
     acc = x.dtype
     tn = block_rows or _pick_block_rows_t(n, m, at.dtype.itemsize)
+    if not interpret and (n % tn or m % _LANE):
+        # a non-dividing tile would silently skip the tail coordinates
+        raise ValueError(
+            f"at shape {at.shape} not divisible into ({tn}, {m}) tiles; "
+            "see pd_fusable")
     y2 = y.reshape(1, m).astype(acc)
     x2 = x.reshape(n, 1)
     g2 = grad.reshape(n, 1)

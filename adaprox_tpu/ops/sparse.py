@@ -148,12 +148,14 @@ def ell_matvec_pallas(vals, cols, x, interpret=False, block_rows=None):
     return y[:, 0]
 
 
-@pytree_dataclass(meta=("shape", "use_pallas"))
+@pytree_dataclass(meta=("shape",))
 class ELLOperator:
     """Linear operator over the padded-row sparse format (both layouts).
 
-    ``use_pallas`` selects the Pallas kernel on TPU (XLA gather otherwise).
-    Construct via ``from_dense`` (or from scipy via ``.toarray()``).
+    Matvecs run through the XLA gather on every backend (see the module
+    docstring for the measured Mosaic limits that keep the Pallas kernel
+    out of the TPU path for now). Construct via ``from_dense`` (or from
+    scipy via ``.toarray()``).
     """
 
     vals: jnp.ndarray  # (m_pad, k)
@@ -161,36 +163,38 @@ class ELLOperator:
     vals_t: jnp.ndarray  # (n_pad, kt)
     rows_t: jnp.ndarray  # (n_pad, kt) int32
     shape: tuple
-    use_pallas: bool = False
 
     @classmethod
-    def from_dense(cls, dense, use_pallas=False):
+    def from_dense(cls, dense):
         d = np.asarray(dense)
         vals, cols, vals_t, rows_t = ell_from_dense_arrays(d)
         return cls(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
                    vals_t=jnp.asarray(vals_t), rows_t=jnp.asarray(rows_t),
-                   shape=d.shape, use_pallas=use_pallas)
+                   shape=d.shape)
 
     @property
     def density(self):
         """Padded density k/n — the sparse path beats dense when < 1/2."""
         return self.vals.shape[1] / self.shape[1]
 
-    def _mv(self, vals, cols, x, out_rows, pad_to):
-        # TPU: XLA gather (see module docstring for why the Pallas kernel
-        # is not viable on current Mosaic); the kernel remains exercised in
-        # interpret mode by tests
+    def _mv(self, vals, cols, x, out_rows):
+        # XLA gather on every backend (see module docstring for why the
+        # Pallas kernel is not viable on current Mosaic); the kernel
+        # remains exercised in interpret mode by tests
         return ell_matvec_xla(vals, cols, x, out_rows)
 
     def matvec(self, x):
-        return self._mv(self.vals, self.cols, x, self.shape[0], None)
+        return self._mv(self.vals, self.cols, x, self.shape[0])
 
     def rmatvec(self, y):
-        return self._mv(self.vals_t, self.rows_t, y, self.shape[1], None)
+        return self._mv(self.vals_t, self.rows_t, y, self.shape[1])
 
     def norm(self):
         """Frobenius norm (Julia ``norm(A)`` parity; padding vals are 0)."""
         return jnp.sqrt(jnp.sum(self.vals * self.vals))
 
     def opnorm(self, iters: int = 100, key=None):
-        return opnorm2(self, iters=iters, key=key, n=self.shape[1])
+        # pass the data dtype: opnorm2's default sniffs .a, which this
+        # operator lacks, and would silently run the power iteration in f32
+        return opnorm2(self, iters=iters, key=key, n=self.shape[1],
+                       dtype=self.vals.dtype)

@@ -239,6 +239,11 @@ def fused_adaptive_primal_dual(
     # one-time transpose: the kernel streams contiguous row tiles of A'
     # (column tiles of row-major A cost ~25% bandwidth in strided DMA)
     at_mat = jnp.asarray(a_mat).T
+    if not interpret and not pd_kernels.pd_fusable(at_mat):
+        raise ValueError(
+            f"A with shape {a_mat.shape} is not tile-aligned for the fused "
+            "PD kernel (need n % 8 == 0 and m % 128 == 0); pad the problem "
+            "or use solvers.primal_dual.adaptive_primal_dual")
     res = _solve(
         (f, g, h, at_mat), rule, x0, jnp.asarray(y0), p1, p2,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),

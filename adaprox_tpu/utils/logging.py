@@ -102,8 +102,11 @@ def write_records_jsonl(path, records, method: Optional[str], *,
     emit_method = method if (keys is None or "method" in keys) else None
 
     last_i = idx[-1]
+    # echo row carries the FULL schema (the console echo needs 'it' for its
+    # log-spaced predicate even when the file projection drops it — the
+    # pre-native Sink echoed the unprojected row)
     last_row = {}
-    for k in (keys if keys is not None else schema):
+    for k in schema:
         if k == "method":
             last_row[k] = method
         elif k in _COUNT_KEYS or k == "it":

@@ -164,3 +164,46 @@ def test_native_jsonl_sink_speed(tmp_path):
     print(f"native {t_native:.3f}s python {t_python:.3f}s "
           f"({t_python / t_native:.1f}x)")
     assert t_native < 2 * t_python
+
+
+def test_native_jsonl_sink_inf_and_echo_projection(tmp_path):
+    """Infinity must round-trip like json.dumps ('Infinity'), and the echo
+    row must keep 'it' even when the file projection drops it (the console
+    log-spaced predicate reads it)."""
+    import json
+    import math
+
+    import numpy as np
+
+    from adaprox_tpu import native
+    from adaprox_tpu.solvers.common import Records
+    from adaprox_tpu.utils import logging as tlog
+
+    if native.get_sink_lib() is None:
+        import pytest
+
+        pytest.skip("native sink unavailable")
+
+    n = 4
+    recs = Records(
+        it=np.arange(1, n + 1, dtype=np.int32),
+        gamma=np.asarray([1.0, np.inf, -np.inf, np.nan]),
+        sigma=np.zeros(n), norm_res=np.ones(n), objective=np.ones(n),
+        f_evals=np.ones(n, np.int32), grad_f_evals=np.ones(n, np.int32),
+        prox_g_evals=np.ones(n, np.int32), prox_h_evals=np.zeros(n, np.int32),
+        A_evals=np.zeros(n, np.int32), At_evals=np.zeros(n, np.int32),
+        valid=np.ones(n, bool),
+    )
+    path = tmp_path / "inf.jsonl"
+    tlog.write_records_jsonl(path, recs, "m")
+    rows = tlog.read_jsonl(path)  # json.loads must accept every line
+    assert rows[1]["gamma"] == math.inf
+    assert rows[2]["gamma"] == -math.inf
+    assert math.isnan(rows[3]["gamma"])
+
+    # projected keys without 'it': file drops it, echo row keeps it
+    path2 = tmp_path / "proj.jsonl"
+    nrows, last = tlog.write_records_jsonl(
+        path2, recs, "m", keys=["method", "norm_res"])
+    assert "it" not in tlog.read_jsonl(path2)[0]
+    assert last["it"] == n  # echo predicate has what it needs

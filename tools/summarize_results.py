@@ -48,8 +48,9 @@ def main():
                 data_source = r["data_source"]
                 continue
             if r.get("method") is None:
-                if r.get("objective") is not None:
-                    optimum = min(filter(None, [optimum, r.get("objective")]))
+                cand = [v for v in (optimum, r.get("objective")) if v is not None]
+                if cand:
+                    optimum = min(cand)
                 continue
             by_method.setdefault(r["method"], []).append(r)
         if optimum is None:
