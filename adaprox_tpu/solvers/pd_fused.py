@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..ops import pd_kernels, prox as prox_ops
 from ..solvers import rules as rules_mod
@@ -71,9 +72,10 @@ class _Carry(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("maxit", "history", "prox_kind", "interpret"))
+    jax.jit,
+    static_argnames=("maxit", "history", "prox_kind", "interpret", "mesh"))
 def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
-           interpret, resume_state=None):
+           interpret, resume_state=None, mesh=None):
     f, g, h, at_mat = parts  # TRANSPOSED (n, m) — the only copy of A needed
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
@@ -82,10 +84,34 @@ def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
     p1 = jnp.asarray(p1, dt)
     p2 = jnp.asarray(p2, dt)
 
-    def fused(y, x, grad, gamma):
-        return pd_kernels.fused_pd_primal_update(
-            at_mat, y, x, grad, gamma, p1, p2, prox_kind=prox_kind,
-            interpret=interpret)
+    if mesh is None:
+        def fused(y, x, grad, gamma):
+            return pd_kernels.fused_pd_primal_update(
+                at_mat, y, x, grad, gamma, p1, p2, prox_kind=prox_kind,
+                interpret=interpret)
+    else:
+        # pallas_call has no SPMD partitioning rule, so the sharded variant
+        # goes through shard_map: each device runs the one-pass kernel on
+        # its coordinate block of A' (rows of A' = the "rows" mesh axis);
+        # A'y / v / x_new are block-local, and the A@x_new partials are
+        # psum-ed — the same collective GSPMD inserts for the two-pass path
+        # (cf. parallel/fused.RowShardedFusedLS).
+        from ..parallel.mesh import ROWS
+
+        def fused(y, x, grad, gamma):
+            def local(at_blk, y_rep, x_blk, grad_blk, gam):
+                aty, v, xn, axn = pd_kernels.fused_pd_primal_update(
+                    at_blk, y_rep, x_blk, grad_blk, gam, p1, p2,
+                    prox_kind=prox_kind, interpret=interpret)
+                return aty, v, xn, jax.lax.psum(axn, ROWS)
+
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(ROWS, None), P(), P(ROWS), P(ROWS), P()),
+                out_specs=(P(ROWS), P(ROWS), P(ROWS), P()),
+                check_vma=False,
+            )(at_mat, y, x, grad, gamma)
 
     if resume_state is not None:
         carry0 = reopen(resume_state, dt)
@@ -220,6 +246,7 @@ def fused_adaptive_primal_dual(
     history=False,
     resume_state=None,
     interpret=None,
+    mesh=None,
 ):
     """Engine-parity AdaPDM with the one-pass fused PD kernel.
 
@@ -227,6 +254,10 @@ def fused_adaptive_primal_dual(
     kernel prox menu (see ``prox_menu_entry``). Falls back is the caller's
     job: use solvers.primal_dual.adaptive_primal_dual when ``pd_fusable``
     is false.
+
+    ``mesh``: a parallel.mesh 2-D mesh — runs the fused kernel per device
+    over the "rows"-axis shards of A' (shard_map + psum of the A@x_new
+    partials); shard x0/grad-space vectors P("rows") and replicate y0.
     """
     a_mat = getattr(A, "a", A)
     entry = prox_menu_entry(g)
@@ -247,7 +278,7 @@ def fused_adaptive_primal_dual(
     res = _solve(
         (f, g, h, at_mat), rule, x0, jnp.asarray(y0), p1, p2,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
-        kind, bool(interpret), resume_state=resume_state,
+        kind, bool(interpret), resume_state=resume_state, mesh=mesh,
     )
     return res.with_name(name)
 

@@ -128,3 +128,32 @@ def test_prox_menu_entry():
         fused_adaptive_primal_dual(
             jnp.zeros(4), jnp.zeros(4), f=ap.ZeroSmooth(), g=ap.L2Norm(lam=1.0),
             h=ap.IndZero(), A=jnp.eye(4), rule=ap.AdaPGMRule(gamma=0.1))
+
+
+def test_fused_engine_sharded_matches_unsharded(srl_problem):
+    """The fused PD engine over an 8-device virtual mesh (shard_map + psum
+    of the A@x_new partials) must match the single-device fused solve."""
+    import jax
+
+    from adaprox_tpu.parallel.mesh import ROWS, make_mesh, shard_array
+    from jax.sharding import PartitionSpec as P
+
+    a, yv, h = srl_problem
+    m, n = a.shape
+    na = float(np.linalg.norm(np.asarray(a)))
+    kw = dict(f=ap.ZeroSmooth(), g=ap.L1Norm(lam=10.0), h=h,
+              rule=ap.AdaPGMRule.make(t=1.0, norm_a=na), tol=1e-9, maxit=200)
+
+    single = fused_adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m), A=a, **kw)
+
+    mesh = make_mesh((len(jax.devices()), 1))
+    at = shard_array(jnp.asarray(a).T, mesh, P(ROWS, None))
+    x0 = shard_array(jnp.zeros(n), mesh, P(ROWS))
+    y0 = shard_array(jnp.zeros(m), mesh, P())
+    sharded = fused_adaptive_primal_dual(
+        x0, y0, A=at.T, mesh=mesh, **kw)  # wrapper re-transposes internally
+    assert int(sharded.numit) == int(single.numit)
+    np.testing.assert_allclose(np.asarray(sharded.x), np.asarray(single.x),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(sharded.y), np.asarray(single.y),
+                               rtol=1e-9, atol=1e-11)
