@@ -1,7 +1,9 @@
 """VMEM-resident whole-solve kernel: the entire AdaPGM loop on-core.
 
 For problems whose data matrix fits in VMEM (the reference's own benchmark
-sizes: 4000x1000 f32 is 16 MB), per-iteration HBM traffic and per-op
+sizes: 4000x1000 f32 is 16 MB; bf16 storage halves that, doubling the
+resident size range — pass ``a.astype(bfloat16)``, accumulation promotes
+to the f32 iterate dtype), per-iteration HBM traffic and per-op
 dispatch dominate a host-driven loop. This kernel loads A once — in BOTH
 layouts, (m, n) and (n, m), so the forward and transposed matvecs each
 reduce over the fast lane axis — and runs the COMPLETE adaptive

@@ -296,3 +296,28 @@ def test_resident_batch_matches_single():
         assert bool(convb[i]) == bool(conv1)
         np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(x1),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_resident_bf16_storage():
+    """bf16-storage resident solve (halves VMEM -> 2x larger problems
+    resident; f32 accumulation via dtype promotion) tracks the f32 solve."""
+    import numpy as np
+
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident import resident_adapgm, resident_supported
+
+    p = random_lasso(m=64, n=128, pfactor=8, seed=6)
+    a32 = jnp.asarray(p.a, jnp.float32)
+    b = jnp.asarray(p.b, jnp.float32)
+    lf = float(np.linalg.norm(p.a, 2) ** 2)
+    kw = dict(gamma0=1 / lf, tol=1e-5, maxit=800, p1=1.0, interpret=True)
+    x32, it32, _, c32 = resident_adapgm(a32, b, jnp.zeros(128, jnp.float32), **kw)
+    xbf, itbf, _, cbf = resident_adapgm(
+        a32.astype(jnp.bfloat16), b, jnp.zeros(128, jnp.float32), **kw)
+    assert bool(c32) and bool(cbf)
+    assert abs(int(itbf) - int(it32)) <= max(5, int(it32) // 20)
+    np.testing.assert_allclose(np.asarray(xbf), np.asarray(x32),
+                               rtol=5e-2, atol=3e-2)
+    # the VMEM budget check accounts for the smaller itemsize
+    big = jnp.zeros((2048, 2048), jnp.bfloat16)
+    assert resident_supported(big)  # 8 MB bf16 fits where 16 MB f32 might not
