@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_adapdm_dsvm", "resident_supported"]
+__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_supported"]
 
 # static prox menu: kind -> (v, gamma, p1, p2) -> prox point
 _PROX = {
@@ -315,22 +315,13 @@ def resident_adapgm_l1(a, b, x0, gamma0, lam, tol, maxit, interpret=False):
 # --------------------------------------------------------------------------
 
 
-def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
+def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, *, maxit):
     """AdaPDM (engine half1/half2 structure, solvers/primal_dual._step) for
     the dual-SVM problem: f = 0.5 x'Qx - 1'x (Q symmetric, VMEM-resident),
     g = IndBox(0, C), h = IndZero with A = labels^T (so prox_{sigma h*} is
-    the identity and the dual y is a scalar).
-
-    scal_ref (SMEM, (6,)): [t, norm_a, big_c, tol, theta_big, unused].
-    stats: [numit, norm_res, gamma, converged].
-    """
-    q = q_ref[:]      # (N, N), symmetric
-    lab = lab_ref[:]  # (1, N)
-    t = scal_ref[0]
-    norm_a = scal_ref[1]
-    big_c = scal_ref[2]
-    tol = scal_ref[3]
-    theta_big = scal_ref[4]
+    the identity and the dual y is a scalar). Returns
+    (x(1, N), it, norm_res, gamma, converged) — shared by the single-solve
+    kernel and the on-core t-sweep kernel."""
 
     def grad_of(x_row):  # (1, N): Qx - 1 via the symmetric trick
         qx = jnp.sum(q * x_row, axis=1, keepdims=True).T
@@ -408,11 +399,35 @@ def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
         gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, q.dtype),
     )
     final = jax.lax.while_loop(cond, body, init)
-    x_ref[:] = final.x
-    stats_ref[0] = final.it.astype(jnp.float32)
-    stats_ref[1] = final.norm_res
-    stats_ref[2] = final.gamma
-    stats_ref[3] = (final.norm_res <= tol).astype(jnp.float32)
+    return (final.x, final.it.astype(jnp.float32), final.norm_res,
+            final.gamma, (final.norm_res <= tol).astype(jnp.float32))
+
+
+def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
+    """scal_ref (SMEM, (6,)): [t, norm_a, big_c, tol, theta_big, unused]."""
+    x, it_f, nres, gamma, conv = _pd_core(
+        q_ref[:], lab_ref[:], scal_ref[0], scal_ref[1], scal_ref[2],
+        scal_ref[3], scal_ref[4], maxit=maxit)
+    x_ref[:] = x
+    stats_ref[0] = it_f
+    stats_ref[1] = nres
+    stats_ref[2] = gamma
+    stats_ref[3] = conv
+
+
+def _pd_sweep_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
+    """One grid step per coupling value t (the reference sweeps t
+    sequentially, dual_svm/runme.jl:61-76 — here entirely on-core): Q and
+    the labels are re-streamed per step with constant index maps; per-t
+    scalars ride a blocked SMEM row."""
+    x, it_f, nres, gamma, conv = _pd_core(
+        q_ref[:], lab_ref[:], scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2],
+        scal_ref[0, 3], scal_ref[0, 4], maxit=maxit)
+    x_ref[0] = x
+    stats_ref[0, 0] = it_f
+    stats_ref[0, 1] = nres
+    stats_ref[0, 2] = gamma
+    stats_ref[0, 3] = conv
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
@@ -455,4 +470,54 @@ def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit, interpret=Fals
         stats[0].astype(jnp.int32),
         stats[1].astype(dt),
         stats[3] > 0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
+def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
+                               interpret=False):
+    """The full coupling sweep (dual_svm/runme.jl:61) as ONE kernel launch:
+    grid over the t values, each step a complete early-exit AdaPDM solve
+    with Q resident.
+
+    ts: (T,) couplings. Returns (x (T, N), numit (T,), norm_res (T,),
+    converged (T,))."""
+    n = q.shape[0]
+    dt = q.dtype
+    ts = jnp.asarray(ts, dt)
+    tcount = ts.shape[0]
+    scal = jnp.stack([
+        ts,
+        jnp.full((tcount,), norm_a, dt),
+        jnp.full((tcount,), big_c, dt),
+        jnp.full((tcount,), tol, dt),
+        jnp.full((tcount,), 1.2, dt),
+        jnp.zeros((tcount,), dt),
+    ], axis=1)
+    x_out, stats = pl.pallas_call(
+        functools.partial(_pd_sweep_kernel, maxit=maxit),
+        grid=(tcount,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tcount, 1, n), dt),
+            jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(q, labels.reshape(1, n), scal)
+    return (
+        x_out[:, 0, :],
+        stats[:, 0].astype(jnp.int32),
+        stats[:, 1].astype(dt),
+        stats[:, 3] > 0,
     )

@@ -321,3 +321,34 @@ def test_resident_bf16_storage():
     # the VMEM budget check accounts for the smaller itemsize
     big = jnp.zeros((2048, 2048), jnp.bfloat16)
     assert resident_supported(big)  # 8 MB bf16 fits where 16 MB f32 might not
+
+
+def test_resident_dsvm_sweep_matches_single():
+    """On-core t-sweep (one launch, grid over couplings) == per-t resident
+    solves (interpret mode)."""
+    import numpy as np
+
+    from adaprox_tpu.ops.resident import (
+        resident_adapdm_dsvm,
+        resident_adapdm_dsvm_sweep,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 128
+    xd = rng.standard_normal((n, 10))
+    labels = np.sign(rng.standard_normal(n))
+    labels[labels == 0] = 1
+    q = (labels[:, None] * xd) @ (labels[:, None] * xd).T
+    qj = jnp.asarray(q, jnp.float32)
+    lj = jnp.asarray(labels, jnp.float32)
+    na = float(np.linalg.norm(labels))
+    ts = [0.1, 1.0, 5.0]
+    xs, its, nres, conv = resident_adapdm_dsvm_sweep(
+        qj, lj, 0.1, jnp.asarray(ts), na, 1e-5, 3000, interpret=True)
+    for i, t in enumerate(ts):
+        x1, it1, nres1, conv1 = resident_adapdm_dsvm(
+            qj, lj, 0.1, float(t), na, 1e-5, 3000, interpret=True)
+        assert int(its[i]) == int(it1), t
+        assert bool(conv[i]) == bool(conv1)
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(x1),
+                                   rtol=1e-6, atol=1e-7)

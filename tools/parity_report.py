@@ -103,6 +103,96 @@ def main():
             print(f"lasso {m}x{n} {name}: numit={int(r.numit)} res={res:.2e} met={met} gap={gap:.2e} {secs:.1f}s", flush=True)
     w("\n")
 
+    # ---- sparse logreg (sparse_logreg/runme.jl:177-204): tol 1e-7, maxit
+    # 2000, ground truth via a tol/10 maxit*10 AdaPGM pre-run (runme.jl:64-73)
+    from adaprox_tpu.models.objectives import LogisticLoss
+    from adaprox_tpu.utils.datasets import synthetic_classification
+
+    w("## Sparse logistic regression (heart_scale-shaped synthetic; "
+      "lam 0.01, tol 1e-7, maxit 2000; ground truth = tol/10 pre-run)\n\n")
+    w("| solver | numit | norm_res | met | F(x) - F_best |\n|---|---|---|---|---|\n")
+    x_np, y_np = synthetic_classification(270, 13, seed=1)
+    mrows, nfeat = x_np.shape
+    fl = LogisticLoss(x=jnp.asarray(x_np), y=jnp.asarray(y_np))
+    gl = ap.L1Norm(lam=0.01)
+    x1 = np.hstack([x_np, np.ones((mrows, 1))])
+    lfl = float(np.linalg.norm(x1, 2) ** 2 / (4 * mrows))
+    x0l = jnp.zeros(nfeat + 1)
+    sl_maxit = 500 if args.fast else 2000
+    gt = ap.adaptive_proxgrad(
+        x0l, f=fl, g=gl, rule=ap.AdaPGMRule(gamma=1 / lfl), tol=1e-8,
+        maxit=sl_maxit * 10)
+    f_best = float(fl.value(gt.x) + gl(gt.x))
+    kwl = dict(f=fl, g=gl, tol=1e-7, maxit=sl_maxit)
+    kwl_half = dict(f=fl, g=gl, tol=1e-7, maxit=sl_maxit // 2)
+    for name, run in [
+        ("PGM (1/Lf)", lambda: ap.fixed_proxgrad(x0l, gamma=1 / lfl, **kwl)),
+        ("PGM backtracking xi=2", lambda: ap.backtracking_proxgrad(
+            x0l, gamma0=1 / lfl, xi=2.0, **kwl_half)),
+        ("Nesterov (backtracking)", lambda: ap.backtracking_nesterov(
+            x0l, gamma0=1 / lfl, **kwl_half)),
+        ("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
+            x0l, rule=ap.MalitskyMishchenkoRule(gamma=1 / lfl), **kwl)),
+        ("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
+            x0l, rule=ap.AdaPGMRule(gamma=1 / lfl), **kwl)),
+        ("aGRAAL", lambda: ap.agraal(x0l, gamma0=1 / lfl, **kwl)),
+    ]:
+        r = run()
+        res = float(r.norm_res)
+        gap = float(fl.value(r.x) + gl(r.x)) - f_best
+        met = "yes" if res <= 1e-7 else "no"
+        w(f"| {name} | {int(r.numit)} | {res:.2e} | {met} | {gap:.2e} |\n")
+        print(f"slog {name}: numit={int(r.numit)} res={res:.2e} gap={gap:.2e}",
+              flush=True)
+    w("\n")
+
+    # ---- cubic subproblem (cubic_sparse_logreg/runme.jl:170-203): exact
+    # logistic Hessian model + (lam/6)||x||^3, g = 0, tol 1e-7, maxit 100
+    from adaprox_tpu.experiments.cubic_sparse_logreg import (
+        logistic_loss_grad_hessian,
+    )
+    from adaprox_tpu.models.objectives import Cubic
+
+    w("## Cubic-regularized subproblem (heart_scale-shaped synthetic; "
+      "lam 1, tol 1e-7, maxit 100)\n\n")
+    w("| solver | numit | norm_res | met | F(x) - F_best |\n|---|---|---|---|---|\n")
+    rng_c = np.random.default_rng(3)
+    w0 = rng_c.standard_normal(nfeat + 1) * 0.1
+    q_mat, q_vec = logistic_loss_grad_hessian(x_np, y_np, w0)
+    fc = Cubic(q_mat=jnp.asarray(q_mat), q_vec=jnp.asarray(q_vec),
+               c=jnp.asarray(1.0))
+    gz = ap.Zero()
+    x0c = jnp.zeros(nfeat + 1)
+    # secant gamma0 (runme.jl:72-76)
+    d0 = jnp.asarray(rng_c.standard_normal(nfeat + 1) * 1e-3)
+    g_a = fc.grad(x0c)
+    g_b = fc.grad(x0c + d0)
+    gam_c = float(jnp.vdot(d0, d0).real / jnp.vdot(g_b - g_a, d0).real)
+    runs_c = [
+        ("PGM backtracking xi=2", lambda: ap.backtracking_proxgrad(
+            x0c, f=fc, g=gz, gamma0=gam_c, xi=2.0, tol=1e-7, maxit=100)),
+        ("Nesterov (backtracking)", lambda: ap.backtracking_nesterov(
+            x0c, f=fc, g=gz, gamma0=gam_c, tol=1e-7, maxit=100)),
+        ("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
+            x0c, f=fc, g=gz, rule=ap.MalitskyMishchenkoRule(gamma=gam_c),
+            tol=1e-7, maxit=100)),
+        ("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
+            x0c, f=fc, g=gz, rule=ap.AdaPGMRule(gamma=gam_c),
+            tol=1e-7, maxit=100)),
+        ("aGRAAL", lambda: ap.agraal(x0c, f=fc, g=gz, gamma0=gam_c,
+                                     tol=1e-7, maxit=100)),
+    ]
+    outs = [(name, run()) for name, run in runs_c]
+    f_best_c = min(float(fc.value(r.x)) for _, r in outs)
+    for name, r in outs:
+        res = float(r.norm_res)
+        gap = float(fc.value(r.x)) - f_best_c
+        met = "yes" if res <= 1e-7 else "no"
+        w(f"| {name} | {int(r.numit)} | {res:.2e} | {met} | {gap:.2e} |\n")
+        print(f"cubic {name}: numit={int(r.numit)} res={res:.2e} gap={gap:.2e}",
+              flush=True)
+    w("\n")
+
     # ---- Nesterov worst case (runme.jl:42-111): optimum (L/8)(1/(k+1)-1)
     w("## Nesterov worst case (k=n=100, L=100; optimum (L/8)(1/(k+1)-1); tol 1e-6, maxit 10000)\n\n")
     w("| solver | numit | norm_res | met(tol 1e-6) | F(x) - F* |\n|---|---|---|---|---|\n")
