@@ -330,11 +330,12 @@ def adaptive_proxgrad(x0, *, f, g, rule, tol=1e-5, maxit=100_000, name="AdaPGM",
     )
 
 
-def fixed_proxgrad(x0, *, f, g, gamma, tol=1e-5, maxit=100_000, name="Fixed stepsize PGM", history=False):
+def fixed_proxgrad(x0, *, f, g, gamma, tol=1e-5, maxit=100_000, name="Fixed stepsize PGM", history=False, resume_state=None, scalar_dtype=None):
     """Fixed-stepsize PGM (reference src/AdaProx.jl:457-459)."""
     rule = rules_mod.FixedStepsize(gamma=gamma, t=1.0)
     return adaptive_proxgrad(
-        x0, f=f, g=g, rule=rule, tol=tol, maxit=maxit, name=name, history=history
+        x0, f=f, g=g, rule=rule, tol=tol, maxit=maxit, name=name, history=history,
+        resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
 
 
@@ -354,6 +355,8 @@ def condat_vu(
     maxit=10_000,
     name="Condat-Vu",
     history=False,
+    resume_state=None,
+    scalar_dtype=None,
 ):
     """Condat-Vu fixed-step primal-dual: derives (gamma, sigma) from Lf and
     ||A|| with the reference's scaling heuristics (src/AdaProx.jl:367-416,
@@ -372,5 +375,6 @@ def condat_vu(
         raise ValueError("provide both gamma and sigma, or neither")
     rule = rules_mod.FixedStepsize(gamma=gamma, t=jnp.sqrt(sigma / gamma))
     return adaptive_primal_dual(
-        x0, y0, f=f, g=g, h=h, A=A, rule=rule, tol=tol, maxit=maxit, name=name, history=history
+        x0, y0, f=f, g=g, h=h, A=A, rule=rule, tol=tol, maxit=maxit, name=name,
+        history=history, resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
