@@ -189,7 +189,7 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
     stats_ref[3] = conv
 
 
-def _batch_kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref,
+def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
                   *, maxit, prox_kind, rule_kind, momentum=False):
     """One grid step per problem INSTANCE — the multi-problem batch that
     ``jax.vmap`` over the kernel cannot compile (the batched SMEM scalar
@@ -197,16 +197,20 @@ def _batch_kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref,
     instead, with per-instance scalars in a blocked SMEM row. Each step
     loads its own (m, n)+(n, m) matrices into VMEM and runs the full
     early-exit solve."""
+    i = pl.program_id(0)
+    # scal/stats are FULL (B, 4) SMEM arrays indexed by the instance id —
+    # blocked SMEM rows fail TPU lowering (block second-to-last dim must be
+    # a multiple of 8 or the full dim)
     x_f, it_f, nres, gamma, conv = _solve_core(
         a_ref[0], at_ref[0], b_ref[0], x0_ref[0],
-        scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3],
+        scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2], scal_ref[i, 3],
         maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
         momentum=momentum)
     x_ref[0] = x_f
-    stats_ref[0, 0] = it_f
-    stats_ref[0, 1] = nres
-    stats_ref[0, 2] = gamma
-    stats_ref[0, 3] = conv
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres
+    stats_ref[i, 2] = gamma
+    stats_ref[i, 3] = conv
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum"))
@@ -277,15 +281,15 @@ def resident_adapgm_batch(a, b, x0, scal, maxit, prox_kind="l1",
                           rule_kind=rule_kind, momentum=momentum),
         grid=(bsz,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, m, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, 1, n), dt),
@@ -295,7 +299,7 @@ def resident_adapgm_batch(a, b, x0, scal, maxit, prox_kind="l1",
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(a, at, b.reshape(bsz, 1, m), x0.reshape(bsz, 1, n), scal.astype(dt))
+    )(scal.astype(dt), a, at, b.reshape(bsz, 1, m), x0.reshape(bsz, 1, n))
     return (
         x_out[:, 0, :],
         stats[:, 0].astype(jnp.int32),
@@ -415,19 +419,20 @@ def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
     stats_ref[3] = conv
 
 
-def _pd_sweep_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
+def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit):
     """One grid step per coupling value t (the reference sweeps t
     sequentially, dual_svm/runme.jl:61-76 — here entirely on-core): Q and
     the labels are re-streamed per step with constant index maps; per-t
     scalars ride a blocked SMEM row."""
+    i = pl.program_id(0)
     x, it_f, nres, gamma, conv = _pd_core(
-        q_ref[:], lab_ref[:], scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2],
-        scal_ref[0, 3], scal_ref[0, 4], maxit=maxit)
+        q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2],
+        scal_ref[i, 3], scal_ref[i, 4], maxit=maxit)
     x_ref[0] = x
-    stats_ref[0, 0] = it_f
-    stats_ref[0, 1] = nres
-    stats_ref[0, 2] = gamma
-    stats_ref[0, 3] = conv
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres
+    stats_ref[i, 2] = gamma
+    stats_ref[i, 3] = conv
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
@@ -498,13 +503,13 @@ def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
         functools.partial(_pd_sweep_kernel, maxit=maxit),
         grid=(tcount,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((tcount, 1, n), dt),
@@ -514,7 +519,7 @@ def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(q, labels.reshape(1, n), scal)
+    )(scal, q, labels.reshape(1, n))
     return (
         x_out[:, 0, :],
         stats[:, 0].astype(jnp.int32),
