@@ -26,7 +26,6 @@ from adaprox_tpu.models.synthetic import random_lasso
 M, N, MAXIT = 256, 64, 200
 
 
-@pytest.mark.timeout(600)
 def test_two_process_matches_single(tmp_path):
     out = tmp_path / "dist.json"
     cmd = [
