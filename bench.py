@@ -280,8 +280,15 @@ def main():
     if stream_gbps and "achieved_gbps" in best:
         # fraction of the bandwidth this chip can actually deliver, measured
         # in the same run (the nominal-roofline fraction stays in
-        # vs_baseline for cross-round comparability)
-        payload["frac_attainable"] = round(best["achieved_gbps"] / stream_gbps, 4)
+        # vs_baseline for cross-round comparability). On a co-tenanted
+        # window the bare stream probe can land BELOW the solve loop —
+        # then the solve loop itself is the best observed ceiling.
+        frac = best["achieved_gbps"] / stream_gbps
+        payload["frac_attainable"] = round(min(frac, 1.0), 4)
+        if frac > 1.05:
+            payload["stream_note"] = (
+                "stream probe below solve-loop bandwidth (chip co-tenancy); "
+                "solve loop is the observed ceiling")
     print(json.dumps(payload))
 
 
