@@ -20,7 +20,8 @@ from .._pytree import pytree_dataclass
 from ..ops.oracles import SmoothOracle
 from .mesh import ROWS
 
-__all__ = ["RowShardedFusedLS", "row_sharded_fused_ls"]
+__all__ = ["RowShardedFusedLS", "row_sharded_fused_ls",
+           "RowShardedFusedLogistic", "row_sharded_fused_logistic"]
 
 
 @pytree_dataclass(meta=("mesh",))
@@ -65,3 +66,57 @@ def row_sharded_fused_ls(a, b, mesh):
     a = jax.device_put(a, NamedSharding(mesh, P(ROWS, None)))
     b = jax.device_put(b, NamedSharding(mesh, P(ROWS)))
     return RowShardedFusedLS(a=a, b=b, mesh=mesh)
+
+
+@pytree_dataclass(meta=("mesh",))
+class RowShardedFusedLogistic(SmoothOracle):
+    """Mean logistic loss (bias folded in the last coordinate of w,
+    models.objectives.LogisticLoss semantics) with row-sharded data and the
+    fused one-pass kernel per shard. Each shard computes its UNWEIGHTED
+    partial sums; the mean normalization happens after the psum so shards
+    of different row counts would still be correct for equal-size shards
+    (shard_map requires equal blocks)."""
+
+    x: jnp.ndarray  # (m, n) features, row-sharded
+    y: jnp.ndarray  # (m,) labels in {0, 1}, row-sharded
+    mesh: object
+
+    def value_and_aux(self, w):
+        from ..ops import kernels
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+        m_total = self.x.shape[0]
+
+        def local(x_blk, y_blk, w_rep):
+            m_local = x_blk.shape[0]
+            f_part, gw_part, gb_part = kernels.fused_logistic_value_grad(
+                x_blk, y_blk, w_rep[:-1], w_rep[-1], interpret=interp
+            )
+            # the kernel divides by its local row count; undo to sum-form,
+            # psum, then normalize by the global count
+            scale = m_local / m_total
+            f_tot = jax.lax.psum(f_part * scale, ROWS)
+            gw_tot = jax.lax.psum(gw_part * scale, ROWS)
+            gb_tot = jax.lax.psum(gb_part * scale, ROWS)
+            return f_tot, gw_tot, gb_tot
+
+        f_x, gw, gb = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(ROWS, None), P(ROWS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(self.x, self.y, w)
+        return f_x, jnp.concatenate([gw, gb[None]]).astype(w.dtype)
+
+    def grad_from_aux(self, w, aux):
+        del w
+        return aux
+
+
+def row_sharded_fused_logistic(x, y, mesh):
+    """Place (x, y) row-sharded on ``mesh`` and return the fused logistic
+    oracle."""
+    x = jax.device_put(x, NamedSharding(mesh, P(ROWS, None)))
+    y = jax.device_put(y, NamedSharding(mesh, P(ROWS)))
+    return RowShardedFusedLogistic(x=x, y=y, mesh=mesh)
