@@ -61,3 +61,43 @@ def test_all_solvers_finite_fuzz(seed):
     # all families should be within a loose band of the best found objective
     best = min(objs)
     assert all(o <= best + 1.0 + 0.5 * abs(best) for o in objs)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fused_pd_engine_fuzz(seed):
+    """Random sqrt-lasso instances through the fused PD engine: finite,
+    converging, and matching the reference engine (VERDICT r1 item 3 —
+    keeps the one-pass recut honest across random data)."""
+    rng = np.random.default_rng(100 + seed)
+    m, n = 32, 128
+    a = jnp.asarray(rng.standard_normal((m, n)))
+    yv = jnp.asarray(rng.standard_normal(m))
+    h = ap.Translate(inner=ap.L2Norm(lam=1.0), b=-yv)
+    na = float(np.linalg.norm(np.asarray(a)))
+    kw = dict(f=ap.ZeroSmooth(), g=ap.L1Norm(lam=1.0), h=h,
+              rule=ap.AdaPGMRule.make(t=1.0, norm_a=na), tol=1e-8, maxit=3000)
+    got = ap.fused_adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m), A=a, **kw)
+    ref = ap.adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m),
+                                  A=ap.DenseOperator(a=a), **kw)
+    assert np.isfinite(float(got.norm_res))
+    assert int(got.numit) == int(ref.numit)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_ell_operator_fuzz(seed):
+    """Random sparsity patterns (incl. empty rows/cols) through ELLOperator:
+    matvec parity with dense at f64 level."""
+    rng = np.random.default_rng(200 + seed)
+    m, n = 40, 170
+    d = rng.standard_normal((m, n)) * (rng.random((m, n)) < rng.uniform(0.02, 0.4))
+    from adaprox_tpu.ops.sparse import ELLOperator
+
+    op = ELLOperator.from_dense(d)
+    x = jnp.asarray(rng.standard_normal(n))
+    y = jnp.asarray(rng.standard_normal(m))
+    np.testing.assert_allclose(np.asarray(op.matvec(x)), d @ np.asarray(x),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(op.rmatvec(y)), d.T @ np.asarray(y),
+                               rtol=1e-9, atol=1e-11)
