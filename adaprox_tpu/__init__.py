@@ -63,6 +63,7 @@ from .solvers.adapdm_plus import adaptive_linesearch_primal_dual
 from .solvers.auto import auto_adaptive_proxgrad
 from .solvers.pd_fused import fused_adaptive_primal_dual, fused_condat_vu
 from .ops.sparse import ELLOperator
+from .ops.bcsr import BCSROperator
 
 __version__ = "0.1.0"
 
@@ -81,5 +82,6 @@ __all__ = [
     "backtracking_proxgrad", "backtracking_nesterov", "fixed_nesterov",
     "agraal", "malitsky_pock", "adaptive_linesearch_primal_dual",
     "fused_adaptive_primal_dual", "fused_condat_vu", "ELLOperator",
+    "BCSROperator",
     "auto_adaptive_proxgrad",
 ]
