@@ -48,10 +48,14 @@ from .linops import opnorm2
 __all__ = ["BCSROperator", "bcsr_from_dense", "bcsr_matvec",
            "bcsr_matvec_xla", "bcsr_matvec_ref"]
 
-# default tile: 64 KB f32 — small (8, 128) tiles are DMA-latency-bound on
-# the grid (measured 10 GB/s effective vs ~500 at 64 KB); bigger tiles trade
-# sparsity granularity for DMA efficiency
-_BM = 32
+# default tile: 128 KB f32. Measured on v5e at 8192x16384, 10% block
+# density: (8,128) tiles 10 GB/s effective (DMA-latency-bound), (32,512)
+# 46 GB/s, (64,512) 76 GB/s, (64,1024) 81 GB/s vs 434 GB/s dense — the
+# scalar-prefetch-driven dynamic index maps limit pipelining, so the
+# crossover vs dense sits near block_density ~0.2 with these defaults
+# (1.85x win at 0.1). Bigger tiles trade sparsity granularity for DMA
+# efficiency.
+_BM = 64
 _BN = 512
 
 
