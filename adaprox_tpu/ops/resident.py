@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_supported"]
+__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_supported"]
 
 # static prox menu: kind -> (v, gamma, p1, p2) -> prox point
 _PROX = {
@@ -84,14 +84,24 @@ _RULES = {"adapgm": _rule_adapgm, "mm": _rule_mm, "fixed": _rule_fixed}
 
 
 def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
-                rule_kind, momentum):
+                rule_kind, momentum, obj_kind="ls"):
     """The whole-solve loop on VMEM-resident values. Returns
     (x_final(1, n), it, norm_res, gamma, converged). Shared by the single
-    and the batched (grid-over-instances) kernels."""
+    and the batched (grid-over-instances) kernels.
 
-    def grad_of(x_row):  # (1, n) -> (1, n); both reductions over lanes
-        res = jnp.sum(a * x_row, axis=1, keepdims=True).T - b  # (1, m)
-        return jnp.sum(at * res, axis=1, keepdims=True).T      # (1, n)
+    ``obj_kind``: "ls" (f = 0.5||Ax-b||^2) or "logreg" (mean logistic with
+    the bias folded as a ones-column of ``a``; caller prescales ``at`` by
+    1/m so the mean is free — sparse_logreg/runme.jl:18-39 semantics)."""
+
+    if obj_kind == "logreg":
+        def grad_of(x_row):  # logits / sigmoid / weighted pullback on VPU
+            logits = jnp.sum(a * x_row, axis=1, keepdims=True).T   # (1, m)
+            diff = 1.0 / (1.0 + jnp.exp(-logits)) - b
+            return jnp.sum(at * diff, axis=1, keepdims=True).T     # (1, n)
+    else:
+        def grad_of(x_row):  # (1, n) -> (1, n); both reductions over lanes
+            res = jnp.sum(a * x_row, axis=1, keepdims=True).T - b  # (1, m)
+            return jnp.sum(at * res, axis=1, keepdims=True).T      # (1, n)
 
     prox_fn = _PROX[prox_kind]
 
@@ -168,7 +178,7 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
     return final.x, final.it.astype(jnp.float32), final.norm_res, final.gamma, converged
 
 
-def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind, momentum=False):
+def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind, momentum=False, obj_kind="ls"):
     """scal_ref (SMEM, (4,)): [gamma0, tol, p1, p2] with (p1, p2) the static
     prox menu's parameters. Outputs: x (1, n); stats (SMEM, (4,)):
     [numit, norm_res, gamma, converged].
@@ -181,7 +191,7 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
         a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
         maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
-        momentum=momentum)
+        momentum=momentum, obj_kind=obj_kind)
     x_ref[:] = x_f
     stats_ref[0] = it_f
     stats_ref[1] = nres
@@ -213,10 +223,10 @@ def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
     stats_ref[i, 3] = conv
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum"))
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum", "obj_kind"))
 def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
                     p1=0.0, p2=0.0, rule_kind="adapgm", momentum=False,
-                    interpret=False):
+                    obj_kind="ls", m_true=None, interpret=False):
     """Full adaptive PG solve of 0.5||Ax-b||^2 + g(x) in one resident
     kernel, with g chosen from the static prox menu ("l1", "box",
     "elastic", "zero") parameterized by (p1, p2) and the stepsize rule from
@@ -234,7 +244,8 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
     ])
     x_out, stats = pl.pallas_call(
         functools.partial(_kernel, maxit=maxit, prox_kind=prox_kind,
-                          rule_kind=rule_kind, momentum=momentum),
+                          rule_kind=rule_kind, momentum=momentum,
+                          obj_kind=obj_kind),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -254,13 +265,28 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(a, a.T, b.reshape(1, m), x0.reshape(1, n), scal)
+    )(a,
+      a.T / (m if m_true is None else m_true) if obj_kind == "logreg" else a.T,
+      b.reshape(1, m), x0.reshape(1, n), scal)
     return (
         x_out[0],
         stats[0].astype(jnp.int32),
         stats[1].astype(dt),
         stats[3] > 0,
     )
+
+
+def resident_logreg_l1(x_mat, y, x0, gamma0, lam, tol, maxit, m_true=None,
+                       interpret=False):
+    """Whole-solve sparse-logreg (mean logistic + lam*||.||_1, bias folded
+    as a trailing ones-column — sparse_logreg/runme.jl:18-39 semantics).
+    ``x_mat``: [X 1] with the ones-column appended, tile-padded with zero
+    rows/cols; ``m_true``: the UNPADDED row count (the mean's divisor —
+    zero padding rows contribute nothing to the gradient but must not
+    inflate the mean)."""
+    return resident_adapgm(x_mat, y, x0, gamma0, tol, maxit, prox_kind="l1",
+                           p1=lam, obj_kind="logreg", m_true=m_true,
+                           interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum"))

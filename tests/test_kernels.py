@@ -352,3 +352,42 @@ def test_resident_dsvm_sweep_matches_single():
         assert bool(conv[i]) == bool(conv1)
         np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(x1),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_resident_logreg_matches_engine():
+    """Whole-solve logistic resident kernel vs the engine's LogisticLoss
+    AdaPGM path (interpret mode; padded rows excluded from the mean)."""
+    import numpy as np
+
+    import adaprox_tpu as ap
+    from adaprox_tpu.models.objectives import LogisticLoss
+    from adaprox_tpu.ops.resident import resident_logreg_l1
+    from adaprox_tpu.utils.datasets import synthetic_classification
+
+    x_np, y_np = synthetic_classification(100, 23, seed=8)  # ragged sizes
+    m, nf = x_np.shape
+    f = LogisticLoss(x=jnp.asarray(x_np, jnp.float32),
+                     y=jnp.asarray(y_np, jnp.float32))
+    lam, gam = 0.01, 1.0
+    ref = ap.adaptive_proxgrad(
+        jnp.zeros(nf + 1, jnp.float32), f=f, g=ap.L1Norm(lam=jnp.float32(lam)),
+        rule=ap.AdaPGMRule(gamma=jnp.float32(gam)), tol=1e-6, maxit=1500)
+
+    x1 = np.hstack([x_np, np.ones((m, 1))]).astype(np.float32)
+    mp = -(-m // 8) * 8
+    npad = -(-(nf + 1) // 128) * 128
+    xp = np.zeros((mp, npad), np.float32)
+    xp[:m, :nf + 1] = x1
+    yp = np.zeros(mp, np.float32)
+    yp[:m] = y_np
+    x, numit, nres, conv = resident_logreg_l1(
+        jnp.asarray(xp), jnp.asarray(yp), jnp.zeros(npad, jnp.float32),
+        gam, lam, 1e-6, 1500, m_true=float(m), interpret=True)
+    # engine folds bias inside LogisticLoss; resident folds it as the last
+    # data column — same math, compare the meaningful coordinates
+    got = np.concatenate([np.asarray(x[:nf]), [float(x[nf])]])
+    want = np.asarray(ref.x)
+    assert abs(int(numit) - int(ref.numit)) <= max(3, int(ref.numit) // 20)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+    # padding coordinates never activate
+    assert float(jnp.max(jnp.abs(x[nf + 1:]))) == 0.0
