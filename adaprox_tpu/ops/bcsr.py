@@ -2,14 +2,16 @@
 
 Fine-grained gather sparsity does not map to this hardware (see ops.sparse
 for the measured Mosaic gather limits); what DOES map is BLOCK sparsity:
-store only the nonzero (8, 128) tiles of A and stream exactly those. The
-matvec touches nnzb * 4 KB of HBM instead of the dense m*n*4 — a direct
-bandwidth win proportional to block occupancy, with every byte moved in
-tile-aligned slabs and every FLOP a dense VPU op.
+store only the nonzero (bm, bn) tiles of A and stream exactly those
+(default 64x512 — see the tile-size measurements at the defaults below).
+The matvec touches nnzb * bm*bn*4 bytes of HBM instead of the dense m*n*4
+— a direct bandwidth win proportional to block occupancy at the CHOSEN
+granularity, with every byte moved in tile-aligned slabs and every FLOP a
+dense VPU op.
 
 Format (built host-side, ``bcsr_from_dense``):
 
-  * ``vals``   (nnzb, 8, 128) — the nonzero tiles, block-row-major;
+  * ``vals``   (nnzb, bm, bn) — the nonzero tiles, block-row-major;
   * ``cols``   (nnzb,) int32  — block-column index of each tile;
   * ``rowptr`` (n_block_rows + 1,) int32 — CSR-style extents.
 
@@ -44,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .._pytree import pytree_dataclass
 from .linops import opnorm2
+from .sparse import _pad_up
 
 __all__ = ["BCSROperator", "bcsr_from_dense", "bcsr_matvec",
            "bcsr_matvec_xla", "bcsr_matvec_ref"]
@@ -57,10 +60,6 @@ __all__ = ["BCSROperator", "bcsr_from_dense", "bcsr_matvec",
 # efficiency.
 _BM = 64
 _BN = 512
-
-
-def _pad_up(v, m):
-    return ((v + m - 1) // m) * m
 
 
 def bcsr_from_dense(dense_np, bm=_BM, bn=_BN):
@@ -112,17 +111,20 @@ def bcsr_matvec(vals, cols, rowptr, max_bpr, x, interpret=False):
     acc = x.dtype
     x2 = x.reshape(1, -1)
 
-    def vals_map(i, j, rowptr_ref, cols_ref):
+    def _clamped(i, j, rowptr_ref):
         flat = rowptr_ref[i] + j
-        # clamp inside the row: padded steps re-read the row's last tile
-        # (masked out of the sum) — never an out-of-structure read
+        # clamp inside the row (padded steps re-read the row's last tile,
+        # masked out of the sum) AND inside the structure: for a TRAILING
+        # empty block row, rowptr[i] == nnzb and the row-clamp alone would
+        # index one past the end of vals/cols
         last = jnp.maximum(rowptr_ref[i + 1] - 1, rowptr_ref[i])
-        return (jnp.minimum(flat, last), 0, 0)
+        return jnp.minimum(jnp.minimum(flat, last), nnzb - 1)
+
+    def vals_map(i, j, rowptr_ref, cols_ref):
+        return (_clamped(i, j, rowptr_ref), 0, 0)
 
     def x_map(i, j, rowptr_ref, cols_ref):
-        flat = rowptr_ref[i] + j
-        last = jnp.maximum(rowptr_ref[i + 1] - 1, rowptr_ref[i])
-        return (0, cols_ref[jnp.minimum(flat, last)])
+        return (0, cols_ref[_clamped(i, j, rowptr_ref)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -181,13 +183,16 @@ def bcsr_matvec_ref(vals, cols, rowptr, x):
 
 @pytree_dataclass(meta=("shape", "padded_shape", "max_bpr", "max_bpr_t"))
 class BCSROperator:
-    """Linear operator over (8, 128) block-sparse storage, both directions.
+    """Linear operator over (bm, bn) block-sparse storage, both directions
+    (default 64x512 = 128 KB f32 tiles; pass ``block=`` to change — finer
+    tiles capture more sparsity but are DMA-latency-bound, see the module
+    header measurements).
 
     Construct with ``from_dense``; on TPU the Pallas kernel streams only
     the stored tiles, on other backends a dense-equivalent einsum over the
-    tiles is used. ``block_density`` (stored tiles / total tiles) is the
-    traffic ratio vs dense — the crossover is block_density < 1 minus the
-    index/padding overhead (a few %).
+    tiles is used. ``block_density`` (stored tiles / total tiles AT THE
+    CHOSEN GRANULARITY) is the traffic ratio vs dense — measured crossover
+    near 0.2 with the defaults.
     """
 
     vals: jnp.ndarray

@@ -204,9 +204,10 @@ def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
     """One grid step per problem INSTANCE — the multi-problem batch that
     ``jax.vmap`` over the kernel cannot compile (the batched SMEM scalar
     block has no TPU batching rule): the batch is a leading grid dimension
-    instead, with per-instance scalars in a blocked SMEM row. Each step
-    loads its own (m, n)+(n, m) matrices into VMEM and runs the full
-    early-exit solve."""
+    instead, with per-instance scalars in a FULL (B, 4) SMEM table indexed
+    by program_id (blocked SMEM rows fail TPU lowering — see the comment
+    below). Each step loads its own (m, n)+(n, m) matrices into VMEM and
+    runs the full early-exit solve."""
     i = pl.program_id(0)
     # scal/stats are FULL (B, 4) SMEM arrays indexed by the instance id —
     # blocked SMEM rows fail TPU lowering (block second-to-last dim must be
@@ -449,7 +450,8 @@ def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit):
     """One grid step per coupling value t (the reference sweeps t
     sequentially, dual_svm/runme.jl:61-76 — here entirely on-core): Q and
     the labels are re-streamed per step with constant index maps; per-t
-    scalars ride a blocked SMEM row."""
+    scalars live in a FULL (T, 6) SMEM table indexed by program_id
+    (blocked SMEM rows fail TPU lowering)."""
     i = pl.program_id(0)
     x, it_f, nres, gamma, conv = _pd_core(
         q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2],

@@ -72,10 +72,14 @@ def row_sharded_fused_ls(a, b, mesh):
 class RowShardedFusedLogistic(SmoothOracle):
     """Mean logistic loss (bias folded in the last coordinate of w,
     models.objectives.LogisticLoss semantics) with row-sharded data and the
-    fused one-pass kernel per shard. Each shard computes its UNWEIGHTED
-    partial sums; the mean normalization happens after the psum so shards
-    of different row counts would still be correct for equal-size shards
-    (shard_map requires equal blocks)."""
+    fused one-pass kernel per shard.
+
+    WARNING — unlike the least-squares oracle, ZERO-PADDING ROWS IS NOT
+    SAFE here: a zero feature row still has logits = w_bias, contributing
+    log(1+exp(w_bias)) to the mean loss and sigmoid(w_bias)/m to the bias
+    gradient. If m is not divisible by the mesh rows axis, drop rows or
+    replicate existing ones and correct the objective yourself; this class
+    assumes every row is real data."""
 
     x: jnp.ndarray  # (m, n) features, row-sharded
     y: jnp.ndarray  # (m,) labels in {0, 1}, row-sharded

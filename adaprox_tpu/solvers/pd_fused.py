@@ -284,7 +284,8 @@ def fused_adaptive_primal_dual(
 
 
 def fused_condat_vu(x0, y0, *, f, g, h, A, Lf, norm_A=None, tol=1e-5,
-                    maxit=10_000, name="Condat-Vu (fused)", history=False):
+                    maxit=10_000, name="Condat-Vu (fused)", history=False,
+                    resume_state=None, interpret=None, mesh=None):
     """Condat-Vu on the fused engine: the reference's (gamma, sigma)
     heuristics (src/AdaProx.jl:367-416) with a FixedStepsize rule."""
     import numpy as np
@@ -304,4 +305,5 @@ def fused_condat_vu(x0, y0, *, f, g, h, A, Lf, norm_A=None, tol=1e-5,
     rule = FixedStepsize(gamma=gamma, t=float(np.sqrt(sigma / gamma)))
     return fused_adaptive_primal_dual(
         x0, y0, f=f, g=g, h=h, A=A, rule=rule, tol=tol, maxit=maxit,
-        name=name, history=history)
+        name=name, history=history, resume_state=resume_state,
+        interpret=interpret, mesh=mesh)

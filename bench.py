@@ -285,10 +285,11 @@ def main():
         # then the solve loop itself is the best observed ceiling.
         frac = best["achieved_gbps"] / stream_gbps
         payload["frac_attainable"] = round(min(frac, 1.0), 4)
-        if frac > 1.05:
+        if frac > 1.0:
             payload["stream_note"] = (
-                "stream probe below solve-loop bandwidth (chip co-tenancy); "
-                "solve loop is the observed ceiling")
+                f"stream probe ({stream_gbps:.0f} GB/s) below solve-loop "
+                "bandwidth (chip co-tenancy); solve loop is the observed "
+                "ceiling")
     print(json.dumps(payload))
 
 
