@@ -157,3 +157,31 @@ def test_fused_engine_sharded_matches_unsharded(srl_problem):
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(sharded.y), np.asarray(single.y),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_fused_engine_with_smooth_f(srl_problem, rng):
+    """The fused engine's f is any SmoothOracle (its oracle cost rides
+    outside the kernel): parity with the engine on a dual-SVM-shaped
+    problem with f = Quadratic and g = IndBox."""
+    from adaprox_tpu.models.objectives import Quadratic
+
+    n = 128
+    xd = rng.standard_normal((n, 12))
+    labels = np.sign(rng.standard_normal(n))
+    labels[labels == 0] = 1
+    q = (labels[:, None] * xd) @ (labels[:, None] * xd).T
+    f = Quadratic(q_mat=jnp.asarray(q), q_vec=-jnp.ones(n))
+    g = ap.IndBox(lo=0.0, hi=0.1)
+    h = ap.IndZero()
+    a = jnp.asarray(labels[None, :])  # (1, n) coupling — m=1 row
+    # m=1 is not lane-aligned for the kernel; use interpret explicitly
+    na = float(np.linalg.norm(labels))
+    kw = dict(f=f, g=g, h=h, rule=ap.AdaPGMRule.make(t=0.5, norm_a=na),
+              tol=1e-7, maxit=3000)
+    ref = ap.adaptive_primal_dual(jnp.zeros(n), jnp.zeros(1),
+                                  A=ap.DenseOperator(a=a), **kw)
+    got = fused_adaptive_primal_dual(jnp.zeros(n), jnp.zeros(1), A=a,
+                                     interpret=True, **kw)
+    assert int(got.numit) == int(ref.numit)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-9)
