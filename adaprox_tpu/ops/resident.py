@@ -200,7 +200,8 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
 
 
 def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
-                  *, maxit, prox_kind, rule_kind, momentum=False):
+                  *, maxit, prox_kind, rule_kind, momentum=False,
+                  obj_kind="ls"):
     """One grid step per problem INSTANCE — the multi-problem batch that
     ``jax.vmap`` over the kernel cannot compile (the batched SMEM scalar
     block has no TPU batching rule): the batch is a leading grid dimension
@@ -216,7 +217,7 @@ def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
         a_ref[0], at_ref[0], b_ref[0], x0_ref[0],
         scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2], scal_ref[i, 3],
         maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
-        momentum=momentum)
+        momentum=momentum, obj_kind=obj_kind)
     x_ref[0] = x_f
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres
@@ -290,9 +291,10 @@ def resident_logreg_l1(x_mat, y, x0, gamma0, lam, tol, maxit, m_true=None,
                            interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum"))
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum", "obj_kind"))
 def resident_adapgm_batch(a, b, x0, scal, maxit, prox_kind="l1",
-                          rule_kind="adapgm", momentum=False, interpret=False):
+                          rule_kind="adapgm", momentum=False, obj_kind="ls",
+                          m_true=None, interpret=False):
     """Multi-problem resident solve: B independent instances as a leading
     GRID dimension (one Pallas program; per-instance early exit).
 
@@ -303,9 +305,12 @@ def resident_adapgm_batch(a, b, x0, scal, maxit, prox_kind="l1",
     bsz, m, n = a.shape
     dt = x0.dtype
     at = jnp.swapaxes(a, 1, 2)
+    if obj_kind == "logreg":
+        at = at / (m if m_true is None else m_true)
     x_out, stats = pl.pallas_call(
         functools.partial(_batch_kernel, maxit=maxit, prox_kind=prox_kind,
-                          rule_kind=rule_kind, momentum=momentum),
+                          rule_kind=rule_kind, momentum=momentum,
+                          obj_kind=obj_kind),
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
