@@ -51,20 +51,23 @@ _TILE_BUDGET = 8 * 1024 * 1024  # per row tile of at: tn * m * itemsize
 
 
 def _pick_block_rows_t(n: int, m: int, itemsize: int) -> int:
-    """Largest At row tile (multiple of 8, <= 1024) within the VMEM budget
-    that divides n."""
-    tn = max(_SUBLANE, min(1024, _TILE_BUDGET // max(1, m * itemsize)))
-    tn = (tn // _SUBLANE) * _SUBLANE
-    while tn > _SUBLANE and n % tn:
-        tn -= _SUBLANE
+    """Largest At row tile (multiple of the dtype's sublane count, <= 1024)
+    within the VMEM budget that divides n. bf16 register tiles are
+    (16, 128), so 2-byte dtypes need 16-row multiples."""
+    sub = _SUBLANE if itemsize >= 4 else _SUBLANE * 2
+    tn = max(sub, min(1024, _TILE_BUDGET // max(1, m * itemsize)))
+    tn = (tn // sub) * sub
+    while tn > sub and n % tn:
+        tn -= sub
     return tn
 
 
 def pd_fusable(at) -> bool:
     """at: the (n, m) transposed coupling matrix."""
     n, m = at.shape
+    sub = _SUBLANE if at.dtype.itemsize >= 4 else _SUBLANE * 2
     return (
-        n % _SUBLANE == 0
+        n % sub == 0
         and m % _LANE == 0
         and n % _pick_block_rows_t(n, m, at.dtype.itemsize) == 0
     )

@@ -185,3 +185,24 @@ def test_fused_engine_with_smooth_f(srl_problem, rng):
     assert int(got.numit) == int(ref.numit)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_fused_engine_bf16_storage(srl_problem):
+    """bf16 A' storage through the fused PD engine: same trajectory shape at
+    bf16 input rounding (halves HBM traffic on TPU)."""
+    a, yv, h = srl_problem
+    m, n = a.shape
+    a32 = jnp.asarray(a, jnp.float32)
+    na = float(np.linalg.norm(np.asarray(a)))
+    kw = dict(f=ap.ZeroSmooth(), g=ap.L1Norm(lam=jnp.float32(10.0)),
+              h=ap.Translate(inner=ap.L2Norm(lam=jnp.float32(1.0)),
+                             b=-jnp.asarray(yv, jnp.float32)),
+              rule=ap.AdaPGMRule.make(t=1.0, norm_a=na), tol=1e-6, maxit=1500)
+    r32 = fused_adaptive_primal_dual(
+        jnp.zeros(n, jnp.float32), jnp.zeros(m, jnp.float32), A=a32, **kw)
+    rbf = fused_adaptive_primal_dual(
+        jnp.zeros(n, jnp.float32), jnp.zeros(m, jnp.float32),
+        A=a32.astype(jnp.bfloat16), **kw)
+    assert abs(int(rbf.numit) - int(r32.numit)) <= max(5, int(r32.numit) // 10)
+    np.testing.assert_allclose(np.asarray(rbf.x), np.asarray(r32.x),
+                               rtol=5e-2, atol=5e-2)
