@@ -241,8 +241,16 @@ def main():
                 tol=0.0, maxit=iters_pd, history=False)
             return res.norm_res, res.numit
 
+        def run_pd_fused_bf16():
+            res = ap.fused_adaptive_primal_dual(
+                x0, y0_pd, f=ap.ZeroSmooth(), g=g_pd, h=h,
+                A=a.astype(jnp.bfloat16), rule=rule_pd,
+                tol=0.0, maxit=iters_pd, history=False)
+            return res.norm_res, res.numit
+
         dt_x, _ = time_solve(run_pd_xla)
         dt_f, _ = time_solve(run_pd_fused)
+        dt_fb, _ = time_solve(run_pd_fused_bf16)
         results["pd_xla"] = {
             "iters_per_sec": round(iters_pd / dt_x, 2),
             "achieved_gbps": round(2 * m * n * 4 * iters_pd / dt_x / 1e9, 1),
@@ -251,6 +259,10 @@ def main():
             "iters_per_sec": round(iters_pd / dt_f, 2),
             "achieved_gbps": round(m * n * 4 * iters_pd / dt_f / 1e9, 1),
             "speedup_vs_xla": round(dt_x / dt_f, 2),
+        }
+        results["pd_fused_bf16"] = {
+            "iters_per_sec": round(iters_pd / dt_fb, 2),
+            "speedup_vs_xla": round(dt_x / dt_fb, 2),
         }
     except Exception as e:
         results["pd_fused"] = {"error": str(e)[:200]}
