@@ -35,6 +35,7 @@ def auto_adaptive_proxgrad(
     maxit=100_000,
     name="AutoAdaPGM",
     history=False,
+    scalar_dtype=None,
 ):
     x = jnp.asarray(x0)
     _, grad_x = f.value_and_grad(x)
@@ -69,5 +70,6 @@ def auto_adaptive_proxgrad(
 
     rule = AdaPGMRule(gamma=gamma, t=1.0, norm_a=0.0, delta=0.0, theta=1.2)
     return adaptive_proxgrad(
-        x_prev, f=f, g=g, rule=rule, tol=tol, maxit=maxit, name=name, history=history
+        x_prev, f=f, g=g, rule=rule, tol=tol, maxit=maxit, name=name,
+        history=history, scalar_dtype=scalar_dtype,
     )
