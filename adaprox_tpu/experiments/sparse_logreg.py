@@ -17,7 +17,8 @@ import numpy as np
 from .common import Sink, group_rows, pick_platform, plot_lines
 
 
-def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype=None):
+def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype=None,
+                       spectral_lf=False):
     import jax.numpy as jnp
 
     import adaprox_tpu as ap
@@ -38,10 +39,18 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
     f = LogisticLoss(x=x_mat, y=y)
     g = ap.L1Norm(lam=jnp.asarray(lam, x_mat.dtype))
 
-    # Lf = ||X1 X1'|| / 4m — use the spectral norm via the singular values of
-    # X1 (avoids forming the m x m gram; reference uses norm(X1*X1') at :59)
+    # Lf = norm(X1*X1') / 4m (runme.jl:58-59) where Julia's matrix `norm` is
+    # the FROBENIUS norm of the Gram — computed gram-free via the n x n
+    # Gram: ||X1 X1'||_F = ||X1' X1||_F (both are sqrt(sum sigma_i^4)), so
+    # one (n, m) @ (m, n) product instead of the m x m Gram. This is a loose
+    # upper bound on the spectral Lipschitz constant, but it is what the
+    # reference seeds every solver with — gamma_init parity requires it.
+    # ``spectral_lf=True`` keeps the tighter ||X1||_2^2 / 4m variant.
     x1 = np.hstack([x_np, np.ones((m, 1))])
-    lf = float(np.linalg.norm(x1, 2) ** 2 / (4 * m))
+    if spectral_lf:
+        lf = float(np.linalg.norm(x1, 2) ** 2 / (4 * m))
+    else:
+        lf = float(np.linalg.norm(x1.T @ x1) / (4 * m))
     gam = 1.0 / lf
     x0 = jnp.zeros(n, x_mat.dtype)
     kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
@@ -94,6 +103,9 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--f64", action="store_true",
                    help="f64 on the accelerator (reference-regime parity)")
+    p.add_argument("--spectral-lf", action="store_true",
+                   help="tighter ||X1||_2^2/4m instead of the reference's "
+                        "Frobenius norm(X1*X1')/4m (runme.jl:58-59)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -101,7 +113,8 @@ def main(argv=None):
     for ds in args.datasets.split(","):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
         sink = Sink(path)
-        src = run_logreg_l1_data(ds, sink, lam=args.lam, tol=args.tol, maxit=args.maxit)
+        src = run_logreg_l1_data(ds, sink, lam=args.lam, tol=args.tol, maxit=args.maxit,
+                                 spectral_lf=args.spectral_lf)
         sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")
         if not args.no_plot:

@@ -138,8 +138,12 @@ def get_sink_lib():
 
 def write_jsonl_native(path, method, keys, values, is_int, mode="a") -> bool:
     """Write (n_rows, n_keys) float64 ``values`` as JSONL rows via the C++
-    sink. Returns False if the native lib is unavailable or the write failed
-    (caller falls back to the Python writer)."""
+    sink. Returns False ONLY when no bytes reached the file (native lib
+    unavailable, or fopen failed — rc 1), so the caller may safely fall back
+    to the Python writer. A mid-write failure (rc 2) may have left a partial
+    row set on disk; falling back would duplicate those rows, so it is
+    reported as True with a warning instead (the sink formats in memory and
+    writes once, so rc 2 is a single failed fwrite/fclose, not a torn row)."""
     lib = get_sink_lib()
     if lib is None:
         return False
@@ -154,6 +158,15 @@ def write_jsonl_native(path, method, keys, values, is_int, mode="a") -> bool:
         is_int_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         values.shape[0],
     )
+    if rc == 2:
+        import warnings
+
+        warnings.warn(
+            f"native JSONL sink: write to {path} failed mid-flush; rows may "
+            "be incomplete (not retrying — a re-write would duplicate rows)",
+            RuntimeWarning,
+        )
+        return True
     return rc == 0
 
 

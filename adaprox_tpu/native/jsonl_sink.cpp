@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 
 namespace {
 
@@ -40,37 +41,39 @@ extern "C" {
 //   keys:     n_keys column names
 //   values:   row-major (n_rows, n_keys) doubles
 //   is_int:   per-column flag: format as integer
-// Returns 0 on success, nonzero errno-style code on failure.
+// Returns 0 on success, 1 if NOTHING was written (fopen failed — the caller
+// may safely fall back to another writer), 2 if rows may be PARTIALLY
+// written (a later write/flush/close error — the caller must NOT re-write
+// the same rows or the file gets duplicates).
 int adaprox_write_jsonl(const char *path, const char *mode, const char *method,
                         const char **keys, int n_keys, const double *values,
                         const unsigned char *is_int, long long n_rows) {
-    FILE *f = fopen(path, mode);
-    if (!f) return 1;
-    // big stdio buffer: one syscall per ~1 MB instead of per row
-    static_cast<void>(setvbuf(f, nullptr, _IOFBF, 1 << 20));
-
+    // format everything into memory FIRST: formatting cannot fail mid-file,
+    // so the only partial-write window left is the single fwrite below
+    std::string out;
+    out.reserve(static_cast<size_t>(n_rows) * (16 * n_keys + 24));
     char num[64];
     for (long long r = 0; r < n_rows; ++r) {
-        fputc('{', f);
+        out += '{';
         bool first = true;
         if (method) {
-            fputs("\"method\": \"", f);
+            out += "\"method\": \"";
             // method names are plain ASCII identifiers; escape the two
             // JSON-critical characters anyway
             for (const char *p = method; *p; ++p) {
-                if (*p == '"' || *p == '\\') fputc('\\', f);
-                fputc(*p, f);
+                if (*p == '"' || *p == '\\') out += '\\';
+                out += *p;
             }
-            fputc('"', f);
+            out += '"';
             first = false;
         }
         const double *row = values + static_cast<size_t>(r) * n_keys;
         for (int k = 0; k < n_keys; ++k) {
-            if (!first) fputs(", ", f);
+            if (!first) out += ", ";
             first = false;
-            fputc('"', f);
-            fputs(keys[k], f);
-            fputs("\": ", f);
+            out += '"';
+            out += keys[k];
+            out += "\": ";
             double v = row[k];
             if (is_int[k]) {
                 snprintf(num, sizeof num, "%lld", static_cast<long long>(v));
@@ -84,14 +87,17 @@ int adaprox_write_jsonl(const char *path, const char *mode, const char *method,
             } else {
                 format_double(num, sizeof num, v);
             }
-            fputs(num, f);
+            out += num;
         }
-        fputs("}\n", f);
+        out += "}\n";
     }
-    int err = ferror(f);
-    // fclose flushes the 1 MB buffer — ITS failure is a lost-rows failure
+
+    FILE *f = fopen(path, mode);
+    if (!f) return 1;  // nothing written — safe to fall back
+    size_t wrote = fwrite(out.data(), 1, out.size(), f);
+    int err = (wrote != out.size()) || ferror(f);
     if (fclose(f) != 0) err = 1;
-    return err ? 2 : 0;
+    return err ? 2 : 0;  // 2: bytes may be on disk — fallback would duplicate
 }
 
 }  // extern "C"

@@ -118,6 +118,11 @@ def ell_matvec_pallas(vals, cols, x, interpret=False, block_rows=None):
     # tile must fit: vals+cols (tm*k*8) plus the broadcast gather source
     # (tm * n_pad * itemsize)
     budget = 4 * 1024 * 1024
+    if m % _SUBLANE:
+        # without this the tile-size search below decrements through 0
+        raise ValueError(
+            f"ell_matvec_pallas needs m % {_SUBLANE} == 0, got m={m}; "
+            "pad the row count (cf. hbm_read_reduce's guard)")
     tm = block_rows or max(
         _SUBLANE,
         min(512, budget // max(1, k * 8 + n_pad * x.dtype.itemsize))

@@ -116,7 +116,8 @@ def main():
     fl = LogisticLoss(x=jnp.asarray(x_np), y=jnp.asarray(y_np))
     gl = ap.L1Norm(lam=0.01)
     x1 = np.hstack([x_np, np.ones((mrows, 1))])
-    lfl = float(np.linalg.norm(x1, 2) ** 2 / (4 * mrows))
+    # Julia norm(X1*X1') is the FROBENIUS norm of the Gram (runme.jl:58-59)
+    lfl = float(np.linalg.norm(x1.T @ x1) / (4 * mrows))
     x0l = jnp.zeros(nfeat + 1)
     sl_maxit = 500 if args.fast else 2000
     gt = ap.adaptive_proxgrad(
