@@ -247,6 +247,7 @@ def fused_adaptive_primal_dual(
     resume_state=None,
     interpret=None,
     mesh=None,
+    at=None,
 ):
     """Engine-parity AdaPDM with the one-pass fused PD kernel.
 
@@ -258,6 +259,12 @@ def fused_adaptive_primal_dual(
     ``mesh``: a parallel.mesh 2-D mesh — runs the fused kernel per device
     over the "rows"-axis shards of A' (shard_map + psum of the A@x_new
     partials); shard x0/grad-space vectors P("rows") and replicate y0.
+
+    ``at``: the already-materialized transposed matrix (n, m). The kernel
+    streams row tiles of A', so the wrapper otherwise transposes A on EVERY
+    call — a 1 GB strided pass that dominates short solves and repeated
+    sweeps (measured ~7-10 ms at 16384^2 f32, tools/pd_bw_probe2.py).
+    Pass ``A`` as well (only its shape/dtype are used for validation).
     """
     a_mat = getattr(A, "a", A)
     entry = prox_menu_entry(g)
@@ -269,7 +276,14 @@ def fused_adaptive_primal_dual(
     x0 = jnp.asarray(x0)
     # one-time transpose: the kernel streams contiguous row tiles of A'
     # (column tiles of row-major A cost ~25% bandwidth in strided DMA)
-    at_mat = jnp.asarray(a_mat).T
+    if at is not None:
+        at_mat = jnp.asarray(at)
+        if at_mat.shape != jnp.asarray(a_mat).shape[::-1]:
+            raise ValueError(
+                f"at shape {at_mat.shape} is not the transpose of A shape "
+                f"{jnp.asarray(a_mat).shape}")
+    else:
+        at_mat = jnp.asarray(a_mat).T
     if not interpret and not pd_kernels.pd_fusable(at_mat):
         raise ValueError(
             f"A with shape {a_mat.shape} is not tile-aligned for the fused "
@@ -285,7 +299,7 @@ def fused_adaptive_primal_dual(
 
 def fused_condat_vu(x0, y0, *, f, g, h, A, Lf, norm_A=None, tol=1e-5,
                     maxit=10_000, name="Condat-Vu (fused)", history=False,
-                    resume_state=None, interpret=None, mesh=None):
+                    resume_state=None, interpret=None, mesh=None, at=None):
     """Condat-Vu on the fused engine: the reference's (gamma, sigma)
     heuristics (src/AdaProx.jl:367-416) with a FixedStepsize rule."""
     import numpy as np
@@ -306,4 +320,4 @@ def fused_condat_vu(x0, y0, *, f, g, h, A, Lf, norm_A=None, tol=1e-5,
     return fused_adaptive_primal_dual(
         x0, y0, f=f, g=g, h=h, A=A, rule=rule, tol=tol, maxit=maxit,
         name=name, history=history, resume_state=resume_state,
-        interpret=interpret, mesh=mesh)
+        interpret=interpret, mesh=mesh, at=at)

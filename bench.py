@@ -46,18 +46,71 @@ def chip_bandwidth_gbps(device) -> float:
     return 800.0
 
 
-def time_solve(run, reps=3):
+def _sync(out):
     import jax
+    import jax.numpy as jnp
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.asarray(leaf).ravel()[0])
+
+
+def time_solve(run, reps=3):
     best = float("inf")
     out = run()
-    float(jax.tree_util.tree_leaves(out)[0])  # compile + settle
+    _sync(out)  # compile + settle
     for _ in range(reps):
         t0 = time.perf_counter()
         out = run()
-        float(jax.tree_util.tree_leaves(out)[0])  # force completion
+        _sync(out)  # force completion
         best = min(best, time.perf_counter() - t0)
     return best, out
+
+
+def measure_dispatch_latency(reps=8):
+    """Best-of round-trip latency of a trivial dispatched op. On this
+    remote-relay backend a single dispatch costs ~25 ms regardless of the
+    program (CLAUDE.md) — a pure additive bias on every timed launch that
+    must be subtracted before converting times to bandwidth (it read the
+    BENCH_r02 stream probe 40% low: 20 reps = 31 ms of work behind 25 ms
+    of latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda s: s + 1.0)
+    x = jnp.zeros(())
+    float(tiny(x))  # compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(tiny(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_interleaved(runners, rounds=4, dispatch_s=0.0):
+    """Round-robin timing: compile every runner, then time them interleaved
+    for ``rounds`` passes, returning per-runner (best, median) seconds with
+    the relay dispatch latency subtracted.
+
+    On this shared chip the co-tenant load drifts on a minutes scale, so
+    back-to-back sequential measurements of different variants are NOT
+    comparable (BENCH_r02 recorded a 24% fused-vs-pd_fused "gap" whose
+    dominant terms were a per-solve 1 GB transpose + warm-up amortized over
+    a 4x shorter pd run, plus window drift — tools/pd_bw_probe2.py measured
+    the true same-window kernel gap at 2.3%). Interleaving puts every
+    variant through the same load profile; best-of rejects transient
+    spikes."""
+    import statistics
+
+    for name, fn in runners.items():
+        _sync(fn())  # compile + settle
+    times = {name: [] for name in runners}
+    for _ in range(rounds):
+        for name, fn in runners.items():
+            t0 = time.perf_counter()
+            _sync(fn())
+            times[name].append(max(time.perf_counter() - t0 - dispatch_s, 1e-9))
+    return {name: (min(ts), statistics.median(ts)) for name, ts in times.items()}
 
 
 def main():
@@ -109,47 +162,104 @@ def main():
     roofline = chip_bandwidth_gbps(dev)
     results = {}
 
-    # attainable-stream calibration under the SAME run conditions: K
-    # back-to-back passes inside one kernel launch (tools/roofline_probe.py
-    # methodology). The nominal spec is not achievable; this is the honest
-    # denominator for the kernel numbers below.
-    stream_gbps = None
-    try:
-        from adaprox_tpu.ops.kernels import hbm_read_reduce
+    # ---- same-window interleaved calibration (VERDICT r2 items 1-2) ------
+    # All bandwidth-comparable measurements — the attainable-stream probe,
+    # the LS engine variants, and the PD engine variants — are timed
+    # ROUND-ROBIN in one tight window with best-of-N per runner, so the
+    # stream ceiling and every solve loop see the same co-tenant load and
+    # their ratios are defensible from this artifact alone.
+    from adaprox_tpu.ops.kernels import hbm_read_reduce
 
-        reps = 20
+    # every runner targets >= ~0.3 s of device work so the (subtracted)
+    # dispatch latency and any residual per-launch cost are noise
+    stream_reps = max(iters, 200)
 
-        def run_stream():
-            return hbm_read_reduce(a, block_rows=128, repeats=reps)
+    def run_stream():
+        return hbm_read_reduce(a, block_rows=128, repeats=stream_reps)
 
-        dt_s, _ = time_solve(run_stream)
-        stream_gbps = reps * m * n * 4 / dt_s / 1e9
-        results["stream_ceiling"] = {
-            "gbps": round(stream_gbps, 1),
-            "frac_nominal": round(stream_gbps / roofline, 4),
-        }
-    except Exception as e:
-        results["stream_ceiling"] = {"error": str(e)[:200]}
-    # (name, fused, bf16-storage, HBM passes per iter, bytes/elem)
-    variants = [("xla", False, False, 2, 4), ("fused", True, False, 1, 4),
-                ("fused_bf16", True, True, 1, 2)]
-    for name, fused, bf16, passes, nbytes in variants:
+    iters_pd = iters
+    yv = jax.random.normal(jax.random.PRNGKey(5), (m,), dtype)
+    h = ap.Translate(inner=ap.L2Norm(lam=jnp.asarray(1.0, dtype)), b=-yv)
+    g_pd = ap.L1Norm(lam=jnp.asarray(0.01, dtype))
+    na = float(jnp.sqrt(jnp.sum(a * a)))
+    rule_pd = ap.AdaPGMRule.make(t=1.0, norm_a=na)
+    y0_pd = jnp.zeros(m, dtype)
+    # the fused engine streams A' — materialize it ONCE; passing it per
+    # solve keeps the per-call transpose out of the measurement, as a real
+    # sweep/driver would
+    at_f32 = a.T
+    at_bf16 = a_bf16.T
+
+    def make_run_pd(a_mat, at_mat, n_it, fused):
+        if fused:
+            def run():
+                res = ap.fused_adaptive_primal_dual(
+                    x0, y0_pd, f=ap.ZeroSmooth(), g=g_pd, h=h, A=a_mat,
+                    at=at_mat, rule=rule_pd, tol=0.0, maxit=n_it,
+                    history=False)
+                return res.norm_res, res.numit
+        else:
+            def run():
+                res = ap.adaptive_primal_dual(
+                    x0, y0_pd, f=ap.ZeroSmooth(), g=g_pd, h=h,
+                    A=ap.DenseOperator(a=a_mat), rule=rule_pd,
+                    tol=0.0, maxit=n_it, history=False)
+                return res.norm_res, res.numit
+        return run
+
+    # name -> (runner, passes-over-A per iter, bytes/elem, iters); bf16
+    # variants run 2x the iterations to equalize wall time per measurement
+    spec = {
+        "stream": (run_stream, 1, 4, stream_reps),
+        "xla": (make_run(False), 2, 4, iters),
+        "fused": (make_run(True), 1, 4, iters),
+        "fused_bf16": (make_run(True, bf16=True), 1, 2, iters),
+        "pd_xla": (make_run_pd(a, None, iters_pd, False), 2, 4, iters_pd),
+        "pd_fused": (make_run_pd(a, at_f32, iters_pd, True), 1, 4, iters_pd),
+        "pd_fused_bf16": (make_run_pd(a_bf16, at_bf16, 2 * iters_pd, True),
+                          1, 2, 2 * iters_pd),
+    }
+    runners = {}
+    for name, (fn, _, _, _) in spec.items():
         try:
-            dt, out = time_solve(make_run(fused, bf16))
-            numit = int(out[1])
-            assert numit == iters, f"early exit: {numit} != {iters}"
-            iters_per_sec = iters / dt
-            gbps = passes * m * n * nbytes * iters_per_sec / 1e9
-            results[name] = {
-                "iters_per_sec": round(iters_per_sec, 2),
-                "achieved_gbps": round(gbps, 1),
-                "frac_roofline": round(gbps / roofline, 4),
-            }
-        except Exception as e:  # a variant must never take down the benchmark
+            _sync(fn())  # compile; drop runners that cannot build
+            runners[name] = fn
+        except Exception as e:
             results[name] = {"error": str(e)[:200], "iters_per_sec": 0.0}
 
+    dispatch_s = measure_dispatch_latency()
+    results["dispatch_latency_ms"] = round(dispatch_s * 1e3, 2)
+    timed = time_interleaved(runners, rounds=4, dispatch_s=dispatch_s)
+    stream_gbps = None
+    for name, (best_s, med_s) in timed.items():
+        _, passes, nbytes, reps_n = spec[name]
+        gbps = passes * m * n * nbytes * reps_n / best_s / 1e9
+        entry = {
+            "iters_per_sec": round(reps_n / best_s, 2),
+            "achieved_gbps": round(gbps, 1),
+            "frac_roofline": round(gbps / roofline, 4),
+            # spread across the interleaved rounds: the honest error bar on
+            # this shared chip (median/best - 1)
+            "spread": round(med_s / best_s - 1, 4),
+        }
+        if name == "stream":
+            stream_gbps = gbps
+            results["stream_ceiling"] = {
+                "gbps": round(gbps, 1),
+                "frac_nominal": round(gbps / roofline, 4),
+                "spread": entry["spread"],
+            }
+        else:
+            results[name] = entry
+    if "pd_fused" in results and "pd_xla" in timed and "pd_fused" in timed:
+        results["pd_fused"]["speedup_vs_xla"] = round(
+            timed["pd_xla"][0] / timed["pd_fused"][0], 2)
+    if "pd_fused_bf16" in results and "pd_fused_bf16" in timed and "pd_xla" in timed:
+        results["pd_fused_bf16"]["speedup_vs_xla"] = round(
+            timed["pd_xla"][0] / timed["pd_fused_bf16"][0], 2)
+
     # headline metric: best FULL-f32 variant; bf16 storage stays in detail
-    best_name = max(("xla", "fused"), key=lambda k: results[k]["iters_per_sec"])
+    best_name = max(("xla", "fused"), key=lambda k: results[k].get("iters_per_sec", 0.0))
     best = results[best_name]
 
     # reference-benchmark-size solve via the VMEM-resident whole-solve kernel
@@ -217,56 +327,6 @@ def main():
     except Exception as e:
         results["batched_regpath_16x4000x1000"] = {"error": str(e)[:200]}
 
-    # fused one-pass PD path (sqrt-lasso-shaped: f = 0, the A traffic IS the
-    # iteration) vs the two-pass engine at the same size
-    try:
-        iters_pd = max(20, iters // 4)
-        yv = jax.random.normal(jax.random.PRNGKey(5), (m,), dtype)
-        h = ap.Translate(inner=ap.L2Norm(lam=jnp.asarray(1.0, dtype)), b=-yv)
-        g_pd = ap.L1Norm(lam=jnp.asarray(0.01, dtype))
-        na = float(jnp.sqrt(jnp.sum(a * a)))
-        rule_pd = ap.AdaPGMRule.make(t=1.0, norm_a=na)
-        y0_pd = jnp.zeros(m, dtype)
-
-        def run_pd_xla():
-            res = ap.adaptive_primal_dual(
-                x0, y0_pd, f=ap.ZeroSmooth(), g=g_pd, h=h,
-                A=ap.DenseOperator(a=a), rule=rule_pd,
-                tol=0.0, maxit=iters_pd, history=False)
-            return res.norm_res, res.numit
-
-        def run_pd_fused():
-            res = ap.fused_adaptive_primal_dual(
-                x0, y0_pd, f=ap.ZeroSmooth(), g=g_pd, h=h, A=a, rule=rule_pd,
-                tol=0.0, maxit=iters_pd, history=False)
-            return res.norm_res, res.numit
-
-        def run_pd_fused_bf16():
-            res = ap.fused_adaptive_primal_dual(
-                x0, y0_pd, f=ap.ZeroSmooth(), g=g_pd, h=h,
-                A=a.astype(jnp.bfloat16), rule=rule_pd,
-                tol=0.0, maxit=iters_pd, history=False)
-            return res.norm_res, res.numit
-
-        dt_x, _ = time_solve(run_pd_xla)
-        dt_f, _ = time_solve(run_pd_fused)
-        dt_fb, _ = time_solve(run_pd_fused_bf16)
-        results["pd_xla"] = {
-            "iters_per_sec": round(iters_pd / dt_x, 2),
-            "achieved_gbps": round(2 * m * n * 4 * iters_pd / dt_x / 1e9, 1),
-        }
-        results["pd_fused"] = {
-            "iters_per_sec": round(iters_pd / dt_f, 2),
-            "achieved_gbps": round(m * n * 4 * iters_pd / dt_f / 1e9, 1),
-            "speedup_vs_xla": round(dt_x / dt_f, 2),
-        }
-        results["pd_fused_bf16"] = {
-            "iters_per_sec": round(iters_pd / dt_fb, 2),
-            "speedup_vs_xla": round(dt_x / dt_fb, 2),
-        }
-    except Exception as e:
-        results["pd_fused"] = {"error": str(e)[:200]}
-
     # convergence sanity on the known-optimum problem (f32, small)
     prob = random_lasso(m=1024, n=2048, pfactor=10, seed=0)
     f_small = LeastSquares(a=jnp.asarray(prob.a, dtype), b=jnp.asarray(prob.b, dtype))
@@ -291,17 +351,15 @@ def main():
     }
     if stream_gbps and "achieved_gbps" in best:
         # fraction of the bandwidth this chip can actually deliver, measured
-        # in the same run (the nominal-roofline fraction stays in
-        # vs_baseline for cross-round comparability). On a co-tenanted
-        # window the bare stream probe can land BELOW the solve loop —
-        # then the solve loop itself is the best observed ceiling.
-        frac = best["achieved_gbps"] / stream_gbps
-        payload["frac_attainable"] = round(min(frac, 1.0), 4)
-        if frac > 1.0:
-            payload["stream_note"] = (
-                f"stream probe ({stream_gbps:.0f} GB/s) below solve-loop "
-                "bandwidth (chip co-tenancy); solve loop is the observed "
-                "ceiling")
+        # INTERLEAVED with the stream probe in the same window (best-of-N
+        # round-robin; the nominal-roofline fraction stays in vs_baseline
+        # for cross-round comparability). Reported unclamped: > 1.0 means
+        # the solve loop out-streamed the probe within measurement spread.
+        payload["frac_attainable"] = round(best["achieved_gbps"] / stream_gbps, 4)
+        payload["calibration"] = "interleaved best-of-4 (see time_interleaved)"
+        if "pd_fused" in results and "achieved_gbps" in results.get("pd_fused", {}):
+            payload["pd_vs_ls_same_window"] = round(
+                results["pd_fused"]["achieved_gbps"] / best["achieved_gbps"], 4)
     print(json.dumps(payload))
 
 
