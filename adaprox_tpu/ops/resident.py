@@ -30,10 +30,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_supported"]
+__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_records", "resident_supported"]
 
 # static prox menu: kind -> (v, gamma, p1, p2) -> prox point
 _PROX = {
@@ -44,6 +45,21 @@ _PROX = {
     ),
     "zero": lambda v, gamma, p1, p2: v,
 }
+
+# g(x) for the record-mode objective (indicators are 0 at feasible points,
+# matching the reference's g(x) log term)
+_GVAL = {
+    "l1": lambda x, p1, p2: p1 * jnp.sum(jnp.abs(x)),
+    "box": lambda x, p1, p2: jnp.zeros((), x.dtype),
+    "elastic": lambda x, p1, p2: p1 * jnp.sum(jnp.abs(x)) + 0.5 * p2 * jnp.sum(x * x),
+    "zero": lambda x, p1, p2: jnp.zeros((), x.dtype),
+}
+
+_LANE = 128
+
+
+def _hist_len(maxit: int) -> int:
+    return -(-maxit // _LANE) * _LANE
 
 # both layouts must fit alongside scratch: 2 * itemsize * m * n <= ~48 MB
 _VMEM_BYTES = 24 * 1024 * 1024
@@ -84,26 +100,52 @@ _RULES = {"adapgm": _rule_adapgm, "mm": _rule_mm, "fixed": _rule_fixed}
 
 
 def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
-                rule_kind, momentum, obj_kind="ls"):
+                rule_kind, momentum, obj_kind="ls", record=False,
+                m_true=None):
     """The whole-solve loop on VMEM-resident values. Returns
-    (x_final(1, n), it, norm_res, gamma, converged). Shared by the single
-    and the batched (grid-over-instances) kernels.
+    (x_final(1, n), it, norm_res, gamma, converged[, hists]). Shared by the
+    single and the batched (grid-over-instances) kernels.
 
     ``obj_kind``: "ls" (f = 0.5||Ax-b||^2) or "logreg" (mean logistic with
     the bias folded as a ones-column of ``a``; caller prescales ``at`` by
-    1/m so the mean is free — sparse_logreg/runme.jl:18-39 semantics)."""
+    1/m so the mean is free — sparse_logreg/runme.jl:18-39 semantics).
 
+    ``record=True`` additionally carries (1, H) per-iteration history
+    vectors of (gamma, norm_res, objective) — H = maxit rounded up to the
+    lane count — updated by a masked-iota write (~3 lane-vectors of VPU
+    work per iteration, invisible next to the matvecs). This is the
+    VERDICT-r2 telemetry channel: the fastest solver in the repo must be
+    able to produce the reference's per-iteration JSONL. The objective is
+    nearly free: f reuses the residual/logits the gradient already
+    computed; g comes from the static prox menu. ``m_true`` (logreg): the
+    unpadded row count — each zero-padded row contributes exactly
+    -log(2) to the raw loss sum, removed as a static constant."""
+
+    dt = x0.dtype
     if obj_kind == "logreg":
-        def grad_of(x_row):  # logits / sigmoid / weighted pullback on VPU
+        m_rows = a.shape[0]
+        m_div = float(m_true if m_true is not None else m_rows)
+        pad_rows = float(m_rows - (m_true if m_true is not None else m_rows))
+
+        def val_grad_of(x_row):  # logits / sigmoid / weighted pullback on VPU
             logits = jnp.sum(a * x_row, axis=1, keepdims=True).T   # (1, m)
             diff = 1.0 / (1.0 + jnp.exp(-logits)) - b
-            return jnp.sum(at * diff, axis=1, keepdims=True).T     # (1, n)
+            grad = jnp.sum(at * diff, axis=1, keepdims=True).T     # (1, n)
+            softplus_neg = jnp.logaddexp(jnp.zeros((), dt), -logits)
+            raw = jnp.sum((b - 1.0) * logits - softplus_neg)
+            fval = -(raw + pad_rows * float(np.log(2.0))) / m_div
+            return fval, grad
     else:
-        def grad_of(x_row):  # (1, n) -> (1, n); both reductions over lanes
+        def val_grad_of(x_row):  # (1, n) -> (1, n); both reductions over lanes
             res = jnp.sum(a * x_row, axis=1, keepdims=True).T - b  # (1, m)
-            return jnp.sum(at * res, axis=1, keepdims=True).T      # (1, n)
+            return (0.5 * jnp.sum(res * res),
+                    jnp.sum(at * res, axis=1, keepdims=True).T)    # (1, n)
+
+    def grad_of(x_row):
+        return val_grad_of(x_row)[1]
 
     prox_fn = _PROX[prox_kind]
+    gval_fn = _GVAL[prox_kind]
 
     def prox(v, gamma):
         return prox_fn(v, gamma, p1, p2)
@@ -112,6 +154,9 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
     grad0 = grad_of(x0)
     v = x0 - gamma0 * grad0
     x = prox(v, gamma0)
+
+    hl = _hist_len(maxit)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, hl), 1)
 
     class C(NamedTuple):
         it: jnp.ndarray
@@ -124,8 +169,17 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
         g0: jnp.ndarray
         theta: jnp.ndarray
         norm_res: jnp.ndarray
+        hists: object  # (hg, hr, ho) when record else None
 
     rule_fn = _RULES[rule_kind]
+
+    def write_hist(hists, it, gamma, norm_res, objective):
+        if not record:
+            return hists
+        hg, hr, ho = hists
+        mask = iota == it
+        return (jnp.where(mask, gamma, hg), jnp.where(mask, norm_res, hr),
+                jnp.where(mask, objective, ho))
 
     if momentum:
         # accelerated iteration (solvers/nesterov._solve, mu = 0):
@@ -137,11 +191,19 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
             grad_z = grad_of(z)
             x_new = prox(z - c.gamma * grad_z, c.gamma)
             norm_res = jnp.sqrt(jnp.sum((x_new - z) * (x_new - z))) / c.gamma
+            if record:
+                # engine record semantics (solvers/nesterov.py): objective
+                # at the NEW iterate — costs one extra resident matvec,
+                # record-mode only
+                objective = val_grad_of(x_new)[0] + gval_fn(x_new, p1, p2)
+            else:
+                objective = jnp.zeros((), dt)
+            hists = write_hist(c.hists, c.it, c.gamma, norm_res, objective)
             return C(c.it + 1, x_new, z, c.x, grad_z, c.gamma, c.g1, c.g0,
-                     theta, norm_res)
+                     theta, norm_res, hists)
     else:
         def body(c):
-            grad = grad_of(c.x)
+            f_x, grad = val_grad_of(c.x)
             primal = (c.v - c.x) / c.gamma + grad
             norm_res = jnp.sqrt(jnp.sum(primal * primal))
             dg = grad - c.grad_prev
@@ -150,35 +212,52 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
             dgdx = jnp.sum(dg * dx)
             ndx2 = jnp.sum(dx * dx)
             gamma, g1_new, g0_new = rule_fn(c.g1, c.g0, ndg2, dgdx, ndx2)
+            if record:
+                # engine record semantics (primal_dual._step): objective at
+                # the CURRENT x, gamma is the just-updated step
+                objective = f_x + gval_fn(c.x, p1, p2)
+            else:
+                objective = jnp.zeros((), dt)
+            hists = write_hist(c.hists, c.it, gamma, norm_res, objective)
             v = c.x - gamma * grad
             x_new = prox(v, gamma)
             return C(c.it + 1, x_new, v, c.x, grad, gamma, g1_new, g0_new,
-                     c.theta, norm_res)
+                     c.theta, norm_res, hists)
 
     def cond(c):
         return jnp.logical_and(c.it < maxit, c.norm_res > tol)
 
+    hists0 = (
+        (jnp.zeros((1, hl), dt), jnp.zeros((1, hl), dt), jnp.zeros((1, hl), dt))
+        if record else None
+    )
     g0_init = jnp.asarray(jnp.inf, x.dtype) if rule_kind == "mm" else gamma0
     if momentum:
         # the momentum path starts from x0 directly (fixed_nesterov's
-        # x = x_prev = x0, theta = 1 init at solvers/nesterov.py)
+        # x = x_prev = x0 init with theta0 = 0 for q = 0 — the engine's
+        # default at solvers/nesterov.py:154; first step then has theta = 1,
+        # beta = -1, z = x0, matching the reference recurrence exactly)
         init = C(
             jnp.zeros((), jnp.int32), x0, x0, x0, grad0,
-            gamma0, gamma0, g0_init, jnp.ones((), x.dtype),
-            jnp.asarray(jnp.inf, x.dtype),
+            gamma0, gamma0, g0_init, jnp.zeros((), x.dtype),
+            jnp.asarray(jnp.inf, x.dtype), hists0,
         )
     else:
         init = C(
             jnp.zeros((), jnp.int32), x, v, x0, grad0,
             gamma0, gamma0, g0_init, jnp.ones((), x.dtype),
-            jnp.asarray(jnp.inf, x.dtype),
+            jnp.asarray(jnp.inf, x.dtype), hists0,
         )
     final = jax.lax.while_loop(cond, body, init)
     converged = (final.norm_res <= tol).astype(jnp.float32)
-    return final.x, final.it.astype(jnp.float32), final.norm_res, final.gamma, converged
+    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
+           final.gamma, converged)
+    if record:
+        return out + (final.hists,)
+    return out
 
 
-def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind, momentum=False, obj_kind="ls"):
+def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind, momentum=False, obj_kind="ls", m_true=None):
     """scal_ref (SMEM, (4,)): [gamma0, tol, p1, p2] with (p1, p2) the static
     prox menu's parameters. Outputs: x (1, n); stats (SMEM, (4,)):
     [numit, norm_res, gamma, converged].
@@ -191,12 +270,30 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
         a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
         maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
-        momentum=momentum, obj_kind=obj_kind)
+        momentum=momentum, obj_kind=obj_kind, m_true=m_true)
     x_ref[:] = x_f
     stats_ref[0] = it_f
-    stats_ref[1] = nres
-    stats_ref[2] = gamma
+    stats_ref[1] = nres.astype(jnp.float32)
+    stats_ref[2] = gamma.astype(jnp.float32)
     stats_ref[3] = conv
+
+
+def _kernel_rec(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref,
+                hg_ref, hr_ref, ho_ref, *, maxit, prox_kind, rule_kind,
+                momentum=False, obj_kind="ls", m_true=None):
+    """Record-mode variant of ``_kernel``: three extra (1, H) VMEM outputs
+    with the per-iteration (gamma, norm_res, objective) history."""
+    x_f, it_f, nres, gamma, conv, hists = _solve_core(
+        a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
+        maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
+        momentum=momentum, obj_kind=obj_kind, record=True, m_true=m_true)
+    x_ref[:] = x_f
+    stats_ref[0] = it_f
+    stats_ref[1] = nres.astype(jnp.float32)
+    stats_ref[2] = gamma.astype(jnp.float32)
+    stats_ref[3] = conv
+    hg_ref[:], hr_ref[:], ho_ref[:] = hists
 
 
 def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
@@ -220,15 +317,15 @@ def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
         momentum=momentum, obj_kind=obj_kind)
     x_ref[0] = x_f
     stats_ref[i, 0] = it_f
-    stats_ref[i, 1] = nres
-    stats_ref[i, 2] = gamma
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = gamma.astype(jnp.float32)
     stats_ref[i, 3] = conv
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum", "obj_kind"))
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum", "obj_kind", "m_true", "record"))
 def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
                     p1=0.0, p2=0.0, rule_kind="adapgm", momentum=False,
-                    obj_kind="ls", m_true=None, interpret=False):
+                    obj_kind="ls", m_true=None, record=False, interpret=False):
     """Full adaptive PG solve of 0.5||Ax-b||^2 + g(x) in one resident
     kernel, with g chosen from the static prox menu ("l1", "box",
     "elastic", "zero") parameterized by (p1, p2) and the stepsize rule from
@@ -236,7 +333,12 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
     (fixed_nesterov) iteration instead — use with rule_kind="fixed".
 
     a: (m, n) f32 (tile-aligned, fits VMEM twice); b: (m,); x0: (n,).
-    Returns (x, numit, norm_res, converged).
+    Returns (x, numit, norm_res, converged), plus
+    (gamma_hist, norm_res_hist, objective_hist) arrays of shape (maxit,)
+    when ``record=True`` (rows past numit are zero) — the reference's
+    per-iteration record channel (src/AdaProx.jl:351) from inside the
+    whole-solve kernel. Use ``resident_records`` to build the standard
+    Records pytree with reconstructed oracle counters.
     """
     m, n = a.shape
     dt = x0.dtype
@@ -244,10 +346,27 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
         jnp.asarray(gamma0, dt), jnp.asarray(tol, dt),
         jnp.asarray(p1, dt), jnp.asarray(p2, dt),
     ])
-    x_out, stats = pl.pallas_call(
-        functools.partial(_kernel, maxit=maxit, prox_kind=prox_kind,
-                          rule_kind=rule_kind, momentum=momentum,
-                          obj_kind=obj_kind),
+    hl = _hist_len(maxit)
+    out_shape = [
+        jax.ShapeDtypeStruct((1, n), dt),
+        jax.ShapeDtypeStruct((4,), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    if record:
+        kern = functools.partial(_kernel_rec, maxit=maxit, prox_kind=prox_kind,
+                                 rule_kind=rule_kind, momentum=momentum,
+                                 obj_kind=obj_kind, m_true=m_true)
+        out_shape += [jax.ShapeDtypeStruct((1, hl), dt)] * 3
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    else:
+        kern = functools.partial(_kernel, maxit=maxit, prox_kind=prox_kind,
+                                 rule_kind=rule_kind, momentum=momentum,
+                                 obj_kind=obj_kind, m_true=m_true)
+    outs = pl.pallas_call(
+        kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -255,14 +374,8 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, n), dt),
-            jax.ShapeDtypeStruct((4,), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -270,16 +383,20 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
     )(a,
       a.T / (m if m_true is None else m_true) if obj_kind == "logreg" else a.T,
       b.reshape(1, m), x0.reshape(1, n), scal)
-    return (
+    x_out, stats = outs[0], outs[1]
+    base = (
         x_out[0],
         stats[0].astype(jnp.int32),
         stats[1].astype(dt),
         stats[3] > 0,
     )
+    if record:
+        return base + (outs[2][0, :maxit], outs[3][0, :maxit], outs[4][0, :maxit])
+    return base
 
 
 def resident_logreg_l1(x_mat, y, x0, gamma0, lam, tol, maxit, m_true=None,
-                       interpret=False):
+                       record=False, interpret=False):
     """Whole-solve sparse-logreg (mean logistic + lam*||.||_1, bias folded
     as a trailing ones-column — sparse_logreg/runme.jl:18-39 semantics).
     ``x_mat``: [X 1] with the ones-column appended, tile-padded with zero
@@ -288,7 +405,7 @@ def resident_logreg_l1(x_mat, y, x0, gamma0, lam, tol, maxit, m_true=None,
     inflate the mean)."""
     return resident_adapgm(x_mat, y, x0, gamma0, tol, maxit, prox_kind="l1",
                            p1=lam, obj_kind="logreg", m_true=m_true,
-                           interpret=interpret)
+                           record=record, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum", "obj_kind"))
@@ -346,18 +463,64 @@ def resident_adapgm_l1(a, b, x0, gamma0, lam, tol, maxit, interpret=False):
                            p1=lam, interpret=interpret)
 
 
+def resident_records(numit, gamma_hist, res_hist, obj_hist, *, maxit,
+                     momentum=False):
+    """Build a solvers.common.Records from the record-mode history arrays.
+
+    Oracle counters in the resident kernels are deterministic per iteration,
+    so they are reconstructed here instead of carried on-core, matching the
+    engine's record-time snapshots exactly:
+
+      * engine PG loop (primal_dual._step, A=None): at the record of
+        iteration ``it`` — f_evals = it+1, grad_f_evals = it+1,
+        prox_g_evals = it (warm-up contributes one of each; the record is
+        taken before the second-half prox);
+      * fixed_nesterov (solvers/nesterov.py): f/grad/prox all equal ``it``
+        (no warm-up phase, record taken after the prox).
+    """
+    from ..solvers.common import Records
+
+    it = jnp.arange(1, maxit + 1, dtype=jnp.int32)
+    valid = it <= numit
+    z = jnp.zeros((maxit,), jnp.int32)
+    if momentum:
+        f_evals = it
+        prox_g = it
+    else:
+        f_evals = it + 1
+        prox_g = it
+    return Records(
+        it=it,
+        gamma=gamma_hist,
+        sigma=jnp.zeros_like(gamma_hist),
+        norm_res=res_hist,
+        objective=obj_hist,
+        f_evals=f_evals,
+        grad_f_evals=f_evals,
+        prox_g_evals=prox_g,
+        prox_h_evals=z,
+        A_evals=z,
+        At_evals=z,
+        valid=valid,
+    )
+
+
 # --------------------------------------------------------------------------
 # whole-solve primal-dual kernel for the dual-SVM shape
 # --------------------------------------------------------------------------
 
 
-def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, *, maxit):
+def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, *, maxit,
+             record=False):
     """AdaPDM (engine half1/half2 structure, solvers/primal_dual._step) for
     the dual-SVM problem: f = 0.5 x'Qx - 1'x (Q symmetric, VMEM-resident),
     g = IndBox(0, C), h = IndZero with A = labels^T (so prox_{sigma h*} is
     the identity and the dual y is a scalar). Returns
-    (x(1, N), it, norm_res, gamma, converged) — shared by the single-solve
-    kernel and the on-core t-sweep kernel."""
+    (x(1, N), it, norm_res, gamma, converged[, (hg, hr)]) — shared by the
+    single-solve kernel and the on-core t-sweep kernel. ``record=True``
+    carries (1, H) per-iteration (gamma, norm_res) histories (the dual-SVM
+    experiment logs only [method, it, f_evals, norm_res],
+    dual_svm/runme.jl:141 — f_evals is deterministic, it+1)."""
 
     def grad_of(x_row):  # (1, N): Qx - 1 via the symmetric trick
         qx = jnp.sum(q * x_row, axis=1, keepdims=True).T
@@ -378,6 +541,9 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, *, maxit):
     v = x0 - gamma0 * grad0  # At_y0 = 0
     x = clamp(v)
 
+    hl = _hist_len(maxit)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, hl), 1)
+
     class C(NamedTuple):
         it: jnp.ndarray
         x: jnp.ndarray
@@ -391,6 +557,7 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, *, maxit):
         g1: jnp.ndarray
         g0: jnp.ndarray
         norm_res: jnp.ndarray
+        hists: object
 
     def body(c):
         a_x = a_mv(c.x)
@@ -420,23 +587,34 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, *, maxit):
         y = w  # prox of (IndZero)* = Zero: identity
         # dual_res = (w - y)/sigma - a_x = -a_x
         norm_res = jnp.sqrt(jnp.sum(primal * primal) + a_x * a_x)
+        if record:
+            hg, hr = c.hists
+            mask = iota == c.it
+            hists = (jnp.where(mask, gamma, hg), jnp.where(mask, norm_res, hr))
+        else:
+            hists = c.hists
         at_y = lab * y
         v = c.x - gamma * (grad + at_y)
         x_new = clamp(v)
         return C(c.it + 1, x_new, v, y, at_y, c.x, a_x, grad, gamma, gamma,
-                 c.g1, norm_res)
+                 c.g1, norm_res, hists)
 
     def cond(c):
         return jnp.logical_and(c.it < maxit, c.norm_res > tol)
 
+    hists0 = ((jnp.zeros((1, hl), q.dtype), jnp.zeros((1, hl), q.dtype))
+              if record else None)
     init = C(
         jnp.zeros((), jnp.int32), x, v, jnp.zeros((), q.dtype),
         jnp.zeros((1, n), q.dtype), x0, a_x0, grad0,
-        gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, q.dtype),
+        gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, q.dtype), hists0,
     )
     final = jax.lax.while_loop(cond, body, init)
-    return (final.x, final.it.astype(jnp.float32), final.norm_res,
-            final.gamma, (final.norm_res <= tol).astype(jnp.float32))
+    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
+           final.gamma, (final.norm_res <= tol).astype(jnp.float32))
+    if record:
+        return out + (final.hists,)
+    return out
 
 
 def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
@@ -446,9 +624,25 @@ def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
         scal_ref[3], scal_ref[4], maxit=maxit)
     x_ref[:] = x
     stats_ref[0] = it_f
-    stats_ref[1] = nres
-    stats_ref[2] = gamma
+    stats_ref[1] = nres.astype(jnp.float32)
+    stats_ref[2] = gamma.astype(jnp.float32)
     stats_ref[3] = conv
+
+
+def _pd_sweep_kernel_rec(scal_ref, q_ref, lab_ref, x_ref, stats_ref,
+                         hg_ref, hr_ref, *, maxit):
+    """Record-mode t-sweep: two extra (T, 1, H) outputs with per-iteration
+    (gamma, norm_res) per coupling value."""
+    i = pl.program_id(0)
+    x, it_f, nres, gamma, conv, hists = _pd_core(
+        q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2],
+        scal_ref[i, 3], scal_ref[i, 4], maxit=maxit, record=True)
+    x_ref[0] = x
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = gamma.astype(jnp.float32)
+    stats_ref[i, 3] = conv
+    hg_ref[0], hr_ref[0] = hists
 
 
 def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit):
@@ -463,8 +657,8 @@ def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit):
         scal_ref[i, 3], scal_ref[i, 4], maxit=maxit)
     x_ref[0] = x
     stats_ref[i, 0] = it_f
-    stats_ref[i, 1] = nres
-    stats_ref[i, 2] = gamma
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = gamma.astype(jnp.float32)
     stats_ref[i, 3] = conv
 
 
@@ -511,19 +705,24 @@ def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit, interpret=Fals
     )
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "record"))
 def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
-                               interpret=False):
+                               record=False, interpret=False):
     """The full coupling sweep (dual_svm/runme.jl:61) as ONE kernel launch:
     grid over the t values, each step a complete early-exit AdaPDM solve
     with Q resident.
 
     ts: (T,) couplings. Returns (x (T, N), numit (T,), norm_res (T,),
-    converged (T,))."""
+    converged (T,)), plus per-t (gamma_hist, norm_res_hist) of shape
+    (T, maxit) when ``record=True`` — enough for the dual-SVM experiment's
+    projected JSONL keys [method, it, f_evals, norm_res]
+    (dual_svm/runme.jl:141; f_evals is deterministically it+1 in the
+    engine's record snapshot)."""
     n = q.shape[0]
     dt = q.dtype
     ts = jnp.asarray(ts, dt)
     tcount = ts.shape[0]
+    hl = _hist_len(maxit)
     scal = jnp.stack([
         ts,
         jnp.full((tcount,), norm_a, dt),
@@ -532,30 +731,43 @@ def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
         jnp.full((tcount,), 1.2, dt),
         jnp.zeros((tcount,), dt),
     ], axis=1)
-    x_out, stats = pl.pallas_call(
-        functools.partial(_pd_sweep_kernel, maxit=maxit),
+    out_specs = [
+        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tcount, 1, n), dt),
+        jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
+    ]
+    if record:
+        kern = functools.partial(_pd_sweep_kernel_rec, maxit=maxit)
+        out_specs += [pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((tcount, 1, hl), dt)] * 2
+    else:
+        kern = functools.partial(_pd_sweep_kernel, maxit=maxit)
+    outs = pl.pallas_call(
+        kern,
         grid=(tcount,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((tcount, 1, n), dt),
-            jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(scal, q, labels.reshape(1, n))
-    return (
+    x_out, stats = outs[0], outs[1]
+    base = (
         x_out[:, 0, :],
         stats[:, 0].astype(jnp.int32),
         stats[:, 1].astype(dt),
         stats[:, 3] > 0,
     )
+    if record:
+        return base + (outs[2][:, 0, :maxit], outs[3][:, 0, :maxit])
+    return base

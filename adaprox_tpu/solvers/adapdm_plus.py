@@ -49,15 +49,20 @@ class _Carry(NamedTuple):
     done: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "history"))
+@functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype"))
 def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxit, history,
-           resume_state=None):
+           resume_state=None, scalar_dtype=None):
     f, g, h, a_op = parts
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
+    # scalar hybrid (cf. primal_dual._solve_pd): the gamma/eta recurrences,
+    # curvature reductions, the eta acceptance ratio, and residual norms run
+    # in sdt; prox/matvec vectors stay in the iterate dtype
+    sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
+    upcast = sdt != dt
     t, big_theta, r, big_r, tol, eta0 = (
-        jnp.asarray(v, dt) for v in (t, big_theta, r, big_r, tol, eta0))
-    delta1 = 1 + jnp.asarray(delta, dt)
+        jnp.asarray(v, sdt) for v in (t, big_theta, r, big_r, tol, eta0))
+    delta1 = 1 + jnp.asarray(delta, sdt)
 
     if resume_state is not None:
         carry0 = reopen(resume_state, dt)
@@ -68,9 +73,10 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
         grad0 = f.grad_from_aux(x0, aux0)
         at_y = a_op.rmatvec(y0)
         counters = Counters.zeros().bump(A_evals=1, f_evals=1, grad_f_evals=1, At_evals=1)
-        gamma0 = jnp.asarray(gamma0, dt)
-        v = x0 - gamma0 * (grad0 + at_y)
-        x1, _ = g.prox(v, gamma0)
+        gamma0 = jnp.asarray(gamma0, sdt)
+        gamma0_v = gamma0.astype(dt)
+        v = x0 - gamma0_v * (grad0 + at_y)
+        x1, _ = g.prox(v, gamma0_v)
         counters = counters.bump(prox_g_evals=1)
 
         carry0 = _Carry(
@@ -84,9 +90,9 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
             grad_prev=grad0,
             gamma=gamma0,
             gamma_prev=gamma0,
-            eta=jnp.asarray(eta0, dt),
+            eta=jnp.asarray(eta0, sdt),
             counters=counters,
-            norm_res=jnp.asarray(jnp.inf, dt),
+            norm_res=jnp.asarray(jnp.inf, sdt),
             ck_x=x1,
             ck_counters=counters,
             ls_failed=jnp.zeros((), jnp.bool_),
@@ -100,10 +106,14 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
         grad_x = f.grad_from_aux(c.x, aux)
         counters = c.counters.bump(A_evals=1, f_evals=1, grad_f_evals=1)
 
-        primal_res = (c.v - c.x) / c.gamma + grad_x + c.at_y
+        if upcast:
+            primal_res = ((c.v.astype(sdt) - c.x.astype(sdt)) / c.gamma
+                          + grad_x.astype(sdt) + c.at_y.astype(sdt))
+        else:
+            primal_res = (c.v - c.x) / c.gamma + grad_x + c.at_y
 
-        dg = grad_x - c.grad_prev
-        dx = c.x - c.x_prev
+        dg = (grad_x - c.grad_prev).astype(sdt) if upcast else grad_x - c.grad_prev
+        dx = (c.x - c.x_prev).astype(sdt) if upcast else c.x - c.x_prev
         dgdx = jnp.vdot(dg, dx).real
         # cancellation-free form of gamma*L*(gamma*C - 1) (src/AdaProx.jl:
         # 507-509); see rules.AdaPGMRule.update for why
@@ -134,11 +144,16 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
             )
             rho = gamma_next / c.gamma
             sigma = t**2 * gamma_next
-            w = c.y + sigma * ((1 + rho) * a_x - rho * c.a_x_prev)
-            y_next, _ = h_conj.prox(w, sigma)
+            sigma_v = sigma.astype(dt)
+            rho_v = rho.astype(dt)
+            w = c.y + sigma_v * ((1 + rho_v) * a_x - rho_v * c.a_x_prev)
+            y_next, _ = h_conj.prox(w, sigma_v)
             at_y_next = a_op.rmatvec(y_next)
             counters = counters.bump(prox_h_evals=1, At_evals=1)
-            ok = eta >= jnp.sqrt(l2sq(at_y_next - c.at_y)) / jnp.sqrt(l2sq(y_next - c.y))
+            daty = ((at_y_next - c.at_y).astype(sdt) if upcast
+                    else at_y_next - c.at_y)
+            dy = (y_next - c.y).astype(sdt) if upcast else y_next - c.y
+            ok = eta >= jnp.sqrt(l2sq(daty)) / jnp.sqrt(l2sq(dy))
             return (eta, gamma_next, sigma, w, y_next, at_y_next, ok, counters, trials)
 
         def cond(cc):
@@ -156,7 +171,11 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
         ls_failed = jnp.logical_not(ok)  # only possible when the cap hit
         gamma, gamma_prev = gamma_next, c.gamma
 
-        dual_res = (w - y) / sigma - a_x
+        if upcast:
+            dual_res = ((w.astype(sdt) - y.astype(sdt)) / sigma
+                        - a_x.astype(sdt))
+        else:
+            dual_res = (w - y) / sigma - a_x
         norm_res = jnp.sqrt(l2sq(primal_res) + l2sq(dual_res))
         ck = counters
         it = c.it + 1
@@ -182,8 +201,9 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
 
         # outer half 2 (src/AdaProx.jl:545-547; skipped by the reference on
         # the converging iteration — ck snapshots taken above)
-        v = c.x - gamma * (grad_x + at_y)
-        x_new, _ = g.prox(v, gamma)
+        gamma_v = gamma.astype(dt)
+        v = c.x - gamma_v * (grad_x + at_y)
+        x_new, _ = g.prox(v, gamma_v)
         counters = counters.bump(prox_g_evals=1)
 
         new = _Carry(
@@ -245,9 +265,14 @@ def adaptive_linesearch_primal_dual(
     name="AdaPDM+",
     history=False,
     resume_state=None,
+    scalar_dtype=None,
 ):
     """AdaPDM+ (reference src/AdaProx.jl:463-550): fully adaptive PD that
-    needs no ||A||, only an initial estimate ``eta``."""
+    needs no ||A||, only an initial estimate ``eta``.
+
+    ``scalar_dtype``: run the gamma/eta recurrences, curvature reductions,
+    the linesearch acceptance ratio, and residual norms in a wider dtype
+    (the engine-family f64-scalar hybrid)."""
     if not eta > 0:
         raise ValueError("eta must be positive")
     if not Theta > delta + 1:
@@ -260,6 +285,6 @@ def adaptive_linesearch_primal_dual(
     res = _solve(
         (f, g, h, A), x0, jnp.asarray(y0), gamma, eta, t, delta, Theta, r, R,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
-        resume_state=resume_state,
+        resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)

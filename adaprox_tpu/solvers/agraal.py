@@ -34,13 +34,16 @@ class _Carry(NamedTuple):
     done: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "history"))
+@functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype"))
 def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history,
-           resume_state=None):
+           resume_state=None, scalar_dtype=None):
     f, g = parts
     dt = jnp.result_type(x1)
-    gamma_max, tol = jnp.asarray(gamma_max, dt), jnp.asarray(tol, dt)
-    phi = jnp.asarray(phi, dt)
+    # scalar hybrid: gamma/theta recurrence, curvature ratio, and residual
+    # norm in sdt; vectors stay in the iterate dtype (cf. primal_dual)
+    sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
+    gamma_max, tol = jnp.asarray(gamma_max, sdt), jnp.asarray(tol, sdt)
+    phi = jnp.asarray(phi, sdt)
     rho = 1 / phi + 1 / phi**2
 
     if resume_state is not None:
@@ -54,9 +57,10 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history,
     counters = Counters.zeros().bump(f_evals=2, grad_f_evals=2)
 
     gamma0 = jnp.where(
-        jnp.asarray(gamma0, dt) > 0,
-        jnp.asarray(gamma0, dt),
-        jnp.sqrt(l2sq(x1 - x0)) / jnp.sqrt(l2sq(grad_x - grad_x_prev)),
+        jnp.asarray(gamma0, sdt) > 0,
+        jnp.asarray(gamma0, sdt),
+        (jnp.sqrt(l2sq((x1 - x0).astype(sdt)))
+         / jnp.sqrt(l2sq((grad_x - grad_x_prev).astype(sdt)))),
     )
 
     carry0 = _Carry(
@@ -67,10 +71,10 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history,
         grad_x=grad_x,
         grad_x_prev=grad_x_prev,
         gamma=gamma0,
-        theta=jnp.ones((), dt),
+        theta=jnp.ones((), sdt),
         counters=counters,
         ck_counters=counters,
-        norm_res=jnp.asarray(jnp.inf, dt),
+        norm_res=jnp.asarray(jnp.inf, sdt),
         done=jnp.zeros((), jnp.bool_),
     )
     return _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history)
@@ -78,23 +82,27 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history,
 
 def _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history):
     f, g = parts
-    dt = carry0.gamma.dtype
+    dt = carry0.gamma.dtype  # the scalar dtype (sdt)
+    vdt = jnp.result_type(carry0.x)
 
     def step(c):
         # src/AdaProx.jl:175-189; identical iterates give C = 0/0 = NaN —
         # treat as +inf so the min keeps the growth bound (f32 robustness)
-        curv = l2sq(c.x - c.x_prev) / l2sq(c.grad_x - c.grad_x_prev)
+        curv = (l2sq((c.x - c.x_prev).astype(dt))
+                / l2sq((c.grad_x - c.grad_x_prev).astype(dt)))
         curv = jnp.where(jnp.isnan(curv), jnp.inf, curv)
         gamma = jnp.minimum(
             jnp.minimum(rho * c.gamma, phi * c.theta * curv / (4 * c.gamma)),
             gamma_max,
         )
         theta = phi * gamma / c.gamma
-        x_bar = ((phi - 1) * c.x + c.x_bar) / phi
+        gamma_v = gamma.astype(vdt)
+        phi_v = phi.astype(vdt)
+        x_bar = ((phi_v - 1) * c.x + c.x_bar) / phi_v
         x_prev, grad_x_prev = c.x, c.grad_x
-        x, g_x = g.prox(x_bar - gamma * grad_x_prev, gamma)
+        x, g_x = g.prox(x_bar - gamma_v * grad_x_prev, gamma_v)
         counters = c.counters.bump(prox_g_evals=1)
-        norm_res = jnp.sqrt(l2sq(x - x_prev)) / gamma
+        norm_res = jnp.sqrt(l2sq((x - x_prev).astype(dt))) / gamma
         ck = counters
         it = c.it + 1
 
@@ -170,6 +178,7 @@ def agraal(
     key=None,
     history=False,
     resume_state=None,
+    scalar_dtype=None,
 ):
     """aGRAAL (reference src/AdaProx.jl:150-192). ``x0`` defaults to a random
     perturbation of ``x1`` (pass ``key`` for determinism); ``gamma0`` defaults
@@ -184,6 +193,6 @@ def agraal(
     res = _solve(
         (f, g), x1, jnp.asarray(x0), gamma0, gamma_max, phi,
         jnp.asarray(tol, jnp.result_type(x1)), int(maxit), bool(history),
-        resume_state=resume_state,
+        resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)

@@ -28,27 +28,39 @@ __all__ = ["backtracking_proxgrad", "backtracking_nesterov"]
 _MAX_TRIALS = 100
 
 
-def _backtrack(gamma, x, f_x, grad_x, *, f, g, counters, shrink):
+def _backtrack(gamma, x, f_x, grad_x, *, f, g, counters, shrink, sdt):
     """``backtrack_stepsize`` (src/AdaProx.jl:34-48): halve gamma until the
     quadratic upper bound holds. Returns
     (gamma, z, f_z, g_z, aux_z, counters, failed) — ``failed`` is true when
     the trial cap was hit with the sufficient-descent test still violated
     (the reference loops unboundedly; a traced loop cannot, so the failure
-    must be surfaced instead of silently accepting the bad point)."""
+    must be surfaced instead of silently accepting the bad point).
+
+    ``gamma`` is carried in the scalar dtype ``sdt`` (the f64-scalar hybrid
+    when wider than the iterate dtype): the sufficient-descent test is a
+    difference of near-equal objective values — the solver's cancellation-
+    sensitive scalar path — while prox/gradient vectors stay in the iterate
+    dtype."""
+    vdt = jnp.result_type(x)
 
     def trial(gamma, counters, trials):
-        z, g_z = g.prox(x - gamma * grad_x, gamma)
+        gamma_v = gamma.astype(vdt)
+        z, g_z = g.prox(x - gamma_v * grad_x, gamma_v)
         f_z, aux = f.value_and_aux(z)
         counters = counters.bump(prox_g_evals=1, f_evals=1)
         return (gamma, z, f_z, g_z, aux, counters, trials)
 
     def upper_bound(gamma, z):
-        # src/AdaProx.jl:26
-        return f_x + jnp.vdot(grad_x, z - x).real + l2sq(z - x) / (2 * gamma)
+        # src/AdaProx.jl:26 — evaluated in sdt (exact f32 differences,
+        # upcast before the reductions and the 1/gamma amplification)
+        dz = (z - x).astype(sdt)
+        return (f_x.astype(sdt) + jnp.vdot(grad_x.astype(sdt), dz).real
+                + l2sq(dz) / (2 * gamma))
 
     def cond(c):
         gamma, z, f_z, _, _, _, trials = c
-        return jnp.logical_and(f_z > upper_bound(gamma, z), trials < _MAX_TRIALS)
+        return jnp.logical_and(f_z.astype(sdt) > upper_bound(gamma, z),
+                               trials < _MAX_TRIALS)
 
     def body(c):
         gamma, _, _, _, _, counters, trials = c
@@ -56,7 +68,8 @@ def _backtrack(gamma, x, f_x, grad_x, *, f, g, counters, shrink):
 
     c0 = trial(gamma, counters, jnp.zeros((), jnp.int32))
     gamma, z, f_z, g_z, aux, counters, _ = jax.lax.while_loop(cond, body, c0)
-    failed = f_z > upper_bound(gamma, z)  # acceptance test at loop exit
+    # acceptance test at loop exit
+    failed = f_z.astype(sdt) > upper_bound(gamma, z)
     return gamma, z, f_z, g_z, aux, counters, failed
 
 
@@ -94,13 +107,14 @@ def _record(it, gamma, norm_res, objective, ck, done):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "history", "nesterov"))
+@functools.partial(jax.jit, static_argnames=("maxit", "history", "nesterov",
+                                             "scalar_dtype"))
 def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
-              resume_state=None):
+              resume_state=None, scalar_dtype=None):
     f, g = parts
-    dt0 = jnp.result_type(x0)
-    gamma0, xi, shrink, tol = (jnp.asarray(v, dt0) for v in (gamma0, xi, shrink, tol))
     dt = jnp.result_type(x0)
+    sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
+    gamma0, xi, shrink, tol = (jnp.asarray(v, sdt) for v in (gamma0, xi, shrink, tol))
     if resume_state is not None:
         carry0 = reopen(resume_state, dt)
     else:
@@ -111,14 +125,14 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
             it=jnp.zeros((), jnp.int32),
             x=x0,
             z=x0,
-            gamma=jnp.asarray(gamma0, dt),
+            gamma=jnp.asarray(gamma0, sdt),
             f_x=f_x0,
             grad_x=grad0,
-            theta=jnp.ones((), dt),
+            theta=jnp.ones((), sdt),
             z_prev=x0,
             counters=counters,
             ck_counters=counters,
-            norm_res=jnp.asarray(jnp.inf, dt),
+            norm_res=jnp.asarray(jnp.inf, sdt),
             ls_failed=jnp.zeros((), jnp.bool_),
             done=jnp.zeros((), jnp.bool_),
         )
@@ -128,16 +142,17 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
         # (src/AdaProx.jl:54); Nesterov does not (src/AdaProx.jl:72)
         trial_gamma = c.gamma * (1.0 if nesterov else xi)
         gamma, z, f_z, g_z, aux, counters, bt_failed = _backtrack(
-            trial_gamma, c.x, c.f_x, c.grad_x, f=f, g=g, counters=c.counters, shrink=shrink
+            trial_gamma, c.x, c.f_x, c.grad_x, f=f, g=g, counters=c.counters,
+            shrink=shrink, sdt=sdt
         )
-        norm_res = jnp.sqrt(l2sq(z - c.x)) / gamma
+        norm_res = jnp.sqrt(l2sq((z - c.x).astype(sdt))) / gamma
         ck = counters
         it = c.it + 1
         rec = _record(it, gamma, norm_res, f_z + g_z, ck, c.done)
 
         if nesterov:
             theta = (1 + jnp.sqrt(1 + 4 * c.theta**2)) / 2
-            x = z + (c.theta - 1) / theta * (z - c.z)
+            x = z + ((c.theta - 1) / theta).astype(jnp.result_type(z)) * (z - c.z)
             f_x, aux_x = f.value_and_aux(x)
             grad_x = f.grad_from_aux(x, aux_x)
             counters = counters.bump(f_evals=1, grad_f_evals=1)
@@ -205,16 +220,22 @@ def backtracking_proxgrad(
     name="Backtracking PG",
     history=False,
     resume_state=None,
+    scalar_dtype=None,
 ):
     """Prox-gradient with sufficient-descent backtracking and optional
     per-iteration stepsize inflation ``xi`` (reference src/AdaProx.jl:50-64).
 
     ``resume_state``: a previous result's ``.extra`` carry — continues that
-    solve; ``maxit`` is the cumulative iteration cap."""
+    solve; ``maxit`` is the cumulative iteration cap.
+
+    ``scalar_dtype``: run the sufficient-descent test, step sizes, and
+    residual norm in a wider dtype (e.g. jnp.float64 with f32 iterates) —
+    the same hybrid as adaptive_primal_dual's ``scalar_dtype``."""
     x0 = jnp.asarray(x0)
     res = _solve_bt(
         (f, g), x0, gamma0, xi, shrink, jnp.asarray(tol, jnp.result_type(x0)),
         int(maxit), bool(history), False, resume_state=resume_state,
+        scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)
 
@@ -231,6 +252,7 @@ def backtracking_nesterov(
     name="Backtracking Nesterov",
     history=False,
     resume_state=None,
+    scalar_dtype=None,
 ):
     """Accelerated PG with backtracking; momentum theta recurrence
     ``(1 + sqrt(1 + 4 theta^2))/2`` (reference src/AdaProx.jl:66-84)."""
@@ -238,5 +260,6 @@ def backtracking_nesterov(
     res = _solve_bt(
         (f, g), x0, gamma0, 1.0, shrink, jnp.asarray(tol, jnp.result_type(x0)),
         int(maxit), bool(history), True, resume_state=resume_state,
+        scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)

@@ -42,16 +42,22 @@ class _Carry(NamedTuple):
     done: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "history"))
-def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None):
+@functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype"))
+def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None,
+           scalar_dtype=None):
     f, g, h, a_op = parts
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
-    t, tol, sigma0 = (jnp.asarray(v, dt) for v in (t, tol, sigma0))
+    # scalar hybrid (cf. primal_dual._solve_pd): step sizes, the linesearch
+    # acceptance test (a difference of near-equal objective values), and the
+    # residual norms run in sdt; prox/matvec vectors stay in the iterate dtype
+    sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
+    upcast = sdt != dt
+    t, tol, sigma0 = (jnp.asarray(v, sdt) for v in (t, tol, sigma0))
     # NB: the reference initializes theta = 1 and never updates it in the
     # outer loop (src/AdaProx.jl:597; the linesearch helper's theta is local),
     # so sigma grows by sqrt(2) each iteration before backtracking.
-    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dt))
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, sdt))
 
     if resume_state is not None:
         carry0 = reopen(resume_state, dt)
@@ -65,9 +71,9 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None):
             y=y0,
             a_x=a_x,
             at_y=at_y,
-            sigma=jnp.asarray(sigma0, dt),
+            sigma=jnp.asarray(sigma0, sdt),
             counters=counters,
-            norm_res=jnp.asarray(jnp.inf, dt),
+            norm_res=jnp.asarray(jnp.inf, sdt),
             ls_failed=jnp.zeros((), jnp.bool_),
             done=jnp.zeros((), jnp.bool_),
         )
@@ -75,8 +81,9 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None):
     def step(c):
         # dual ascent step (src/AdaProx.jl:600-603)
         at_y_prev = c.at_y
-        w = c.y + c.sigma * c.a_x
-        y, _ = h_conj.prox(w, c.sigma)
+        sigma_c_v = c.sigma.astype(dt)
+        w = c.y + sigma_c_v * c.a_x
+        y, _ = h_conj.prox(w, sigma_c_v)
         at_y = a_op.rmatvec(y)
         counters = c.counters.bump(prox_h_evals=1, At_evals=1)
 
@@ -92,21 +99,28 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None):
         def trial(sigma, counters, trials):
             theta = sigma / sigma_prev
             gamma = t**2 * sigma
-            at_ybar = (1 + theta) * at_y - theta * at_y_prev
-            v = x_prev - gamma * (at_ybar + grad_x_prev)
-            x, _ = g.prox(v, gamma)
+            gamma_v = gamma.astype(dt)
+            theta_v = theta.astype(dt)
+            at_ybar = (1 + theta_v) * at_y - theta_v * at_y_prev
+            v = x_prev - gamma_v * (at_ybar + grad_x_prev)
+            x, _ = g.prox(v, gamma_v)
             a_x = a_op.matvec(x)
             f_x, aux = f.value_and_aux(x)
             counters = counters.bump(prox_g_evals=1, A_evals=1, f_evals=1)
-            lhs = gamma * sigma * l2sq(a_x - a_x_prev) + 2 * gamma * (
-                f_x - f_x_prev - jnp.vdot(grad_x_prev, x - x_prev).real
+            dax = (a_x - a_x_prev).astype(sdt) if upcast else a_x - a_x_prev
+            dx = (x - x_prev).astype(sdt) if upcast else x - x_prev
+            lhs = gamma * sigma * l2sq(dax) + 2 * gamma * (
+                f_x.astype(sdt) - f_x_prev.astype(sdt)
+                - jnp.vdot(grad_x_prev.astype(sdt) if upcast else grad_x_prev,
+                           dx).real
             )
             return (sigma, gamma, x, v, a_x, f_x, aux, lhs, counters, trials)
 
         def cond(cc):
             sigma, _, x, _, _, _, _, lhs, _, trials = cc
+            dx = (x - x_prev).astype(sdt) if upcast else x - x_prev
             return jnp.logical_and(
-                lhs > 0.95 * l2sq(x - x_prev), trials < _MAX_TRIALS
+                lhs > 0.95 * l2sq(dx), trials < _MAX_TRIALS
             )
 
         def body(cc):
@@ -118,12 +132,19 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None):
             cond, body, c0
         )
         # acceptance test at loop exit: still failing means the trial cap hit
-        ls_failed = lhs > 0.95 * l2sq(x - x_prev)
+        ls_failed = lhs > 0.95 * l2sq(
+            (x - x_prev).astype(sdt) if upcast else x - x_prev)
         grad_x = f.grad_from_aux(x, aux)
         counters = counters.bump(grad_f_evals=1)
 
-        primal_res = (v - x) / gamma + grad_x + at_y
-        dual_res = (w - y) / sigma_prev - a_x
+        if upcast:
+            primal_res = ((v.astype(sdt) - x.astype(sdt)) / gamma
+                          + grad_x.astype(sdt) + at_y.astype(sdt))
+            dual_res = ((w.astype(sdt) - y.astype(sdt)) / sigma_prev
+                        - a_x.astype(sdt))
+        else:
+            primal_res = (v - x) / gamma + grad_x + at_y
+            dual_res = (w - y) / sigma_prev - a_x
         norm_res = jnp.sqrt(l2sq(primal_res) + l2sq(dual_res))
         it = c.it + 1
 
@@ -193,13 +214,17 @@ def malitsky_pock(
     name="MP-ls",
     history=False,
     resume_state=None,
+    scalar_dtype=None,
 ):
     """Malitsky-Pock linesearch PD (reference src/AdaProx.jl:581-629).
-    ``t`` couples the steps via gamma = t^2 * sigma."""
+    ``t`` couples the steps via gamma = t^2 * sigma.
+
+    ``scalar_dtype``: run step sizes, the linesearch acceptance test, and
+    residual norms in a wider dtype (the engine-family f64-scalar hybrid)."""
     x0 = jnp.asarray(x0)
     res = _solve(
         (f, g, h, A), x0, jnp.asarray(y0), sigma, t,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
-        resume_state=resume_state,
+        resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)

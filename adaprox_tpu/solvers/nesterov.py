@@ -27,14 +27,19 @@ class _Carry(NamedTuple):
     done: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "history", "strongly_convex"))
+@functools.partial(jax.jit, static_argnames=("maxit", "history", "strongly_convex",
+                                             "scalar_dtype"))
 def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_convex,
-           resume_state=None):
+           resume_state=None, scalar_dtype=None):
     f, g = parts
     dt = jnp.result_type(x0)
-    gamma, muf, mug, theta0, tol = (jnp.asarray(v, dt) for v in (gamma, muf, mug, theta0, tol))
+    # scalar hybrid: theta/beta recurrence and residual norm in sdt, vector
+    # arithmetic in the iterate dtype (cf. primal_dual._solve_pd)
+    sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
+    gamma, muf, mug, theta0, tol = (jnp.asarray(v, sdt) for v in (gamma, muf, mug, theta0, tol))
     mu = muf + mug
     q = gamma * mu / (1 + gamma * mug)
+    gamma_v = gamma.astype(dt)
 
     if resume_state is not None:
         carry0 = reopen(resume_state, dt)
@@ -43,9 +48,9 @@ def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_con
             it=jnp.zeros((), jnp.int32),
             x=x0,
             x_prev=x0,
-            theta=jnp.asarray(theta0, dt),
+            theta=jnp.asarray(theta0, sdt),
             counters=Counters.zeros(),
-            norm_res=jnp.asarray(jnp.inf, dt),
+            norm_res=jnp.asarray(jnp.inf, sdt),
             done=jnp.zeros((), jnp.bool_),
         )
 
@@ -66,13 +71,13 @@ def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_con
             theta = (1 + jnp.sqrt(1 + 4 * theta_prev**2)) / 2
             beta = (theta_prev - 1) / theta
 
-        z = c.x + beta * (c.x - c.x_prev)
+        z = c.x + beta.astype(dt) * (c.x - c.x_prev)
         _, aux = f.value_and_aux(z)
         grad_z = f.grad_from_aux(z, aux)
         counters = c.counters.bump(f_evals=1, grad_f_evals=1)
-        x, g_x = g.prox(z - gamma * grad_z, gamma)
+        x, g_x = g.prox(z - gamma_v * grad_z, gamma_v)
         counters = counters.bump(prox_g_evals=1)
-        norm_res = jnp.sqrt(l2sq(x - z)) / gamma
+        norm_res = jnp.sqrt(l2sq((x - z).astype(sdt))) / gamma
         it = c.it + 1
 
         if history:
@@ -83,7 +88,7 @@ def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_con
         rec = Records(
             it=it,
             gamma=gamma,
-            sigma=jnp.zeros((), dt),
+            sigma=jnp.zeros((), sdt),
             norm_res=norm_res,
             objective=objective,
             f_evals=counters.f_evals,
@@ -133,6 +138,7 @@ def fixed_nesterov(
     name="Fixed Nesterov",
     history=False,
     resume_state=None,
+    scalar_dtype=None,
 ):
     """Fixed-step accelerated PG; q-based momentum when muf+mug > 0
     (reference src/AdaProx.jl:91-142)."""
@@ -152,6 +158,6 @@ def fixed_nesterov(
     res = _solve(
         (f, g), x0, gamma, muf, mug, theta,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
-        bool(mu != 0), resume_state=resume_state,
+        bool(mu != 0), resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)

