@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from .._pytree import pytree_dataclass
 
-__all__ = ["SmoothOracle", "FromFunction", "ZeroSmooth", "value_and_grad"]
+__all__ = ["SmoothOracle", "FromFunction", "PadDomain", "ZeroSmooth",
+           "value_and_grad"]
 
 
 class SmoothOracle:
@@ -73,6 +74,27 @@ class ZeroSmooth(SmoothOracle):
     def grad_from_aux(self, x, aux):
         del aux
         return jnp.zeros_like(x)
+
+
+@pytree_dataclass(meta=("n_true",))
+class PadDomain(SmoothOracle):
+    """f_pad(x) = inner(x[:n_true]) with a zero-padded gradient tail.
+
+    Companion of ``ops.prox.PadTail`` for zero-column-padded coupling
+    matrices: the padded coordinates never influence f and receive zero
+    gradient, so (given a prox with prox(0) = 0 at those coordinates) they
+    stay exactly 0 through the whole solve. Static slice/pad — free after
+    XLA fusion."""
+
+    inner: object
+    n_true: int
+
+    def value_and_aux(self, x):
+        return self.inner.value_and_aux(x[: self.n_true])
+
+    def grad_from_aux(self, x, aux):
+        g = self.inner.grad_from_aux(x[: self.n_true], aux)
+        return jnp.concatenate([g, jnp.zeros_like(x[self.n_true :])])
 
 
 @pytree_dataclass(meta=("fn",))

@@ -136,8 +136,12 @@ def fused_pd_primal_update(at, y, x, grad, gamma, p1=0.0, p2=0.0,
     n, m = at.shape
     acc = x.dtype
     tn = block_rows or _pick_block_rows_t(n, m, at.dtype.itemsize)
-    if not interpret and (n % tn or m % _LANE):
-        # a non-dividing tile would silently skip the tail coordinates
+    if n % tn or (not interpret and m % _LANE):
+        # a non-dividing row tile would silently skip the tail coordinates
+        # — checked in interpret mode too (a poisoned CPU result is worse
+        # than an error: CPU interpret is the validation/parity path). The
+        # m % 128 lane constraint is Mosaic-only: interpret streams m whole
+        # and stays exact, so it is enforced only for compiled kernels.
         raise ValueError(
             f"at shape {at.shape} not divisible into ({tn}, {m}) tiles; "
             "see pd_fusable")

@@ -38,6 +38,7 @@ __all__ = [
     "ElasticNet",
     "GroupL2",
     "Translate",
+    "PadTail",
     "MoreauConjugate",
     "conjugate",
 ]
@@ -220,6 +221,52 @@ class Translate:
         return u - self.b, val
 
 
+@pytree_dataclass(meta=("m_true",))
+class PadTail:
+    """h_pad(z) = inner(z[:m_true]) — the h seen by a problem whose coupling
+    matrix was zero-padded with trailing rows to reach TPU tile alignment.
+
+    The padded components of ``A @ x`` are identically zero (zero rows), so
+    evaluating ``inner`` on the head is exact. The conjugate is
+    ``h_pad*(y) = inner*(y_head) + ind{y_tail = 0}`` (the tail of z is
+    unconstrained in the primal), so the dual prox pins the padded dual
+    coordinates to 0 — they contribute nothing to ``A' y`` (zero rows of A
+    are zero columns of A') or to the PD residual. This is the padding
+    treatment VERDICT r2 asked for (cf. parallel/fused.py's zero-pad notes);
+    `conjugate` dispatches on it.
+    """
+
+    inner: object
+    m_true: int
+
+    def __call__(self, z):
+        return self.inner(z[: self.m_true])
+
+    def prox(self, v, gamma):
+        # tail is unpenalized: argmin 0.5||u - v_tail||^2 -> u = v_tail
+        u, val = self.inner.prox(v[: self.m_true], gamma)
+        return jnp.concatenate([u, v[self.m_true :]]), val
+
+
+@pytree_dataclass(meta=("m_true",))
+class _PadTailConjugate:
+    """Conjugate of ``PadTail``: inner* on the head, tail pinned to 0."""
+
+    inner: object
+    m_true: int
+
+    def __call__(self, y):  # pragma: no cover - solvers never need it
+        raise NotImplementedError(
+            "PadTail conjugate value is never needed by solvers")
+
+    def prox(self, v, gamma):
+        u, val = self.inner.prox(v[: self.m_true], gamma)
+        return (
+            jnp.concatenate([u, jnp.zeros_like(v[self.m_true :])]),
+            val,
+        )
+
+
 @pytree_dataclass
 class MoreauConjugate:
     """Convex conjugate h* with prox given by the Moreau identity:
@@ -254,4 +301,6 @@ def conjugate(g):
         return IndBox(-g.lam, g.lam)
     if isinstance(g, L2Norm):
         return IndBall2(g.lam)
+    if isinstance(g, PadTail):
+        return _PadTailConjugate(conjugate(g.inner), g.m_true)
     return MoreauConjugate(g)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops import pd_kernels, prox as prox_ops
+from ..ops import oracles, pd_kernels, prox as prox_ops
 from ..solvers import rules as rules_mod
 from .common import Counters, Records, SolveResult, cast_floats, l2sq, reopen, run_loop
 
@@ -248,13 +248,23 @@ def fused_adaptive_primal_dual(
     interpret=None,
     mesh=None,
     at=None,
+    pad="auto",
 ):
     """Engine-parity AdaPDM with the one-pass fused PD kernel.
 
     ``A`` is a dense matrix (or DenseOperator); ``g`` must map onto the
-    kernel prox menu (see ``prox_menu_entry``). Falls back is the caller's
-    job: use solvers.primal_dual.adaptive_primal_dual when ``pd_fusable``
-    is false.
+    kernel prox menu (see ``prox_menu_entry``).
+
+    ``pad``: "auto" (default) zero-pads a non-tile-aligned (m, n) problem
+    to kernel alignment and corrects for it exactly: zero COLUMNS of A
+    (new x coordinates) get a zero gradient (ops.oracles.PadDomain) and,
+    because every menu prox satisfies prox(0) = 0 (checked for "box"),
+    stay exactly 0; zero ROWS of A (new dual coordinates) see h through
+    ops.prox.PadTail, whose conjugate pins the padded duals to 0. Both
+    tails then contribute exactly 0 to every residual/curvature reduction,
+    so the padded solve is trajectory-identical to the unpadded problem —
+    this is what lets the fused engine run LIBSVM-shaped data (8124x112
+    etc.). ``pad=False`` raises on misalignment instead.
 
     ``mesh``: a parallel.mesh 2-D mesh — runs the fused kernel per device
     over the "rows"-axis shards of A' (shard_map + psum of the A@x_new
@@ -284,22 +294,51 @@ def fused_adaptive_primal_dual(
                 f"{jnp.asarray(a_mat).shape}")
     else:
         at_mat = jnp.asarray(a_mat).T
-    if not interpret and not pd_kernels.pd_fusable(at_mat):
+    y0 = jnp.asarray(y0)
+    n_true, m_true = at_mat.shape
+    if not pd_kernels.pd_fusable(at_mat) and mesh is None:
+        if not pad:
+            raise ValueError(
+                f"A with shape {a_mat.shape} is not tile-aligned for the "
+                "fused PD kernel (need n % 8 == 0 and m % 128 == 0); use "
+                "pad='auto' or solvers.primal_dual.adaptive_primal_dual")
+        if kind == "box" and not (float(p1) <= 0.0 <= float(p2)):
+            # prox_box(0) != 0 would move the padded coordinates off zero
+            raise ValueError(
+                f"auto-pad needs prox_g(0) = 0; IndBox({float(p1)}, "
+                f"{float(p2)}) violates it — pad the problem by hand")
+        sub = 8 if at_mat.dtype.itemsize >= 4 else 16
+        n_pad = -(-n_true // sub) * sub
+        m_pad = -(-m_true // 128) * 128
+        at_mat = jnp.pad(at_mat, ((0, n_pad - n_true), (0, m_pad - m_true)))
+        x0 = jnp.pad(x0, (0, n_pad - n_true))
+        y0 = jnp.pad(y0, (0, m_pad - m_true))
+        if n_pad != n_true:
+            f = oracles.PadDomain(f, n_true)
+        if m_pad != m_true:
+            h = prox_ops.PadTail(h, m_true)
+    elif mesh is not None and not interpret and not pd_kernels.pd_fusable(at_mat):
+        # the mesh path shards A' by rows — padding must happen shard-aware
+        # at load time (parallel.mesh); interpret mesh runs are exact
+        # unpadded (the kernel streams m whole in interpret mode)
         raise ValueError(
-            f"A with shape {a_mat.shape} is not tile-aligned for the fused "
-            "PD kernel (need n % 8 == 0 and m % 128 == 0); pad the problem "
-            "or use solvers.primal_dual.adaptive_primal_dual")
+            f"A with shape {a_mat.shape} is not tile-aligned for the "
+            "compiled sharded fused PD kernel; pad at load time "
+            "(parallel.mesh) before sharding")
     res = _solve(
-        (f, g, h, at_mat), rule, x0, jnp.asarray(y0), p1, p2,
+        (f, g, h, at_mat), rule, x0, y0, p1, p2,
         jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
         kind, bool(interpret), resume_state=resume_state, mesh=mesh,
     )
+    if res.x.shape[0] != n_true or res.y.shape[0] != m_true:
+        res = res._replace(x=res.x[:n_true], y=res.y[:m_true])
     return res.with_name(name)
 
 
 def fused_condat_vu(x0, y0, *, f, g, h, A, Lf, norm_A=None, tol=1e-5,
                     maxit=10_000, name="Condat-Vu (fused)", history=False,
-                    resume_state=None, interpret=None, mesh=None, at=None):
+                    resume_state=None, interpret=None, mesh=None, at=None,
+                    pad="auto"):
     """Condat-Vu on the fused engine: the reference's (gamma, sigma)
     heuristics (src/AdaProx.jl:367-416) with a FixedStepsize rule."""
     import numpy as np
@@ -320,4 +359,4 @@ def fused_condat_vu(x0, y0, *, f, g, h, A, Lf, norm_A=None, tol=1e-5,
     return fused_adaptive_primal_dual(
         x0, y0, f=f, g=g, h=h, A=A, rule=rule, tol=tol, maxit=maxit,
         name=name, history=history, resume_state=resume_state,
-        interpret=interpret, mesh=mesh, at=at)
+        interpret=interpret, mesh=mesh, at=at, pad=pad)
