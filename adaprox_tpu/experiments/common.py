@@ -16,7 +16,8 @@ import numpy as np
 
 from ..utils import logging as tlog
 
-__all__ = ["Sink", "group_rows", "plot_lines", "pick_platform"]
+__all__ = ["Sink", "group_rows", "plot_lines", "pick_platform", "pad_tiles",
+           "run_timed"]
 
 
 def pick_platform(force_cpu: bool = False, x64: bool = False):
@@ -42,6 +43,45 @@ def pick_platform(force_cpu: bool = False, x64: bool = False):
         warnings.filterwarnings(
             "ignore", message=".*requested dtype float64.*", category=UserWarning
         )
+
+
+def pad_tiles(a, b, m_mult=8, n_mult=128):
+    """Zero-pad (A, b) to TPU tile alignment for the fused/resident fast
+    paths. Exact for least-squares + separable g with prox(0) = 0: padded
+    ROWS have zero residual (b padded with 0), padded COLUMNS get zero
+    gradient and their coordinates stay exactly 0, so objective, residual
+    norm, and every curvature reduction are unchanged (cf. the PadDomain/
+    PadTail treatment in solvers.pd_fused)."""
+    import jax.numpy as jnp
+
+    m, n = a.shape
+    mp = -(-m // m_mult) * m_mult
+    np_ = -(-n // n_mult) * n_mult
+    if (mp, np_) != (m, n):
+        a = jnp.pad(jnp.asarray(a), ((0, mp - m), (0, np_ - n)))
+        b = jnp.pad(jnp.asarray(b), (0, mp - m))
+    return a, b
+
+
+def run_timed(times, name, fn):
+    """Run ``fn`` and record its forced-sync wall time under ``name``.
+
+    Timing needs a device->host transfer on this backend
+    (utils/profiling.timed rationale: block_until_ready alone under-syncs
+    through the axon relay). Includes one compile — experiment rows are
+    each compiled once anyway, so the wall column reflects what a user
+    waits for; per-iteration rates belong to bench.py."""
+    import time as _time
+
+    import jax
+
+    t0 = _time.perf_counter()
+    res = fn()
+    for leaf in jax.tree_util.tree_leaves(res):
+        if hasattr(leaf, "dtype"):
+            np.asarray(leaf)  # host transfer = hard sync per computation
+    times[name] = round(_time.perf_counter() - t0, 4)
+    return res
 
 
 class Sink:

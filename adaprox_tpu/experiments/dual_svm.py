@@ -19,7 +19,9 @@ import os
 
 import numpy as np
 
-from .common import Sink, group_rows, pick_platform, plot_lines
+from types import SimpleNamespace
+
+from .common import Sink, group_rows, pick_platform, plot_lines, run_timed
 
 T_VALUES = [0.01, 0.15, 0.02, 0.025, 0.05, 0.1, 0.2, 0.5, 1, 2, 5, 10]
 KEYS = ["method", "it", "f_evals", "norm_res"]
@@ -35,7 +37,8 @@ def _load(name_or_path):
     return load_or_synthesize(str(name_or_path), labels=(-1.0, 1.0))
 
 
-def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=False):
+def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=False,
+             resident=False):
     import jax
     import jax.numpy as jnp
 
@@ -62,8 +65,45 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
 
     x0 = jnp.zeros(n_pts)
     y0 = jnp.zeros(1)
+    times = {}
 
-    if vmap_sweep:
+    # whole-solve on-core t-sweep (VERDICT r2 item 3): Q zero-padded to
+    # tile alignment with the padded coordinates pinned to 0 by the iota
+    # mask in ops.resident._pd_core; one kernel launch covers the entire
+    # reference coupling grid (dual_svm/runme.jl:61-76)
+    if resident:
+        from adaprox_tpu.ops.resident import (
+            _VMEM_BYTES, resident_adapdm_dsvm_sweep, resident_pd_records)
+
+        n_pad = -(-n_pts // 128) * 128
+        if q_mat.dtype.itemsize * n_pad * n_pad <= _VMEM_BYTES:
+            interp = jax.default_backend() not in ("tpu", "axon")
+            q_pad = jnp.pad(q_mat, ((0, n_pad - n_pts), (0, n_pad - n_pts)))
+            lab_pad = jnp.pad(jnp.asarray(y_np, q_mat.dtype), (0, n_pad - n_pts))
+
+            def sweep():
+                return resident_adapdm_dsvm_sweep(
+                    q_pad, lab_pad, float(big_c),
+                    jnp.asarray(T_VALUES, q_mat.dtype), norm_a, tol, maxit,
+                    n_true=n_pts, record=True, interpret=interp)
+
+            xs, numits, nress, convs, hg, hr = run_timed(
+                times, "AdaPDM t-sweep (resident)", sweep)
+            for i, t in enumerate(T_VALUES):
+                recs = resident_pd_records(numits[i], hg[i], hr[i],
+                                           maxit=maxit, t=float(t))
+                sink.add(SimpleNamespace(records=recs, name=f"AdaPDM (t={t})"),
+                         primal_dual=True)
+        else:
+            print(f"  [resident] Q {n_pad}^2 exceeds the VMEM budget; "
+                  "falling back to the engine sweep")
+            resident = False
+
+    import time as _time
+
+    if resident:
+        pass  # AdaPDM rows already written by the resident sweep
+    elif vmap_sweep:
         # one compiled kernel for the whole t grid
         def solve_t(t):
             res = ap.adaptive_primal_dual(
@@ -74,17 +114,21 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             )
             return res._replace(name=None)  # strings can't ride through vmap
 
+        t0 = _time.perf_counter()
         batched = jax.vmap(solve_t)(jnp.asarray(T_VALUES))
         for i, t in enumerate(T_VALUES):
             one = jax.tree_util.tree_map(lambda arr: arr[i], batched)
             sink.add(one.with_name(f"AdaPDM (t={t})"), primal_dual=True)
+        times["AdaPDM t-sweep (vmap)"] = round(_time.perf_counter() - t0, 4)
     else:
+        t0 = _time.perf_counter()
         for t in T_VALUES:
             sink.add(ap.adaptive_primal_dual(
                 x0, y0, f=f, g=g, h=h, A=a_op,
                 rule=ap.AdaPGMRule.make(t=float(t), norm_a=norm_a),
                 tol=tol, maxit=maxit, history=True, name=f"AdaPDM (t={t})",
             ), primal_dual=True)
+        times["AdaPDM t-sweep"] = round(_time.perf_counter() - t0, 4)
 
     if vmap_sweep:
         # nested while (linesearch) inside scan inside vmap — one kernel
@@ -95,21 +139,27 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             )
             return res._replace(name=None, extra=None)
 
+        t0 = _time.perf_counter()
         batched = jax.vmap(solve_mp)(jnp.asarray(T_VALUES))
         for i, t in enumerate(T_VALUES):
             one = jax.tree_util.tree_map(lambda arr: arr[i], batched)
             sink.add(one.with_name(f"Malitsky-Pock (t={t})"), primal_dual=True)
+        times["MP t-sweep (vmap)"] = round(_time.perf_counter() - t0, 4)
     else:
+        t0 = _time.perf_counter()
         for t in T_VALUES:
             sink.add(ap.malitsky_pock(
                 x0, y0, f=f, g=g, h=h, A=a_op, t=float(t), sigma=1.0 / norm_a,
                 tol=tol, maxit=maxit, history=True, name=f"Malitsky-Pock (t={t})",
             ), primal_dual=True)
+        times["MP t-sweep"] = round(_time.perf_counter() - t0, 4)
 
-    sink.add(ap.condat_vu(
+    sink.add(run_timed(times, "Condat-Vu", lambda: ap.condat_vu(
         x0, y0, f=f, g=g, h=h, A=a_op, Lf=lf, tol=tol, maxit=maxit,
         history=True, name="Condat-Vu",
-    ), primal_dual=True)
+    )), primal_dual=True)
+    sink.emit_meta(wall_s=times, fast_path=("resident" if resident else
+                                            "vmap" if vmap_sweep else "default"))
     return source
 
 
@@ -143,6 +193,9 @@ def main(argv=None):
     p.add_argument("--f64", action="store_true",
                    help="f64 on the accelerator (reference-regime parity)")
     p.add_argument("--vmap-sweep", action="store_true")
+    p.add_argument("--resident", action="store_true",
+                   help="on-core whole-sweep AdaPDM kernel (Q VMEM-resident; "
+                        "falls back to the engine when Q exceeds the budget)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -152,7 +205,7 @@ def main(argv=None):
             path = os.path.join(args.outdir, f"{os.path.basename(ds)}_C_{big_c}.jsonl")
             sink = Sink(path, keys=KEYS)
             src = run_dsvm(ds, sink, big_c=big_c, tol=args.tol, maxit=args.maxit,
-                           vmap_sweep=args.vmap_sweep)
+                           vmap_sweep=args.vmap_sweep, resident=args.resident)
             sink.emit_meta(data_source=src)
             print(f"{path}: data={src}")
             if not args.no_plot:

@@ -5,19 +5,35 @@ runs fixed PG, backtracking PG (xi in {1, 1.5, 2}), fixed + backtracking
 Nesterov, AdaPGM-MM, AdaPGM-Ours, and aGRAAL; sizes (m, n, pfactor) in
 {(100,300,10), (500,1000,10), (4000,1000,10)}, maxit 2000, tol 1e-7
 (runme.jl:191-211). Plot: F(x_k) - F* vs (grad_f_evals + f_evals).
+
+TPU fast paths (VERDICT r2 item 3 — the flagship kernels must drive the
+reference grid, not just bench.py):
+
+* ``--fused``:    every solver's LS oracle becomes the one-pass Pallas
+                  kernel (ops.kernels.fused_ls_value_grad) on a zero-padded
+                  tile-aligned A — trajectory-identical, ~2x HBM economy.
+* ``--resident``: the four menu solvers (fixed PG/Nesterov, AdaPGM MM/Ours)
+                  run as whole-solve VMEM-resident kernels with record-mode
+                  per-iteration histories (ops.resident) — same JSONL.
+
+Per-method wall-clock is emitted as a ``wall_s`` meta row either way, so
+RESULTS.md can carry a speedup column on the reference's own grid.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+from types import SimpleNamespace
 
 import numpy as np
 
-from .common import Sink, group_rows, pick_platform, plot_lines
+from .common import Sink, group_rows, pad_tiles, pick_platform, plot_lines, run_timed
 
 
-def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=None):
+def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=None,
+                     fused=False, resident=False):
+    import jax
     import jax.numpy as jnp
 
     import adaprox_tpu as ap
@@ -28,28 +44,70 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
     dtype = dtype or jnp.asarray(prob.a).dtype
     a = jnp.asarray(prob.a, dtype)
     b = jnp.asarray(prob.b, dtype)
-    f = LeastSquares(a=a, b=b)
-    g = ap.L1Norm(lam=jnp.asarray(prob.lam, dtype))
+    if fused or resident:
+        # tile alignment for the Pallas paths — exact (see pad_tiles)
+        a, b = pad_tiles(a, b)
+    n_run = a.shape[1]
+    f = LeastSquares(a=a, b=b, fused=fused)
+    lam = jnp.asarray(prob.lam, dtype)
+    g = ap.L1Norm(lam=lam)
 
     # pseudo-record with the analytic optimum (runme.jl:79)
     sink.emit_pseudo({"method": None, "it": 1, "objective": prob.optimum})
 
     lf = float(np.linalg.norm(prob.a, 2) ** 2)
     gam = 1.0 / lf
-    x0 = jnp.zeros(n, dtype)
+    x0 = jnp.zeros(n_run, dtype)
     kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
+    times = {}
 
-    sink.add(ap.fixed_proxgrad(x0, gamma=gam, name="PGM (fixed)", **kw))
+    from adaprox_tpu.ops.resident import resident_adapgm, resident_records, resident_supported
+
+    use_resident = resident and resident_supported(a)
+    if resident and not use_resident:
+        print(f"  [resident] unsupported shape/size {tuple(a.shape)} "
+              f"({a.dtype}); falling back to the engine")
+
+    def add(name, fn):
+        sink.add(run_timed(times, name, fn))
+
+    def add_resident(name, rule_kind, momentum=False):
+        interp = jax.default_backend() not in ("tpu", "axon")
+
+        def solve():
+            x, numit, nres, conv, hg, hr, ho = resident_adapgm(
+                a, b, x0, gam, tol, maxit, prox_kind="l1", p1=float(lam),
+                rule_kind=rule_kind, momentum=momentum, record=True,
+                interpret=interp)
+            recs = resident_records(numit, hg, hr, ho, maxit=maxit,
+                                    momentum=momentum)
+            return SimpleNamespace(records=recs, name=name, x=x)
+
+        sink.add(run_timed(times, name, solve))
+
+    if use_resident:
+        add_resident("PGM (fixed)", "fixed")
+    else:
+        add("PGM (fixed)", lambda: ap.fixed_proxgrad(x0, gamma=gam, name="PGM (fixed)", **kw))
     for xi in (1.0, 1.5, 2.0):
-        sink.add(ap.backtracking_proxgrad(
-            x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **kw))
-    sink.add(ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **kw))
-    sink.add(ap.fixed_nesterov(x0, gamma=gam, name="Nesterov (fixed)", **kw))
-    sink.add(ap.adaptive_proxgrad(
-        x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
-    sink.add(ap.adaptive_proxgrad(
-        x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
-    sink.add(ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+        add(f"PGM (backtracking)-(xi={xi})",
+            lambda xi=xi: ap.backtracking_proxgrad(
+                x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **kw))
+    add("Nesterov (backtracking)",
+        lambda: ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **kw))
+    if use_resident:
+        add_resident("Nesterov (fixed)", "fixed", momentum=True)
+        add_resident("AdaPGM (MM)", "mm")
+        add_resident("AdaPGM (Ours)", "adapgm")
+    else:
+        add("Nesterov (fixed)", lambda: ap.fixed_nesterov(x0, gamma=gam, name="Nesterov (fixed)", **kw))
+        add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
+            x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
+        add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
+            x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
+    add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+    sink.emit_meta(wall_s=times, fast_path=(
+        "resident" if use_resident else "fused" if fused else "default"))
     return prob.optimum
 
 
@@ -77,6 +135,10 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--f64", action="store_true",
                    help="f64 on the accelerator (reference-regime parity)")
+    p.add_argument("--fused", action="store_true",
+                   help="one-pass fused LS oracle (Pallas) for every solver")
+    p.add_argument("--resident", action="store_true",
+                   help="whole-solve VMEM-resident kernels for the menu solvers")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -85,7 +147,8 @@ def main(argv=None):
         m, n, pf = (int(v) for v in spec.split("x"))
         path = os.path.join(args.outdir, f"lasso_{m}_{n}_{pf}.jsonl")
         sink = Sink(path)
-        opt = run_random_lasso(m, n, pf, sink, tol=args.tol, maxit=args.maxit)
+        opt = run_random_lasso(m, n, pf, sink, tol=args.tol, maxit=args.maxit,
+                               fused=args.fused, resident=args.resident)
         print(f"{path}: optimum={opt:.8f}")
         if not args.no_plot:
             plot_convergence(path)

@@ -14,11 +14,14 @@ import os
 
 import numpy as np
 
-from .common import Sink, group_rows, pick_platform, plot_lines
+from types import SimpleNamespace
+
+from .common import Sink, group_rows, pad_tiles, pick_platform, plot_lines, run_timed
 
 
 def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype=None,
-                       spectral_lf=False):
+                       spectral_lf=False, resident=False):
+    import jax
     import jax.numpy as jnp
 
     import adaprox_tpu as ap
@@ -55,26 +58,69 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
     x0 = jnp.zeros(n, x_mat.dtype)
     kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
     half = dict(f=f, g=g, tol=tol, maxit=maxit // 2, history=True)
+    times = {}
+
+    def add(name, fn):
+        sink.add(run_timed(times, name or "(ground truth)", fn))
+
+    # whole-solve VMEM-resident path (VERDICT r2 item 3): the bias folds as
+    # a ones-column of a zero-row/col-padded [X 1] with the exact
+    # -log(2)-per-pad-row mean correction (ops.resident m_true semantics;
+    # record-mode parity tested in tests/test_kernels.py)
+    from adaprox_tpu.ops.resident import (
+        resident_logreg_l1, resident_records, resident_supported)
+
+    x1_dev = jnp.asarray(x1, x_mat.dtype)
+    x1_pad, y_pad = pad_tiles(x1_dev, y)
+    use_resident = resident and resident_supported(x1_pad)
+    if resident and not use_resident:
+        print(f"  [resident] unsupported shape/size {tuple(x1_pad.shape)} "
+              f"({x1_pad.dtype}); falling back to the engine")
+
+    def add_resident(name, rule_kind, momentum=False, r_tol=tol, r_maxit=maxit):
+        interp = jax.default_backend() not in ("tpu", "axon")
+        x0p = jnp.zeros(x1_pad.shape[1], x_mat.dtype)
+
+        def solve():
+            x, numit, nres, conv, hg, hr, ho = resident_logreg_l1(
+                x1_pad, y_pad, x0p, gam, lam, r_tol, r_maxit, m_true=float(m),
+                rule_kind=rule_kind, momentum=momentum, record=True,
+                interpret=interp)
+            recs = resident_records(numit, hg, hr, ho, maxit=r_maxit,
+                                    momentum=momentum)
+            return SimpleNamespace(records=recs, name=name, x=x)
+
+        sink.add(run_timed(times, name or "(ground truth)", solve))
 
     # high-accuracy ground-truth run, logged with method=None so plotting
     # uses it only through the min-objective (runme.jl:64-73)
-    ref = ap.adaptive_proxgrad(
-        x0, f=f, g=g, rule=ap.AdaPGMRule(gamma=gam), tol=tol / 10,
-        maxit=maxit * 10, history=True, name=None,
-    )
-    sink.add(ref)
-
-    sink.add(ap.fixed_proxgrad(x0, gamma=gam, name="PGM (1/Lf)", **kw))
+    if use_resident:
+        add_resident(None, "adapgm", r_tol=tol / 10, r_maxit=maxit * 10)
+        add_resident("PGM (1/Lf)", "fixed")
+    else:
+        add(None, lambda: ap.adaptive_proxgrad(
+            x0, f=f, g=g, rule=ap.AdaPGMRule(gamma=gam), tol=tol / 10,
+            maxit=maxit * 10, history=True, name=None))
+        add("PGM (1/Lf)", lambda: ap.fixed_proxgrad(x0, gamma=gam, name="PGM (1/Lf)", **kw))
     for xi in (1.0, 1.5, 2.0):
-        sink.add(ap.backtracking_proxgrad(
-            x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **half))
-    sink.add(ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **half))
-    sink.add(ap.fixed_nesterov(x0, gamma=gam, name="Nesterov (fixed)", **half))
-    sink.add(ap.adaptive_proxgrad(
-        x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
-    sink.add(ap.adaptive_proxgrad(
-        x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
-    sink.add(ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+        add(f"PGM (backtracking)-(xi={xi})",
+            lambda xi=xi: ap.backtracking_proxgrad(
+                x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **half))
+    add("Nesterov (backtracking)",
+        lambda: ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **half))
+    if use_resident:
+        add_resident("Nesterov (fixed)", "fixed", momentum=True, r_maxit=maxit // 2)
+        add_resident("AdaPGM (MM)", "mm")
+        add_resident("AdaPGM (Ours)", "adapgm")
+    else:
+        add("Nesterov (fixed)", lambda: ap.fixed_nesterov(
+            x0, gamma=gam, name="Nesterov (fixed)", **half))
+        add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
+            x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
+        add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
+            x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
+    add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+    sink.emit_meta(wall_s=times, fast_path=("resident" if use_resident else "default"))
     return source
 
 
@@ -106,6 +152,9 @@ def main(argv=None):
     p.add_argument("--spectral-lf", action="store_true",
                    help="tighter ||X1||_2^2/4m instead of the reference's "
                         "Frobenius norm(X1*X1')/4m (runme.jl:58-59)")
+    p.add_argument("--resident", action="store_true",
+                   help="whole-solve VMEM-resident kernels for the menu "
+                        "solvers (incl. the ground-truth prerun)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -114,7 +163,7 @@ def main(argv=None):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
         sink = Sink(path)
         src = run_logreg_l1_data(ds, sink, lam=args.lam, tol=args.tol, maxit=args.maxit,
-                                 spectral_lf=args.spectral_lf)
+                                 spectral_lf=args.spectral_lf, resident=args.resident)
         sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")
         if not args.no_plot:

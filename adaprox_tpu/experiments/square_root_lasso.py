@@ -15,7 +15,7 @@ import os
 
 import numpy as np
 
-from .common import Sink, group_rows, pick_platform, plot_lines
+from .common import Sink, group_rows, pick_platform, plot_lines, run_timed
 
 T_VALUES = [0.01, 0.15, 0.02, 0.025, 0.05, 0.1, 0.2, 0.5, 1, 2, 5, 10, 20, 50, 100]
 KEYS = ["method", "norm_res", "A_evals", "At_evals"]
@@ -42,7 +42,7 @@ def make_h(inner_cls, y):
 
 
 def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
-                  vmap_sweep=False):
+                  vmap_sweep=False, fused=False):
     import jax
     import jax.numpy as jnp
 
@@ -60,16 +60,30 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
 
     x0 = jnp.zeros(n + 1)
     y0 = jnp.zeros(m)
+    times = {}
 
-    sink.add(ap.condat_vu(
-        x0, y0, f=f, g=g, h=h, A=a_op, Lf=0.0, norm_A=norm_a,
-        tol=tol, maxit=maxit, history=True, name="Condat-Vu",
-    ), primal_dual=True)
+    if fused:
+        # one-pass fused PD kernel (VERDICT r2 items 3+8): the LIBSVM shape
+        # auto-pads with the exact PadTail correction; A' is materialized
+        # once so repeated calls skip the per-call transpose
+        at_mat = a_mat.T
+        sink.add(run_timed(times, "Condat-Vu", lambda: ap.fused_condat_vu(
+            x0, y0, f=f, g=g, h=h, A=a_mat, at=at_mat, Lf=0.0, norm_A=norm_a,
+            tol=tol, maxit=maxit, history=True, name="Condat-Vu",
+        )), primal_dual=True)
+    else:
+        sink.add(run_timed(times, "Condat-Vu", lambda: ap.condat_vu(
+            x0, y0, f=f, g=g, h=h, A=a_op, Lf=0.0, norm_A=norm_a,
+            tol=tol, maxit=maxit, history=True, name="Condat-Vu",
+        )), primal_dual=True)
+
+    import time as _time
 
     def add_sweep(fam, solve_t):
         """Run the t grid either sequentially (reference structure,
         square_root_lasso/runme.jl:48,80-95) or as ONE vmapped kernel over
         the coupling t — nested linesearch while_loop and all."""
+        t0 = _time.perf_counter()
         if vmap_sweep:
             batched = jax.vmap(solve_t)(jnp.asarray(T_VALUES))
             for i, t in enumerate(T_VALUES):
@@ -79,6 +93,7 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
             for t in T_VALUES:
                 res = solve_t(float(t))
                 sink.add(res.with_name(f"{fam} (t={t})"), primal_dual=True)
+        times[f"{fam} t-sweep"] = round(_time.perf_counter() - t0, 4)
 
     def solve_mp(t):
         res = ap.malitsky_pock(
@@ -96,6 +111,8 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
 
     add_sweep("Malitsky-Pock", solve_mp)
     add_sweep("AdaPDM+", solve_pdmp)
+    sink.emit_meta(wall_s=times, fast_path=("fused" if fused else
+                                            "vmap" if vmap_sweep else "default"))
     return source
 
 
@@ -134,6 +151,9 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
     p.add_argument("--f64", action="store_true",
                    help="f64 on the accelerator (reference-regime parity)")
     p.add_argument("--vmap-sweep", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="Condat-Vu on the one-pass fused PD kernel "
+                        "(auto-pads LIBSVM shapes)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -144,7 +164,8 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
         sink = Sink(path, keys=KEYS)
         src = run_composite(ds, sink, inner_cls, lam=args.lam, tol=args.tol,
-                            maxit=args.maxit, vmap_sweep=args.vmap_sweep)
+                            maxit=args.maxit, vmap_sweep=args.vmap_sweep,
+                            fused=args.fused)
         sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")
         if not args.no_plot:

@@ -396,7 +396,8 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
 
 
 def resident_logreg_l1(x_mat, y, x0, gamma0, lam, tol, maxit, m_true=None,
-                       record=False, interpret=False):
+                       rule_kind="adapgm", momentum=False, record=False,
+                       interpret=False):
     """Whole-solve sparse-logreg (mean logistic + lam*||.||_1, bias folded
     as a trailing ones-column — sparse_logreg/runme.jl:18-39 semantics).
     ``x_mat``: [X 1] with the ones-column appended, tile-padded with zero
@@ -404,7 +405,8 @@ def resident_logreg_l1(x_mat, y, x0, gamma0, lam, tol, maxit, m_true=None,
     zero padding rows contribute nothing to the gradient but must not
     inflate the mean)."""
     return resident_adapgm(x_mat, y, x0, gamma0, tol, maxit, prox_kind="l1",
-                           p1=lam, obj_kind="logreg", m_true=m_true,
+                           p1=lam, rule_kind=rule_kind, momentum=momentum,
+                           obj_kind="logreg", m_true=m_true,
                            record=record, interpret=interpret)
 
 
@@ -505,12 +507,39 @@ def resident_records(numit, gamma_hist, res_hist, obj_hist, *, maxit,
     )
 
 
+def resident_pd_records(numit, gamma_hist, res_hist, *, maxit, t):
+    """Records for the resident dual-SVM AdaPDM kernel: sigma = gamma*t^2
+    is reconstructed from the coupling, counters from the engine's
+    deterministic per-iteration schedule (primal_dual._step at the record
+    snapshot: warm-up contributes one f/grad/A eval; every iteration one
+    each of f, grad, prox_g, prox_h, A, At — the dual-SVM JSONL projects
+    only [method, it, f_evals, norm_res], dual_svm/runme.jl:141)."""
+    from ..solvers.common import Records
+
+    it = jnp.arange(1, maxit + 1, dtype=jnp.int32)
+    valid = it <= numit
+    return Records(
+        it=it,
+        gamma=gamma_hist,
+        sigma=gamma_hist * jnp.asarray(t, gamma_hist.dtype) ** 2,
+        norm_res=res_hist,
+        objective=jnp.zeros_like(gamma_hist),
+        f_evals=it + 1,
+        grad_f_evals=it + 1,
+        prox_g_evals=it,
+        prox_h_evals=it,
+        A_evals=it + 1,
+        At_evals=it,
+        valid=valid,
+    )
+
+
 # --------------------------------------------------------------------------
 # whole-solve primal-dual kernel for the dual-SVM shape
 # --------------------------------------------------------------------------
 
 
-def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, *, maxit,
+def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
              record=False):
     """AdaPDM (engine half1/half2 structure, solvers/primal_dual._step) for
     the dual-SVM problem: f = 0.5 x'Qx - 1'x (Q symmetric, VMEM-resident),
@@ -520,11 +549,20 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, *, maxit,
     single-solve kernel and the on-core t-sweep kernel. ``record=True``
     carries (1, H) per-iteration (gamma, norm_res) histories (the dual-SVM
     experiment logs only [method, it, f_evals, norm_res],
-    dual_svm/runme.jl:141 — f_evals is deterministic, it+1)."""
+    dual_svm/runme.jl:141 — f_evals is deterministic, it+1).
+
+    ``n_true``: the unpadded point count. LIBSVM shapes need Q zero-padded
+    to tile alignment; the linear term -1'x must not extend onto the padded
+    coordinates (a constant -1 gradient would push them off 0 through the
+    box prox), so f's gradient uses a lane-iota mask: grad = Qx - 1[i<n_true].
+    Every other term then keeps the padded coordinates exactly 0."""
+    n_pts = q.shape[0]
+    ones = (jax.lax.broadcasted_iota(jnp.int32, (1, n_pts), 1)
+            < n_true.astype(jnp.int32)).astype(q.dtype)
 
     def grad_of(x_row):  # (1, N): Qx - 1 via the symmetric trick
         qx = jnp.sum(q * x_row, axis=1, keepdims=True).T
-        return qx - 1.0
+        return qx - ones
 
     def a_mv(x_row):  # scalar labels'x
         return jnp.sum(lab * x_row)
@@ -618,10 +656,10 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, *, maxit,
 
 
 def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
-    """scal_ref (SMEM, (6,)): [t, norm_a, big_c, tol, theta_big, unused]."""
+    """scal_ref (SMEM, (6,)): [t, norm_a, big_c, tol, theta_big, n_true]."""
     x, it_f, nres, gamma, conv = _pd_core(
         q_ref[:], lab_ref[:], scal_ref[0], scal_ref[1], scal_ref[2],
-        scal_ref[3], scal_ref[4], maxit=maxit)
+        scal_ref[3], scal_ref[4], scal_ref[5], maxit=maxit)
     x_ref[:] = x
     stats_ref[0] = it_f
     stats_ref[1] = nres.astype(jnp.float32)
@@ -636,7 +674,8 @@ def _pd_sweep_kernel_rec(scal_ref, q_ref, lab_ref, x_ref, stats_ref,
     i = pl.program_id(0)
     x, it_f, nres, gamma, conv, hists = _pd_core(
         q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2],
-        scal_ref[i, 3], scal_ref[i, 4], maxit=maxit, record=True)
+        scal_ref[i, 3], scal_ref[i, 4], scal_ref[i, 5], maxit=maxit,
+        record=True)
     x_ref[0] = x
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
@@ -654,7 +693,7 @@ def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit):
     i = pl.program_id(0)
     x, it_f, nres, gamma, conv = _pd_core(
         q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2],
-        scal_ref[i, 3], scal_ref[i, 4], maxit=maxit)
+        scal_ref[i, 3], scal_ref[i, 4], scal_ref[i, 5], maxit=maxit)
     x_ref[0] = x
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
@@ -663,11 +702,14 @@ def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit):
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
-def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit, interpret=False):
+def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit,
+                         n_true=None, interpret=False):
     """Whole-solve AdaPDM for the dual SVM: min 0.5 x'Qx - 1'x over
     0 <= x <= C with labels'x = 0 enforced via the scalar dual. Q stays
     VMEM-resident (covers the reference's heart_scale/svmguide3 instantly;
-    Q must be symmetric and tile-aligned).
+    Q must be symmetric and tile-aligned — zero-pad a LIBSVM-shaped Q and
+    pass the unpadded point count as ``n_true``; padded coordinates stay
+    exactly 0, see _pd_core).
 
     Returns (x, numit, norm_res, converged).
     """
@@ -675,7 +717,8 @@ def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit, interpret=Fals
     dt = q.dtype
     scal = jnp.stack([
         jnp.asarray(t, dt), jnp.asarray(norm_a, dt), jnp.asarray(big_c, dt),
-        jnp.asarray(tol, dt), jnp.asarray(1.2, dt), jnp.asarray(0.0, dt),
+        jnp.asarray(tol, dt), jnp.asarray(1.2, dt),
+        jnp.asarray(n if n_true is None else n_true, dt),
     ])
     x_out, stats = pl.pallas_call(
         functools.partial(_pd_kernel, maxit=maxit),
@@ -707,7 +750,7 @@ def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit, interpret=Fals
 
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret", "record"))
 def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
-                               record=False, interpret=False):
+                               n_true=None, record=False, interpret=False):
     """The full coupling sweep (dual_svm/runme.jl:61) as ONE kernel launch:
     grid over the t values, each step a complete early-exit AdaPDM solve
     with Q resident.
@@ -729,7 +772,7 @@ def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
         jnp.full((tcount,), big_c, dt),
         jnp.full((tcount,), tol, dt),
         jnp.full((tcount,), 1.2, dt),
-        jnp.zeros((tcount,), dt),
+        jnp.full((tcount,), n if n_true is None else n_true, dt),
     ], axis=1)
     out_specs = [
         pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

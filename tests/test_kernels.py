@@ -530,3 +530,52 @@ def test_resident_dsvm_sweep_record():
                                    rtol=1e-6, atol=1e-12)
         np.testing.assert_allclose(np.asarray(hg[i]),
                                    np.asarray(ref.records.gamma), rtol=1e-6)
+
+
+def test_resident_dsvm_padded_matches_engine():
+    """LIBSVM-shaped (misaligned) Q zero-padded to tile alignment with
+    n_true: trajectories must match the engine on the UNPADDED problem and
+    the padded coordinates must stay exactly 0 (the iota-masked linear term
+    in _pd_core); resident_pd_records counters must equal the engine's."""
+    from adaprox_tpu.models.objectives import Quadratic
+    from adaprox_tpu.ops.resident import (
+        resident_adapdm_dsvm_sweep, resident_pd_records)
+
+    rng = np.random.default_rng(7)
+    n = 100  # pads to 128
+    n_pad = 128
+    feats = rng.standard_normal((n, 9))
+    labels = np.sign(rng.standard_normal(n))
+    labels[labels == 0] = 1
+    q = ((labels[:, None] * feats) @ (labels[:, None] * feats).T).astype(np.float64)
+    q_pad = np.zeros((n_pad, n_pad))
+    q_pad[:n, :n] = q
+    lab_pad = np.zeros(n_pad)
+    lab_pad[:n] = labels
+    norm_a = float(np.linalg.norm(labels))
+    ts = [0.5]
+    maxit = 80
+    xs, numits, nress, convs, hg, hr = resident_adapdm_dsvm_sweep(
+        jnp.asarray(q_pad), jnp.asarray(lab_pad), 0.5,
+        jnp.asarray(ts, jnp.float64), norm_a, 0.0, maxit, n_true=n,
+        record=True, interpret=True)
+    assert float(np.abs(np.asarray(xs)[0, n:]).max()) == 0.0
+    ref = ap.adaptive_primal_dual(
+        jnp.zeros(n, jnp.float64), jnp.zeros(1, jnp.float64),
+        f=Quadratic(q_mat=jnp.asarray(q), q_vec=-jnp.ones(n, jnp.float64)),
+        g=ap.IndBox(lo=0.0, hi=0.5), h=ap.IndZero(),
+        A=ap.DenseOperator(a=jnp.asarray(labels[None, :], jnp.float64)),
+        rule=ap.AdaPGMRule.make(t=0.5, norm_a=norm_a),
+        tol=0.0, maxit=maxit, history=True)
+    np.testing.assert_allclose(np.asarray(hr[0]),
+                               np.asarray(ref.records.norm_res),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(xs)[0, :n], np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-10)
+    recs = resident_pd_records(numits[0], hg[0], hr[0], maxit=maxit, t=0.5)
+    for k in ("f_evals", "grad_f_evals", "prox_g_evals", "prox_h_evals",
+              "A_evals", "At_evals", "it"):
+        np.testing.assert_array_equal(np.asarray(getattr(recs, k)),
+                                      np.asarray(getattr(ref.records, k)), k)
+    np.testing.assert_allclose(np.asarray(recs.sigma),
+                               np.asarray(ref.records.sigma), rtol=1e-6)
