@@ -43,24 +43,23 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
     import jax.numpy as jnp
 
     import adaprox_tpu as ap
-    from adaprox_tpu.models.objectives import Quadratic
+    from adaprox_tpu.models.objectives import FactoredQuadratic
 
     x_np, y_np, source = _load(name_or_path)
     n_pts = y_np.shape[0]
 
-    # build Q = D_y X X' D_y on-device: ships the (N, d) feature matrix to
-    # the accelerator instead of the (N, N) Gram matrix (runme.jl:47-48
-    # builds it host-side, which is fine for Julia but a 0.5 GB transfer here)
+    # factored objective: f = 0.5 x'(B B')x - 1'x with B = D_y X — never
+    # materializes the (N, N) Gram the reference builds host-side
+    # (runme.jl:47-48). Besides the 2*N*d vs N^2 traffic win, this is the
+    # f64-at-scale safety fix (VERDICT r2 weak 7): the 8124^2 emulated-f64
+    # Gram matmul once crashed the TPU worker; B stays N x d.
     dyx = jnp.asarray(y_np)[:, None] * jnp.asarray(x_np)
-    q_mat = jax.lax.dot_general(
-        dyx, dyx, (((1,), (1,)), ((), ())), precision="highest"
-    )
-    q_vec = -jnp.ones(n_pts, q_mat.dtype)
-    f = Quadratic(q_mat=q_mat, q_vec=q_vec)
+    q_vec = -jnp.ones(n_pts, dyx.dtype)
+    f = FactoredQuadratic(b_mat=dyx, q_vec=q_vec)
     g = ap.IndBox(lo=0.0, hi=float(big_c))
     h = ap.IndZero()
     a_op = ap.DenseOperator(a=jnp.asarray(y_np[None, :]))
-    lf = float(jnp.sqrt(jnp.sum(q_mat * q_mat)))  # Julia norm(Q) = Frobenius (runme.jl:56)
+    lf = float(f.norm_q())  # Julia norm(Q) = Frobenius (runme.jl:56), gram-free
     norm_a = float(np.linalg.norm(y_np))
 
     x0 = jnp.zeros(n_pts)
@@ -76,8 +75,12 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             _VMEM_BYTES, resident_adapdm_dsvm_sweep, resident_pd_records)
 
         n_pad = -(-n_pts // 128) * 128
-        if q_mat.dtype.itemsize * n_pad * n_pad <= _VMEM_BYTES:
+        if dyx.dtype.itemsize * n_pad * n_pad <= _VMEM_BYTES:
             interp = jax.default_backend() not in ("tpu", "axon")
+            # the resident kernel wants Q VMEM-resident — materialize the
+            # (small, budget-checked) Gram only here
+            q_mat = jax.lax.dot_general(
+                dyx, dyx, (((1,), (1,)), ((), ())), precision="highest")
             q_pad = jnp.pad(q_mat, ((0, n_pad - n_pts), (0, n_pad - n_pts)))
             lab_pad = jnp.pad(jnp.asarray(y_np, q_mat.dtype), (0, n_pad - n_pts))
 

@@ -204,6 +204,42 @@ class Quadratic(SmoothOracle):
 
 
 @pytree_dataclass(meta=("precision",))
+class FactoredQuadratic(SmoothOracle):
+    """f(x) = 0.5 x'(B B')x + q'x WITHOUT materializing the Gram: aux is
+    computed as B (B' x) — two skinny matvecs (2*m*d elements of traffic
+    instead of m^2).
+
+    This is the safe-at-scale form of the dual-SVM objective
+    (B = D_y X, reference dual_svm/runme.jl:47-50 builds the m x m Gram):
+    at mushrooms size in emulated f64 the 8124^2 Gram is 528 MB and the
+    m^2 matmul once crashed the TPU worker (CLAUDE.md caveat); the factored
+    form keeps the largest array at m x d (7 MB) and is also faster
+    whenever d < m/2. ``norm_q()`` gives the Frobenius norm of the implied
+    Q gram-free (||B B'||_F = ||B' B||_F, a d x d pass) — the reference's
+    Lf seed (runme.jl:56)."""
+
+    b_mat: jnp.ndarray
+    q_vec: jnp.ndarray
+    precision: str | None = "highest"
+
+    def value_and_aux(self, x):
+        btx = _vm(x, self.b_mat, self.precision)     # (d,)
+        qx = _mv(self.b_mat, btx, self.precision)    # (m,)
+        return 0.5 * jnp.vdot(x, qx) + jnp.vdot(x, self.q_vec), qx
+
+    def grad_from_aux(self, x, qx):
+        del x
+        return qx + self.q_vec
+
+    def norm_q(self):
+        bt_b = jax.lax.dot_general(
+            self.b_mat, self.b_mat, (((0,), (0,)), ((), ())),
+            precision=self.precision,
+            preferred_element_type=self.b_mat.dtype)
+        return jnp.sqrt(jnp.sum(bt_b * bt_b))
+
+
+@pytree_dataclass(meta=("precision",))
 class Cubic(SmoothOracle):
     """Cubic-regularized quadratic model (cubic_sparse_logreg/runme.jl:26-32):
 

@@ -201,3 +201,45 @@ def test_bench_script_runs_small(monkeypatch, capsys):
     assert payload["unit"] == "iter/s"
     assert payload["value"] > 0
     assert "vs_baseline" in payload and "detail" in payload
+
+
+def test_factored_quadratic_matches_gram():
+    """FactoredQuadratic (gram-free dual-SVM objective, the f64-at-scale
+    safety path) must match Quadratic built from the explicit Gram:
+    value/grad parity and identical engine trajectories."""
+    import numpy as np
+
+    import adaprox_tpu as ap
+    from adaprox_tpu.models.objectives import FactoredQuadratic, Quadratic
+
+    rng = np.random.default_rng(12)
+    m, d = 96, 11
+    b_mat = jnp.asarray(rng.standard_normal((m, d)))
+    q = b_mat @ b_mat.T
+    q_vec = -jnp.ones(m)
+    f_g = Quadratic(q_mat=q, q_vec=q_vec)
+    f_f = FactoredQuadratic(b_mat=b_mat, q_vec=q_vec)
+    x = jnp.asarray(rng.standard_normal(m))
+    v1, g1 = f_g.value_and_grad(x)
+    v2, g2 = f_f.value_and_grad(x)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(float(f_f.norm_q()),
+                               float(jnp.sqrt(jnp.sum(q * q))), rtol=1e-12)
+
+    labels = np.sign(rng.standard_normal(m)); labels[labels == 0] = 1
+    a_op = ap.DenseOperator(a=jnp.asarray(labels[None, :]))
+    kw = dict(g=ap.IndBox(lo=0.0, hi=0.5), h=ap.IndZero(), A=a_op,
+              rule=ap.AdaPGMRule.make(t=0.5, norm_a=float(np.linalg.norm(labels))),
+              tol=1e-9, maxit=500)
+    r1 = ap.adaptive_primal_dual(jnp.zeros(m), jnp.zeros(1), f=f_g, **kw)
+    r2 = ap.adaptive_primal_dual(jnp.zeros(m), jnp.zeros(1), f=f_f, **kw)
+    assert int(r2.numit) == int(r1.numit)
+    # B(B'x) reassociates the matvec; the last-bit difference amplifies
+    # chaotically through the adaptive gamma recursion over 500 iterations,
+    # so assert solution-quality parity (same objective, same support)
+    # rather than bitwise trajectory equality
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(float(f_f(r2.x)), float(f_g(r1.x)), rtol=1e-4)

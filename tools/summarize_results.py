@@ -27,6 +27,10 @@ def family(method: str) -> str:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--results", default="results")
+    p.add_argument("--fast", default=None,
+                   help="second results tree from a --fused/--resident run; "
+                        "adds a wall-clock speedup section comparing the "
+                        "wall_s meta rows file by file")
     p.add_argument("--out", default="RESULTS.md")
     args = p.parse_args()
 
@@ -81,9 +85,54 @@ def main():
                 f"{res:.2e} | " + (f"{gap:.2e}" if gap is not None else "—") + " |\n"
             )
 
+    if args.fast:
+        lines += walltime_section(args.results, args.fast)
+
     with open(args.out, "w") as fh:
         fh.writelines(lines)
     print("wrote", args.out)
+
+
+def _wall_meta(path):
+    for r in read_jsonl(path):
+        if "wall_s" in r:
+            return r.get("fast_path", "?"), r["wall_s"]
+    return None, None
+
+
+def walltime_section(default_tree, fast_tree):
+    """Per-file wall-clock table: engine vs fast-path run of the SAME grid
+    (VERDICT r2 item 3 — the speedup must be shown on the reference's own
+    workloads). Rows pair by relative path; per-method seconds come from
+    the drivers' wall_s meta rows (forced-sync timing, includes the one
+    compile per row a user actually waits for)."""
+    lines = ["\n## Fast-path wall-clock (same grid, same chip)\n\n",
+             "| file | method | engine s | fast s | speedup | fast path |\n",
+             "|---|---|---|---|---|---|\n"]
+    for path in sorted(glob.glob(os.path.join(default_tree, "*", "*.jsonl"))):
+        rel = os.path.relpath(path, default_tree)
+        fast_path_file = os.path.join(fast_tree, rel)
+        if not os.path.exists(fast_path_file):
+            continue
+        _, wd = _wall_meta(path)
+        variant, wf = _wall_meta(fast_path_file)
+        if not wd or not wf:
+            continue
+        for name in wd:
+            if name in wf and wf[name] > 0:
+                lines.append(
+                    f"| {rel} | {name} | {wd[name]:.2f} | {wf[name]:.2f} | "
+                    f"{wd[name] / wf[name]:.2f}x | {variant} |\n")
+        # resident sweeps rename the AdaPDM block — pair by prefix
+        for name in wf:
+            if name not in wd:
+                base = [k for k in wd if k.split(" (")[0] == name.split(" (")[0]]
+                if base and wf[name] > 0:
+                    lines.append(
+                        f"| {rel} | {name} vs {base[0]} | {wd[base[0]]:.2f} | "
+                        f"{wf[name]:.2f} | {wd[base[0]] / wf[name]:.2f}x | "
+                        f"{variant} |\n")
+    return lines
 
 
 if __name__ == "__main__":
