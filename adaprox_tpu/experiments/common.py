@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 from collections import defaultdict
+from types import SimpleNamespace
 
 import numpy as np
 
@@ -75,9 +76,22 @@ def run_timed(times, name, fn):
 
     import jax
 
+    def _leaves(obj):
+        # SimpleNamespace (the resident drivers' result wrapper) is a pytree
+        # LEAF, not a node — recurse into vars() or the sync silently skips
+        # the device arrays and the wall time excludes the kernel execution.
+        if isinstance(obj, SimpleNamespace):
+            obj = vars(obj)
+        for leaf in jax.tree_util.tree_leaves(
+                obj, is_leaf=lambda o: isinstance(o, SimpleNamespace)):
+            if isinstance(leaf, SimpleNamespace):
+                yield from _leaves(leaf)
+            else:
+                yield leaf
+
     t0 = _time.perf_counter()
     res = fn()
-    for leaf in jax.tree_util.tree_leaves(res):
+    for leaf in _leaves(res):
         if hasattr(leaf, "dtype"):
             np.asarray(leaf)  # host transfer = hard sync per computation
     times[name] = round(_time.perf_counter() - t0, 4)

@@ -70,12 +70,14 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
     from adaprox_tpu.ops.resident import (
         resident_logreg_l1, resident_records, resident_supported)
 
-    x1_dev = jnp.asarray(x1, x_mat.dtype)
-    x1_pad, y_pad = pad_tiles(x1_dev, y)
-    use_resident = resident and resident_supported(x1_pad)
-    if resident and not use_resident:
-        print(f"  [resident] unsupported shape/size {tuple(x1_pad.shape)} "
-              f"({x1_pad.dtype}); falling back to the engine")
+    use_resident = False
+    if resident:  # pad + ship [X 1] only when the fast path is requested
+        x1_dev = jnp.asarray(x1, x_mat.dtype)
+        x1_pad, y_pad = pad_tiles(x1_dev, y)
+        use_resident = resident_supported(x1_pad)
+        if not use_resident:
+            print(f"  [resident] unsupported shape/size {tuple(x1_pad.shape)} "
+                  f"({x1_pad.dtype}); falling back to the engine")
 
     def add_resident(name, rule_kind, momentum=False, r_tol=tol, r_maxit=maxit):
         interp = jax.default_backend() not in ("tpu", "axon")

@@ -65,7 +65,9 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
     delta1 = 1 + jnp.asarray(delta, sdt)
 
     if resume_state is not None:
-        carry0 = reopen(resume_state, dt)
+        carry0 = reopen(resume_state, dt, scalar_dtype=sdt,
+                        scalar_fields=("gamma", "gamma_prev", "eta",
+                                       "norm_res"))
     else:
         # warm-up (src/AdaProx.jl:491-499)
         a_x = a_op.matvec(x0)

@@ -47,7 +47,8 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history,
     rho = 1 / phi + 1 / phi**2
 
     if resume_state is not None:
-        carry0 = reopen(resume_state, dt)
+        carry0 = reopen(resume_state, dt, scalar_dtype=sdt,
+                        scalar_fields=("gamma", "theta", "norm_res"))
         return _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history)
 
     _, aux1 = f.value_and_aux(x1)

@@ -116,7 +116,8 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
     sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
     gamma0, xi, shrink, tol = (jnp.asarray(v, sdt) for v in (gamma0, xi, shrink, tol))
     if resume_state is not None:
-        carry0 = reopen(resume_state, dt)
+        carry0 = reopen(resume_state, dt, scalar_dtype=sdt,
+                        scalar_fields=("gamma", "theta", "norm_res"))
     else:
         f_x0, aux0 = f.value_and_aux(x0)
         grad0 = f.grad_from_aux(x0, aux0)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,14 +106,32 @@ def cast_floats(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
-def reopen(carry, dtype):
+def reopen(carry, dtype, scalar_dtype=None, scalar_fields=()):
     """Reset a checkpointed loop carry so the solver loop runs again from it:
     un-latch ``done`` (the loop's only gate). Everything else — counters,
     rule state, previous-iterate curvature memory, and the last known
     ``norm_res`` (truthful if the resumed run is granted zero further
-    iterations) — is preserved, so a resumed solve continues bit-exactly."""
+    iterations) — is preserved, so a resumed solve continues bit-exactly.
+
+    ``scalar_fields``: the carry fields the solver keeps in the
+    ``scalar_dtype`` hybrid precision (step sizes, rule state, residual
+    norms). They are cast to ``scalar_dtype`` here so a carry saved under
+    one scalar precision can resume under another — otherwise the step
+    body's sdt outputs mismatch the reopened carry and ``lax.while_loop``
+    rejects the structure."""
     del dtype
-    return carry._replace(done=jnp.zeros((), jnp.bool_))
+    upd = {"done": jnp.zeros((), jnp.bool_)}
+    if scalar_dtype is not None:
+        sdt = jnp.dtype(scalar_dtype)
+
+        def _cast(v):
+            if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating):
+                return v.astype(sdt)
+            return v
+
+        for name in scalar_fields:
+            upd[name] = jax.tree_util.tree_map(_cast, getattr(carry, name))
+    return carry._replace(**upd)
 
 
 def run_loop(carry0, step, maxit, history):

@@ -60,7 +60,8 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None,
     sqrt2 = jnp.sqrt(jnp.asarray(2.0, sdt))
 
     if resume_state is not None:
-        carry0 = reopen(resume_state, dt)
+        carry0 = reopen(resume_state, dt, scalar_dtype=sdt,
+                        scalar_fields=("sigma", "norm_res"))
     else:
         a_x = a_op.matvec(x0)
         at_y = a_op.rmatvec(y0)

@@ -42,7 +42,8 @@ def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_con
     gamma_v = gamma.astype(dt)
 
     if resume_state is not None:
-        carry0 = reopen(resume_state, dt)
+        carry0 = reopen(resume_state, dt, scalar_dtype=sdt,
+                        scalar_fields=("theta", "norm_res"))
     else:
         carry0 = _Carry(
             it=jnp.zeros((), jnp.int32),

@@ -237,7 +237,9 @@ def _solve_pd(parts, rule, x0, y0, tol, maxit, history, resume_state=None,
     tol = jnp.asarray(tol, sdt)
     h_conj = prox_ops.conjugate(h) if h is not None else None
     if resume_state is not None:
-        carry0 = reopen(resume_state, dt)
+        carry0 = reopen(resume_state, dt, scalar_dtype=sdt,
+                        scalar_fields=("gamma", "sigma", "rstate",
+                                       "norm_res"))
     else:
         carry0 = _init(f, g, a_op, rule, x0, y0, sdt)
     step = functools.partial(

@@ -220,9 +220,18 @@ def main():
                           1, 2, 2 * iters_pd),
     }
     runners = {}
-    for name, (fn, _, _, _) in spec.items():
+    for name, (fn, _, _, reps_n) in spec.items():
         try:
-            _sync(fn())  # compile; drop runners that cannot build
+            out = fn()  # compile; drop runners that cannot build
+            _sync(out)
+            if isinstance(out, tuple) and len(out) == 2:
+                # solve runners return (norm_res, numit): a NaN residual
+                # exits the while_loop early (NaN > 0 is False) and would
+                # silently inflate iters_per_sec — reject it here
+                numit = int(out[1])
+                if numit != reps_n:
+                    raise RuntimeError(
+                        f"early exit: numit={numit}, expected {reps_n}")
             runners[name] = fn
         except Exception as e:
             results[name] = {"error": str(e)[:200], "iters_per_sec": 0.0}
@@ -251,12 +260,17 @@ def main():
             }
         else:
             results[name] = entry
+    # per-ITERATION speedups: the bf16 runner executes 2x the iterations to
+    # equalize wall time, so raw wall ratios would understate it 2x
+    def _s_per_iter(name):
+        return timed[name][0] / spec[name][3]
+
     if "pd_fused" in results and "pd_xla" in timed and "pd_fused" in timed:
         results["pd_fused"]["speedup_vs_xla"] = round(
-            timed["pd_xla"][0] / timed["pd_fused"][0], 2)
+            _s_per_iter("pd_xla") / _s_per_iter("pd_fused"), 2)
     if "pd_fused_bf16" in results and "pd_fused_bf16" in timed and "pd_xla" in timed:
         results["pd_fused_bf16"]["speedup_vs_xla"] = round(
-            timed["pd_xla"][0] / timed["pd_fused_bf16"][0], 2)
+            _s_per_iter("pd_xla") / _s_per_iter("pd_fused_bf16"), 2)
 
     # headline metric: best FULL-f32 variant; bf16 storage stays in detail
     best_name = max(("xla", "fused"), key=lambda k: results[k].get("iters_per_sec", 0.0))

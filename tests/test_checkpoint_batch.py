@@ -266,3 +266,77 @@ def test_load_pytree_rejects_shape_mismatch(prob, tmp_path):
         r1.extra)
     with pytest.raises(ValueError, match="leaf"):
         ckpt.load_pytree(path, like=bad_like)
+
+
+@pytest.mark.parametrize("solver", [
+    "backtracking_proxgrad",
+    "backtracking_nesterov",
+    "agraal",
+    "fixed_nesterov",
+])
+def test_resume_across_scalar_dtype(prob, solver):
+    """A carry saved from an f32-scalar run must resume under
+    scalar_dtype=f64 (and back): reopen() casts the hybrid scalar fields so
+    the while_loop carry typing matches a fresh sdt run."""
+    f, g, lf, p = prob
+    kw = dict(f=f, g=g, tol=1e-12)
+    fn = getattr(ap, solver)
+    if solver in ("backtracking_proxgrad", "backtracking_nesterov"):
+        kw["gamma0"] = 1 / lf
+    elif solver == "agraal":
+        kw["gamma0"] = 1 / lf
+        kw["key"] = jax.random.PRNGKey(0)
+    else:
+        kw["gamma"] = 1 / lf
+    x0 = jnp.zeros(128)
+    part1 = fn(x0, maxit=50, **kw)
+    up = fn(x0, maxit=100, resume_state=part1.extra,
+            scalar_dtype=jnp.float64, **kw)
+    assert int(up.numit) == 100
+    assert np.asarray(up.norm_res).dtype == np.float64
+    down = fn(x0, maxit=150, resume_state=up.extra, **kw)
+    assert int(down.numit) == 150
+    assert np.isfinite(float(down.norm_res))
+
+
+def test_resume_across_scalar_dtype_pd(prob):
+    """Same for the PD engine: rule state + step sizes recast on reopen."""
+    f, g, lf, p = prob
+    m, n = p.a.shape
+    a_op = ap.DenseOperator(a=jnp.asarray(p.a))
+    kw = dict(f=f, g=g, h=ap.Translate(inner=ap.L2Norm(lam=1.0),
+                                       b=-jnp.asarray(p.b)),
+              A=a_op,
+              rule=ap.AdaPGMRule.make(t=1.0, norm_a=float(np.linalg.norm(p.a))),
+              tol=1e-12)
+    r1 = ap.adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m), maxit=50, **kw)
+    r2 = ap.adaptive_primal_dual(jnp.zeros(n), jnp.zeros(m), maxit=100,
+                                 resume_state=r1.extra,
+                                 scalar_dtype=jnp.float64, **kw)
+    assert int(r2.numit) == 100
+    assert np.asarray(r2.norm_res).dtype == np.float64
+
+
+def test_resume_across_scalar_dtype_linesearch_pd(prob):
+    """Malitsky-Pock and AdaPDM+ variants of the same recast."""
+    f, g, lf, p = prob
+    m, n = p.a.shape
+    h = ap.Translate(inner=ap.L2Norm(lam=1.0), b=-jnp.asarray(p.b))
+    a_op = ap.DenseOperator(a=jnp.asarray(p.a))
+    na = float(np.linalg.norm(p.a, 2))
+    r1 = ap.malitsky_pock(jnp.zeros(n), jnp.zeros(m), f=f, g=g, h=h, A=a_op,
+                          sigma=1.0 / na, tol=1e-12, maxit=30)
+    r2 = ap.malitsky_pock(jnp.zeros(n), jnp.zeros(m), f=f, g=g, h=h, A=a_op,
+                          sigma=1.0 / na, tol=1e-12, maxit=60,
+                          resume_state=r1.extra, scalar_dtype=jnp.float64)
+    assert int(r2.numit) == 60
+    assert np.asarray(r2.norm_res).dtype == np.float64
+    q1 = ap.adaptive_linesearch_primal_dual(
+        jnp.zeros(n), jnp.zeros(m), f=f, g=g, h=h, A=a_op,
+        tol=1e-12, maxit=30)
+    q2 = ap.adaptive_linesearch_primal_dual(
+        jnp.zeros(n), jnp.zeros(m), f=f, g=g, h=h, A=a_op,
+        tol=1e-12, maxit=60,
+        resume_state=q1.extra, scalar_dtype=jnp.float64)
+    assert int(q2.numit) == 60
+    assert np.asarray(q2.norm_res).dtype == np.float64
