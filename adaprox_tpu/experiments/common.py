@@ -31,6 +31,17 @@ def pick_platform(force_cpu: bool = False, x64: bool = False):
     hardware (PARITY_TPU.md)."""
     import jax
 
+    # persistent compile cache: repeated grid runs reuse executables instead
+    # of re-queueing the remote compiler (queue waits of 100-250 s were
+    # observed landing in single wall_s rows)
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)

@@ -161,8 +161,12 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
         x0, y0, f=f, g=g, h=h, A=a_op, Lf=lf, tol=tol, maxit=maxit,
         history=True, name="Condat-Vu",
     )), primal_dual=True)
-    sink.emit_meta(wall_s=times, fast_path=("resident" if resident else
-                                            "vmap" if vmap_sweep else "default"))
+    sink.emit_meta(
+        wall_s=times,
+        fast_path=("resident" if resident else
+                   "vmap" if vmap_sweep else "default"),
+        fast_methods=(["AdaPDM t-sweep (resident)"] if resident else
+                      ["AdaPDM t-sweep (vmap)"] if vmap_sweep else []))
     return source
 
 

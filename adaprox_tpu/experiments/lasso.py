@@ -106,8 +106,18 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
         add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
             x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
     add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+    # which timed methods actually took a fast path (the summarizer pairs
+    # only these — engine-vs-engine rows are compile/co-tenancy noise)
+    if fused:  # the fused oracle feeds EVERY engine method
+        fast_methods = sorted(times)
+    elif use_resident:
+        fast_methods = ["PGM (fixed)", "Nesterov (fixed)", "AdaPGM (MM)",
+                        "AdaPGM (Ours)"]
+    else:
+        fast_methods = []
     sink.emit_meta(wall_s=times, fast_path=(
-        "resident" if use_resident else "fused" if fused else "default"))
+        "resident" if use_resident else "fused" if fused else "default"),
+        fast_methods=fast_methods)
     return prob.optimum
 
 

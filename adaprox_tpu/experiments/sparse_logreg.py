@@ -122,7 +122,12 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
         add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
             x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
     add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
-    sink.emit_meta(wall_s=times, fast_path=("resident" if use_resident else "default"))
+    sink.emit_meta(
+        wall_s=times,
+        fast_path=("resident" if use_resident else "default"),
+        fast_methods=(["(ground truth)", "PGM (1/Lf)", "Nesterov (fixed)",
+                       "AdaPGM (MM)", "AdaPGM (Ours)"]
+                      if use_resident else []))
     return source
 
 

@@ -111,8 +111,13 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
 
     add_sweep("Malitsky-Pock", solve_mp)
     add_sweep("AdaPDM+", solve_pdmp)
-    sink.emit_meta(wall_s=times, fast_path=("fused" if fused else
-                                            "vmap" if vmap_sweep else "default"))
+    sink.emit_meta(
+        wall_s=times,
+        fast_path=("fused" if fused else
+                   "vmap" if vmap_sweep else "default"),
+        fast_methods=(["Condat-Vu"] if fused else
+                      ["Malitsky-Pock t-sweep", "AdaPDM+ t-sweep"]
+                      if vmap_sweep else []))
     return source
 
 

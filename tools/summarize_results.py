@@ -96,8 +96,9 @@ def main():
 def _wall_meta(path):
     for r in read_jsonl(path):
         if "wall_s" in r:
-            return r.get("fast_path", "?"), r["wall_s"]
-    return None, None
+            return (r.get("fast_path", "?"), r["wall_s"],
+                    r.get("fast_methods"))
+    return None, None, None
 
 
 def walltime_section(default_tree, fast_tree):
@@ -114,20 +115,24 @@ def walltime_section(default_tree, fast_tree):
         fast_path_file = os.path.join(fast_tree, rel)
         if not os.path.exists(fast_path_file):
             continue
-        _, wd = _wall_meta(path)
-        variant, wf = _wall_meta(fast_path_file)
+        _, wd, _ = _wall_meta(path)
+        variant, wf, fast_methods = _wall_meta(fast_path_file)
         if not wd or not wf:
             continue
-        for name in wd:
-            if name in wf and wf[name] > 0:
+        # only pair methods that actually took a fast path in the fast run
+        # (older files without the label fall back to pairing everything;
+        # engine-vs-engine rows there are compile/co-tenancy noise)
+        names = wf if fast_methods is None else [
+            n for n in fast_methods if n in wf]
+        for name in names:
+            if name in wd and wf[name] > 0:
                 lines.append(
                     f"| {rel} | {name} | {wd[name]:.2f} | {wf[name]:.2f} | "
                     f"{wd[name] / wf[name]:.2f}x | {variant} |\n")
-        # resident sweeps rename the AdaPDM block — pair by prefix
-        for name in wf:
-            if name not in wd:
+            elif name not in wd and wf[name] > 0:
+                # resident sweeps rename the AdaPDM block — pair by prefix
                 base = [k for k in wd if k.split(" (")[0] == name.split(" (")[0]]
-                if base and wf[name] > 0:
+                if base:
                     lines.append(
                         f"| {rel} | {name} vs {base[0]} | {wd[base[0]]:.2f} | "
                         f"{wf[name]:.2f} | {wd[base[0]] / wf[name]:.2f}x | "
