@@ -397,3 +397,258 @@ def test_pd_trajectory_matches_numpy_mirror(t):
     )
     np.testing.assert_allclose(np.asarray(res.records.gamma), gammas_np, rtol=1e-7)
     np.testing.assert_allclose(np.asarray(res.records.norm_res), res_np, rtol=1e-7)
+
+
+# --- backtracking PG / Nesterov mirrors (src/AdaProx.jl:35-89) --------------
+
+
+def np_backtrack_stepsize(gamma, a, b, lam, x, f_x, grad_x, shrink=0.5):
+    """backtrack_stepsize (src/AdaProx.jl:35-49); returns the per-call
+    f-eval count (= trials) so trial-count equality is assertable."""
+    f = lambda z: 0.5 * np.sum((a @ z - b) ** 2)
+
+    def ub(z, gam):
+        d = z - x
+        return f_x + grad_x @ d + (d @ d) / (2 * gam)
+
+    z = soft(x - gamma * grad_x, gamma * lam)
+    f_z = f(z)
+    trials = 1
+    while f_z > ub(z, gamma):
+        gamma *= shrink
+        z = soft(x - gamma * grad_x, gamma * lam)
+        f_z = f(z)
+        trials += 1
+    g_z = lam * np.abs(z).sum()
+    return gamma, z, f_z, g_z, trials
+
+
+def np_backtracking(a, b, lam, gamma0, iters, xi=1.0, nesterov=False):
+    """backtracking_proxgrad (:51-66, trial step xi*gamma) and
+    backtracking_nesterov (:68-89, no inflation, theta momentum).
+    Returns per-iteration gammas, norm_res, and CUMULATIVE f/prox counts at
+    the log site (grad_f_evals excluded: identical by construction)."""
+    x = z = np.zeros(a.shape[1])
+    gamma = gamma0
+    theta = 1.0
+    f_x = 0.5 * np.sum((a @ x - b) ** 2)
+    grad_x = a.T @ (a @ x - b)
+    f_evals, prox_evals = 1, 0  # eval_with_gradient counts one f eval
+    gammas, nres, f_seq, prox_seq = [], [], [], []
+    for _ in range(iters):
+        z_prev = z
+        trial = gamma if nesterov else xi * gamma
+        gamma, z, f_z, g_z, trials = np_backtrack_stepsize(
+            trial, a, b, lam, x, f_x, grad_x)
+        f_evals += trials
+        prox_evals += trials
+        gammas.append(gamma)
+        nres.append(np.linalg.norm(z - x) / gamma)
+        f_seq.append(f_evals)
+        prox_seq.append(prox_evals)
+        if nesterov:
+            theta_prev = theta
+            theta = (1 + np.sqrt(1 + 4 * theta_prev**2)) / 2
+            x = z + (theta_prev - 1) / theta * (z - z_prev)
+            f_x = 0.5 * np.sum((a @ x - b) ** 2)
+            grad_x = a.T @ (a @ x - b)
+            f_evals += 1
+        else:
+            x, f_x = z, f_z
+            grad_x = a.T @ (a @ x - b)
+    return (np.array(gammas), np.array(nres), np.array(f_seq),
+            np.array(prox_seq), z)
+
+
+@pytest.mark.parametrize("nesterov,xi", [(False, 1.0), (False, 2.0),
+                                         (True, 1.0)])
+def test_backtracking_trajectory_matches_numpy_mirror(nesterov, xi):
+    rng = np.random.default_rng(7)
+    m, n = 30, 50
+    a = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    lam = 0.3
+    # start too LARGE so the linesearch actually shrinks (trial counts > 1)
+    gamma0 = 10.0 / np.linalg.norm(a, 2) ** 2
+    iters = 40
+
+    g_np, r_np, f_np, p_np, z_np = np_backtracking(
+        a, b, lam, gamma0, iters, xi=xi, nesterov=nesterov)
+
+    fn = ap.backtracking_nesterov if nesterov else ap.backtracking_proxgrad
+    kw = {} if nesterov else {"xi": xi}
+    res = fn(jnp.zeros(n), f=LeastSquares(a=jnp.asarray(a), b=jnp.asarray(b)),
+             g=ap.L1Norm(lam=lam), gamma0=gamma0, tol=0.0, maxit=iters,
+             history=True, **kw)
+    np.testing.assert_allclose(np.asarray(res.records.gamma), g_np, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.records.norm_res), r_np,
+                               rtol=1e-6)
+    # per-iteration TRIAL counts: cumulative f/prox evals at each log site
+    np.testing.assert_array_equal(np.asarray(res.records.f_evals), f_np)
+    np.testing.assert_array_equal(np.asarray(res.records.prox_g_evals), p_np)
+    np.testing.assert_allclose(np.asarray(res.x), z_np, rtol=1e-6, atol=1e-10)
+
+
+# --- fixed Nesterov mirror (src/AdaProx.jl:96-146) --------------------------
+
+
+def np_fixed_nesterov(a, b, lam, gamma, muf, mug, iters):
+    x = x_prev = np.zeros(a.shape[1])
+    mu = muf + mug
+    q = gamma * mu / (1 + gamma * mug)
+    theta = 1 / np.sqrt(q) if q > 0 else 0.0
+    nres = []
+    for _ in range(iters):
+        theta_prev = theta
+        if mu == 0:
+            theta = (1 + np.sqrt(1 + 4 * theta_prev**2)) / 2
+            beta = (theta_prev - 1) / theta
+        else:
+            aq = 1 - q * theta_prev**2
+            theta = (aq + np.sqrt(aq**2 + 4 * theta_prev**2)) / 2
+            beta = ((theta_prev - 1) * (1 + gamma * mug - theta * gamma * mu)
+                    / theta / (1 - gamma * muf))
+        z = x + beta * (x - x_prev)
+        grad_z = a.T @ (a @ z - b)
+        x_prev = x
+        x = soft(z - gamma * grad_z, gamma * lam)
+        nres.append(np.linalg.norm(x - z) / gamma)
+    return np.array(nres), x
+
+
+@pytest.mark.parametrize("muf", [0.0, 0.5])
+def test_fixed_nesterov_trajectory_matches_numpy_mirror(muf):
+    rng = np.random.default_rng(3)
+    m, n = 60, 40  # overdetermined so muf>0 is honest
+    a = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    lam = 0.3
+    lf = np.linalg.norm(a, 2) ** 2
+    gamma = 1 / lf
+    iters = 50
+
+    r_np, x_np = np_fixed_nesterov(a, b, lam, gamma, muf, 0.0, iters)
+    res = ap.fixed_nesterov(
+        jnp.zeros(n), f=LeastSquares(a=jnp.asarray(a), b=jnp.asarray(b)),
+        g=ap.L1Norm(lam=lam), gamma=gamma, muf=muf, tol=0.0, maxit=iters,
+        history=True)
+    np.testing.assert_allclose(np.asarray(res.records.norm_res), r_np,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.x), x_np, rtol=1e-6, atol=1e-10)
+
+
+# --- aGRAAL mirror (src/AdaProx.jl:150-192) ---------------------------------
+
+
+def np_agraal(a, b, lam, x1, x0, gamma0, gamma_max, phi, iters):
+    x, x_prev, x_bar = x1, x0, x1
+    grad = lambda v: a.T @ (a @ v - b)
+    grad_x, grad_x_prev = grad(x), grad(x_prev)
+    gamma = gamma0
+    rho = 1 / phi + 1 / phi**2
+    theta = 1.0
+    gammas, nres = [], []
+    for _ in range(iters):
+        c = (np.linalg.norm(x - x_prev) ** 2
+             / np.linalg.norm(grad_x - grad_x_prev) ** 2)
+        gamma_prev = gamma
+        gamma = min(rho * gamma_prev, phi * theta * c / (4 * gamma_prev),
+                    gamma_max)
+        theta = phi * gamma / gamma_prev
+        x_bar = ((phi - 1) * x + x_bar) / phi
+        x_prev, grad_x_prev = x, grad_x
+        x = soft(x_bar - gamma * grad_x_prev, gamma * lam)
+        gammas.append(gamma)
+        nres.append(np.linalg.norm(x - x_prev) / gamma)
+        grad_x = grad(x)
+    return np.array(gammas), np.array(nres), x
+
+
+def test_agraal_trajectory_matches_numpy_mirror():
+    rng = np.random.default_rng(11)
+    m, n = 30, 50
+    a = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    lam = 0.3
+    x1 = np.zeros(n)
+    x0 = x1 + rng.standard_normal(n)  # the reference's random perturbation
+    gamma0 = 1e-3
+    iters = 60
+
+    g_np, r_np, x_np = np_agraal(a, b, lam, x1, x0, gamma0, 1e6, 1.5, iters)
+    res = ap.agraal(
+        jnp.asarray(x1), f=LeastSquares(a=jnp.asarray(a), b=jnp.asarray(b)),
+        g=ap.L1Norm(lam=lam), x0=jnp.asarray(x0), gamma0=gamma0,
+        tol=0.0, maxit=iters, history=True)
+    np.testing.assert_allclose(np.asarray(res.records.gamma), g_np, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.records.norm_res), r_np,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.x), x_np, rtol=1e-6, atol=1e-10)
+
+
+# --- Condat-Vu mirror: generic PD loop + FixedStepsize (src/AdaProx.jl:
+#     312-364 driven by :396-416's gamma/sigma heuristics) -----------------
+
+
+def np_condat_vu(a_f, b_f, lam, yv, a, x0, y0, lf, iters):
+    """Generic adaptive_primal_dual loop with the FixedStepsize rule and the
+    Condat-Vu parameter heuristics (par=5, par2=100, src/AdaProx.jl:399-412);
+    f = least squares, g = L1, h = Translate(NormL2, -yv)."""
+    par, par2 = 5.0, 100.0
+    norm_a = np.linalg.norm(a)  # Julia norm(A): Frobenius
+    alpha = 1.0 if norm_a > par * lf else par2 * norm_a / lf
+    gamma = 1.0 / (lf / 2 + norm_a / alpha)
+    sigma = 0.99 / (norm_a * alpha)
+
+    grad = lambda v: a_f.T @ (a_f @ v - b_f)
+    x, y = x0.copy(), y0.copy()
+    a_x = a @ x
+    grad_x = grad(x)
+    at_y = a.T @ y
+    v = x - gamma * (grad_x + at_y)
+    x_prev, a_x_prev = x, a_x
+    x = soft(v, gamma * lam)
+    nres = []
+    for _ in range(iters):
+        a_x = a @ x
+        grad_x = grad(x)
+        primal = (v - x) / gamma + grad_x + at_y
+        rho = 1.0  # fixed rule
+        w = y + sigma * ((1 + rho) * a_x - rho * a_x_prev)
+        y = np_prox_translate_l2_conj(w, sigma, -yv, lam=1.0)
+        dual = (w - y) / sigma - a_x
+        nres.append(np.sqrt(primal @ primal + dual @ dual))
+        at_y = a.T @ y
+        v = x - gamma * (grad_x + at_y)
+        x_prev, a_x_prev = x, a_x
+        x = soft(v, gamma * lam)
+    return np.array(nres), x, gamma, sigma
+
+
+def test_condat_vu_trajectory_matches_numpy_mirror():
+    rng = np.random.default_rng(5)
+    m, n = 20, 30
+    a_f = rng.standard_normal((m, n))
+    b_f = rng.standard_normal(m)
+    a = rng.standard_normal((m, n))
+    yv = rng.standard_normal(m)
+    lam = 0.3
+    lf = np.linalg.norm(a_f, 2) ** 2
+    iters = 50
+
+    r_np, x_np, gamma_np, sigma_np = np_condat_vu(
+        a_f, b_f, lam, yv, a, np.zeros(n), np.zeros(m), lf, iters)
+    res = ap.condat_vu(
+        jnp.zeros(n), jnp.zeros(m),
+        f=LeastSquares(a=jnp.asarray(a_f), b=jnp.asarray(b_f)),
+        g=ap.L1Norm(lam=lam),
+        h=ap.Translate(inner=ap.L2Norm(lam=1.0), b=-jnp.asarray(yv)),
+        A=ap.DenseOperator(a=jnp.asarray(a)), Lf=lf,
+        tol=0.0, maxit=iters, history=True)
+    np.testing.assert_allclose(np.asarray(res.records.gamma),
+                               np.full(iters, gamma_np), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.records.sigma),
+                               np.full(iters, sigma_np), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.records.norm_res), r_np,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.x), x_np, rtol=1e-6, atol=1e-10)
