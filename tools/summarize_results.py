@@ -108,6 +108,13 @@ def walltime_section(default_tree, fast_tree):
     the drivers' wall_s meta rows (forced-sync timing, includes the one
     compile per row a user actually waits for)."""
     lines = ["\n## Fast-path wall-clock (same grid, same chip)\n\n",
+             "Wall times include one compile + the ~25 ms/dispatch relay "
+             "(what a user waits for). At the reference grid's small sizes "
+             "most rows are compile/relay-dominated, so per-method ratios "
+             "scatter with the remote-compile queue; the rows with "
+             "substantive device work (ground-truth prepruns, t-sweeps) "
+             "show the steady-state speedup. Per-iteration rates at "
+             "HBM-bound size are measured same-window in bench.py.\n\n",
              "| file | method | engine s | fast s | speedup | fast path |\n",
              "|---|---|---|---|---|---|\n"]
     for path in sorted(glob.glob(os.path.join(default_tree, "*", "*.jsonl"))):
