@@ -42,7 +42,7 @@ def make_h(inner_cls, y):
 
 
 def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
-                  vmap_sweep=False, fused=False):
+                  vmap_sweep=False, fused=False, resident=False):
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +62,64 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
     y0 = jnp.zeros(m)
     times = {}
 
-    if fused:
+    # whole-solve resident path: A and A' VMEM-resident, the MP coupling
+    # sweep as ONE kernel launch, Condat-Vu as another (padding to tile
+    # alignment is exact for this f = 0 translate family — zero-padded
+    # dual/primal coordinates stay exactly 0, tests/test_kernels.py)
+    use_resident = False
+    if resident:
+        from types import SimpleNamespace
+
+        from adaprox_tpu.ops.resident import (
+            _VMEM_BYTES, resident_condat_vu, resident_cv_records,
+            resident_mp_records, resident_mpls_sweep)
+
+        m_pad = -(-m // 128) * 128
+        n_pad = -(-(n + 1) // 128) * 128
+        a_dev = jnp.asarray(a_mat)
+        itemsize = a_dev.dtype.itemsize
+        budget = 2 * m_pad * n_pad * itemsize
+        if budget <= _VMEM_BYTES:
+            use_resident = True
+            h_kind = "l1" if inner_cls is ap.L1Norm else "l2"
+            a_pad = jnp.pad(a_dev, ((0, m_pad - m), (0, n_pad - (n + 1))))
+            bv_pad = jnp.pad(jnp.asarray(y_np, a_dev.dtype), (0, m_pad - m))
+            interp = jax.default_backend() not in ("tpu", "axon")
+
+            def cv_solve():
+                return resident_condat_vu(
+                    a_pad, bv_pad, float(lam), 1.0 / norm_a, 0.99 / norm_a,
+                    tol, maxit, record=True, h_kind=h_kind, interpret=interp)
+
+            xcv, numit_cv, _, _, cv_hists = run_timed(
+                times, "Condat-Vu", cv_solve)
+            sink.add(SimpleNamespace(
+                records=resident_cv_records(
+                    numit_cv, 1.0 / norm_a, 0.99 / norm_a, cv_hists,
+                    maxit=maxit),
+                name="Condat-Vu"), primal_dual=True)
+
+            def mp_solve():
+                return resident_mpls_sweep(
+                    a_pad, bv_pad, float(lam),
+                    jnp.asarray(T_VALUES, a_dev.dtype), 1.0, tol, maxit,
+                    record=True, h_kind=h_kind, interpret=interp)
+
+            xs, numits, _, _, mp_hists = run_timed(
+                times, "Malitsky-Pock t-sweep", mp_solve)
+            for i, t in enumerate(T_VALUES):
+                sink.add(SimpleNamespace(
+                    records=resident_mp_records(
+                        numits[i], tuple(hh[i] for hh in mp_hists),
+                        maxit=maxit),
+                    name=f"Malitsky-Pock (t={t})"), primal_dual=True)
+        else:
+            print(f"  [resident] {m_pad}x{n_pad} exceeds the VMEM budget; "
+                  "falling back to the engine")
+
+    if use_resident:
+        pass  # Condat-Vu row already written by the resident kernel
+    elif fused:
         # one-pass fused PD kernel (VERDICT r2 items 3+8): the LIBSVM shape
         # auto-pads with the exact PadTail correction; A' is materialized
         # once so repeated calls skip the per-call transpose
@@ -109,13 +166,17 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
         )
         return res._replace(name=None, extra=None, diag=None)
 
-    add_sweep("Malitsky-Pock", solve_mp)
+    if not use_resident:
+        add_sweep("Malitsky-Pock", solve_mp)
     add_sweep("AdaPDM+", solve_pdmp)
     sink.emit_meta(
         wall_s=times,
-        fast_path=("fused" if fused else
+        fast_path=("resident" if use_resident else
+                   "fused" if fused else
                    "vmap" if vmap_sweep else "default"),
-        fast_methods=(["Condat-Vu"] if fused else
+        fast_methods=(["Condat-Vu", "Malitsky-Pock t-sweep"]
+                      if use_resident else
+                      ["Condat-Vu"] if fused else
                       ["Malitsky-Pock t-sweep", "AdaPDM+ t-sweep"]
                       if vmap_sweep else []))
     return source
@@ -159,6 +220,10 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
     p.add_argument("--fused", action="store_true",
                    help="Condat-Vu on the one-pass fused PD kernel "
                         "(auto-pads LIBSVM shapes)")
+    p.add_argument("--resident", action="store_true",
+                   help="whole-solve VMEM-resident kernels: on-core "
+                        "Condat-Vu and the Malitsky-Pock t-sweep as one "
+                        "kernel launch each")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -170,7 +235,7 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
         sink = Sink(path, keys=KEYS)
         src = run_composite(ds, sink, inner_cls, lam=args.lam, tol=args.tol,
                             maxit=args.maxit, vmap_sweep=args.vmap_sweep,
-                            fused=args.fused)
+                            fused=args.fused, resident=args.resident)
         sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")
         if not args.no_plot:

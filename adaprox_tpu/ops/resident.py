@@ -34,7 +34,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_records", "resident_supported"]
+__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_records", "resident_supported",
+           "resident_condat_vu", "resident_mpls_sweep", "resident_cv_records",
+           "resident_mp_records"]
 
 # static prox menu: kind -> (v, gamma, p1, p2) -> prox point
 _PROX = {
@@ -814,3 +816,420 @@ def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
     if record:
         return base + (outs[2][:, 0, :maxit], outs[3][:, 0, :maxit])
     return base
+
+
+# --- resident linesearch PD (Malitsky-Pock) + Condat-Vu ---------------------
+# for the f = 0 composite family (square-root lasso / least absolute
+# deviation shapes): min_x lam*||x||_1 + h(Ax), h = Translate(NormL2(1), -bv)
+# (reference square_root_lasso/runme.jl:41-47; loops src/AdaProx.jl:364-455
+# for Condat-Vu via the generic engine and :555-629 for Malitsky-Pock).
+# A (m, n) and A' (n, m) are both VMEM-resident (dual layout, every matvec
+# a lane reduction) — the reference's datasets pad to at most (8192, 128).
+
+
+def _f0_ops(a, at, bv, lam, h_kind="l2"):
+    """(a_mv, at_mv, soft, prox_hconj, objective) on (1, m)/(1, n) rows.
+
+    ``h_kind``: "l2" -> h = Translate(NormL2(1), -bv) (square-root lasso),
+    "l1" -> h = Translate(NormL1(1), -bv) (least absolute deviation)."""
+
+    def a_mv(x_row):
+        return jnp.sum(a * x_row, axis=1, keepdims=True).T   # (1, m)
+
+    def at_mv(y_row):
+        return jnp.sum(at * y_row, axis=1, keepdims=True).T  # (1, n)
+
+    def soft(v, thr):
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thr, 0.0)
+
+    def prox_hconj(w_row, sigma):
+        # Moreau: prox_{sigma h*}(w) = w - sigma prox_{h/sigma}(w/sigma);
+        # h = Translate(inner, b=-bv): prox_{tau h}(v) =
+        # prox_{tau inner}(v - bv) + bv (ops/prox.Translate semantics)
+        u = w_row / sigma
+        z = u - bv
+        if h_kind == "l1":
+            p = soft(z, 1.0 / sigma)
+        else:
+            nz = jnp.sqrt(jnp.sum(z * z))
+            scale = jnp.where(nz > 0,
+                              jnp.maximum(0.0, 1.0 - (1.0 / sigma) / nz), 0.0)
+            p = scale * z
+        return w_row - sigma * (p + bv)
+
+    def objective(x_row, a_x):
+        diff = a_x - bv
+        if h_kind == "l1":
+            h_val = jnp.sum(jnp.abs(diff))
+        else:
+            h_val = jnp.sqrt(jnp.sum(diff * diff))
+        return lam * jnp.sum(jnp.abs(x_row)) + h_val
+
+    return a_mv, at_mv, soft, prox_hconj, objective
+
+
+def _cv_core(a, at, bv, lam, gamma, sigma, tol, *, maxit, h_kind="l2", record=False):
+    """Condat-Vu fixed-step PD, transcribing the generic engine loop
+    (solvers/primal_dual._step with FixedStepsize, f = Zero): per-iteration
+    record snapshot BEFORE the second half, exactly like the engine."""
+    dt = a.dtype
+    m, n = a.shape
+    a_mv, at_mv, soft, prox_hconj, obj_of = _f0_ops(a, at, bv, lam, h_kind)
+
+    # warm-up (_init): x0 = 0, y0 = 0
+    x0 = jnp.zeros((1, n), dt)
+    y0 = jnp.zeros((1, m), dt)
+    a_x0 = a_mv(x0)
+    at_y0 = at_mv(y0)
+    v = x0 - gamma * at_y0
+    x = soft(v, gamma * lam)
+
+    hl = _hist_len(maxit)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, hl), 1)
+
+    class C(NamedTuple):
+        it: jnp.ndarray
+        x: jnp.ndarray
+        v: jnp.ndarray
+        y: jnp.ndarray
+        at_y: jnp.ndarray
+        a_x_prev: jnp.ndarray
+        norm_res: jnp.ndarray
+        hists: object  # (hr, ho) when record
+
+    def body(c):
+        a_x = a_mv(c.x)
+        primal = (c.v - c.x) / gamma + c.at_y
+        w = c.y + sigma * (2.0 * a_x - c.a_x_prev)  # rho = 1 fixed rule
+        y = prox_hconj(w, sigma)
+        dual = (w - y) / sigma - a_x
+        norm_res = jnp.sqrt(jnp.sum(primal * primal) + jnp.sum(dual * dual))
+        if record:
+            hr, ho = c.hists
+            mask = iota == c.it
+            hists = (jnp.where(mask, norm_res, hr),
+                     jnp.where(mask, obj_of(c.x, a_x), ho))
+        else:
+            hists = c.hists
+        at_y = at_mv(y)
+        v = c.x - gamma * at_y
+        x_new = soft(v, gamma * lam)
+        return C(c.it + 1, x_new, v, y, at_y, a_x, norm_res, hists)
+
+    def cond(c):
+        return jnp.logical_and(c.it < maxit, c.norm_res > tol)
+
+    hists0 = ((jnp.zeros((1, hl), dt),) * 2 if record else None)
+    init = C(jnp.zeros((), jnp.int32), x, v, y0, at_y0, a_x0,
+             jnp.asarray(jnp.inf, dt), hists0)
+    final = jax.lax.while_loop(cond, body, init)
+    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
+           (final.norm_res <= tol).astype(jnp.float32))
+    if record:
+        return out + (final.hists,)
+    return out
+
+
+def _mpls_core(a, at, bv, lam, t, sigma0, tol, *, maxit, h_kind="l2", record=False):
+    """Malitsky-Pock linesearch PD with f = 0, transcribing
+    solvers/malitsky_pock._solve (itself mirror-tested vs
+    src/AdaProx.jl:555-629): sigma grows by sqrt(2) (the reference's fixed
+    theta = 1), the inner linesearch halves sigma until
+    gamma*sigma*||A(x)-A(x_prev)||^2 <= 0.95||x-x_prev||^2, capped at the
+    engine's 100 trials. ``record=True`` carries per-iteration
+    (gamma, sigma, norm_res, trials, objective) — trials makes the
+    data-dependent oracle counters reconstructible."""
+    dt = a.dtype
+    m, n = a.shape
+    a_mv, at_mv, soft, prox_hconj, obj_of = _f0_ops(a, at, bv, lam, h_kind)
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dt))
+
+    x0 = jnp.zeros((1, n), dt)
+    y0 = jnp.zeros((1, m), dt)
+    a_x0 = a_mv(x0)
+    at_y0 = at_mv(y0)
+
+    hl = _hist_len(maxit)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, hl), 1)
+
+    class C(NamedTuple):
+        it: jnp.ndarray
+        x: jnp.ndarray
+        y: jnp.ndarray
+        a_x: jnp.ndarray
+        at_y: jnp.ndarray
+        sigma: jnp.ndarray
+        norm_res: jnp.ndarray
+        hists: object  # (hg, hs, hr, ht, ho) when record
+
+    def body(c):
+        at_y_prev = c.at_y
+        w = c.y + c.sigma * c.a_x
+        y = prox_hconj(w, c.sigma)
+        at_y = at_mv(y)
+
+        sigma_prev = c.sigma
+        sigma_try = c.sigma * sqrt2
+        x_prev, a_x_prev = c.x, c.a_x
+
+        def trial(sigma, trials):
+            theta = sigma / sigma_prev
+            gamma = t * t * sigma
+            at_ybar = (1 + theta) * at_y - theta * at_y_prev
+            v = x_prev - gamma * at_ybar  # grad = 0
+            x = soft(v, gamma * lam)
+            a_x = a_mv(x)
+            dax = a_x - a_x_prev
+            lhs = gamma * sigma * jnp.sum(dax * dax)  # f = 0 terms vanish
+            return (sigma, gamma, x, v, a_x, lhs, trials)
+
+        def ls_cond(cc):
+            sigma, _, x, _, _, lhs, trials = cc
+            dx = x - x_prev
+            return jnp.logical_and(lhs > 0.95 * jnp.sum(dx * dx),
+                                   trials < 100)
+
+        def ls_body(cc):
+            sigma, _, _, _, _, _, trials = cc
+            return trial(sigma / 2, trials + 1)
+
+        c0 = trial(sigma_try, jnp.ones((), jnp.int32))
+        sigma, gamma, x, v, a_x, lhs, trials = jax.lax.while_loop(
+            ls_cond, ls_body, c0)
+
+        primal = (v - x) / gamma + at_y
+        dual = (w - y) / sigma_prev - a_x
+        norm_res = jnp.sqrt(jnp.sum(primal * primal) + jnp.sum(dual * dual))
+        if record:
+            hg, hs, hr, ht, ho = c.hists
+            mask = iota == c.it
+            hists = (jnp.where(mask, gamma, hg),
+                     jnp.where(mask, sigma, hs),
+                     jnp.where(mask, norm_res, hr),
+                     jnp.where(mask, trials.astype(dt), ht),
+                     jnp.where(mask, obj_of(x, a_x), ho))
+        else:
+            hists = c.hists
+        return C(c.it + 1, x, y, a_x, at_y, sigma, norm_res, hists)
+
+    def cond(c):
+        return jnp.logical_and(c.it < maxit, c.norm_res > tol)
+
+    hists0 = ((jnp.zeros((1, hl), dt),) * 5 if record else None)
+    init = C(jnp.zeros((), jnp.int32), x0, y0, a_x0, at_y0,
+             jnp.asarray(sigma0, dt), jnp.asarray(jnp.inf, dt), hists0)
+    final = jax.lax.while_loop(cond, body, init)
+    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
+           (final.norm_res <= tol).astype(jnp.float32))
+    if record:
+        return out + (final.hists,)
+    return out
+
+
+def _cv_kernel(a_ref, at_ref, bv_ref, scal_ref, x_ref, stats_ref, *, maxit, h_kind):
+    """scal_ref (SMEM, (4,)): [gamma, sigma, lam, tol]."""
+    x, it_f, nres, conv = _cv_core(
+        a_ref[:], at_ref[:], bv_ref[:], scal_ref[2], scal_ref[0],
+        scal_ref[1], scal_ref[3], maxit=maxit, h_kind=h_kind)
+    x_ref[:] = x
+    stats_ref[0] = it_f
+    stats_ref[1] = nres.astype(jnp.float32)
+    stats_ref[2] = conv
+
+
+def _cv_kernel_rec(a_ref, at_ref, bv_ref, scal_ref, x_ref, stats_ref,
+                   hr_ref, ho_ref, *, maxit, h_kind):
+    x, it_f, nres, conv, hists = _cv_core(
+        a_ref[:], at_ref[:], bv_ref[:], scal_ref[2], scal_ref[0],
+        scal_ref[1], scal_ref[3], maxit=maxit, h_kind=h_kind, record=True)
+    x_ref[:] = x
+    stats_ref[0] = it_f
+    stats_ref[1] = nres.astype(jnp.float32)
+    stats_ref[2] = conv
+    hr_ref[:], ho_ref[:] = hists
+
+
+def _mpls_sweep_kernel(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
+                       *, maxit, h_kind):
+    """One grid step per coupling t; scal_ref (SMEM, (T, 4)):
+    [t, sigma0, lam, tol] per row."""
+    i = pl.program_id(0)
+    x, it_f, nres, conv = _mpls_core(
+        a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
+        scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind)
+    x_ref[0] = x
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = conv
+
+
+def _mpls_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
+                           hg_ref, hs_ref, hr_ref, ht_ref, ho_ref, *, maxit,
+                           h_kind):
+    i = pl.program_id(0)
+    x, it_f, nres, conv, hists = _mpls_core(
+        a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
+        scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind,
+        record=True)
+    x_ref[0] = x
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = conv
+    hg_ref[0], hs_ref[0], hr_ref[0], ht_ref[0], ho_ref[0] = hists
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "record", "h_kind", "interpret"))
+def resident_condat_vu(a, bv, lam, gamma, sigma, tol, maxit, record=False,
+                       h_kind="l2", interpret=False):
+    """Whole-solve Condat-Vu for min lam||x||_1 + ||Ax - bv||_2 in one
+    resident kernel. a: (m, n) tile-aligned; bv: (m,). Returns
+    (x (n,), numit, norm_res, converged[, (hr, ho) (maxit,) histories])."""
+    m, n = a.shape
+    dt = a.dtype
+    record = bool(record)
+    scal = jnp.stack([jnp.asarray(gamma, dt), jnp.asarray(sigma, dt),
+                      jnp.asarray(lam, dt), jnp.asarray(tol, dt)])
+    hl = _hist_len(maxit)
+    out_shape = [jax.ShapeDtypeStruct((1, n), dt),
+                 jax.ShapeDtypeStruct((3,), jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if record:
+        kern = functools.partial(_cv_kernel_rec, maxit=maxit, h_kind=h_kind)
+        out_shape += [jax.ShapeDtypeStruct((1, hl), dt)] * 2
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    else:
+        kern = functools.partial(_cv_kernel, maxit=maxit, h_kind=h_kind)
+    outs = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(a, a.T, bv.reshape(1, m), scal)
+    base = (outs[0][0], outs[1][0].astype(jnp.int32), outs[1][1].astype(dt),
+            outs[1][2] > 0)
+    if record:
+        return base + ((outs[2][0, :maxit], outs[3][0, :maxit]),)
+    return base
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "record", "h_kind", "interpret"))
+def resident_mpls_sweep(a, bv, lam, ts, sigma0, tol, maxit, record=False,
+                        h_kind="l2", interpret=False):
+    """The Malitsky-Pock coupling sweep (square_root_lasso/runme.jl:80-88)
+    as ONE kernel launch: grid over the t values, each step a complete
+    early-exit linesearch solve with A and A' resident.
+
+    ts: (T,). Returns (x (T, n), numit (T,), norm_res (T,), converged (T,)
+    [, (hg, hs, hr, ht, ho) each (T, maxit)]) — gamma/sigma/norm_res/
+    linesearch-trials/objective per iteration, from which
+    ``resident_mp_records`` reconstructs the engine's exact Records."""
+    m, n = a.shape
+    dt = a.dtype
+    record = bool(record)
+    ts = jnp.asarray(ts, dt)
+    tcount = ts.shape[0]
+    hl = _hist_len(maxit)
+    scal = jnp.stack([
+        ts,
+        jnp.full((tcount,), sigma0, dt),
+        jnp.full((tcount,), lam, dt),
+        jnp.full((tcount,), tol, dt),
+    ], axis=1)
+    out_specs = [
+        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tcount, 1, n), dt),
+        jax.ShapeDtypeStruct((tcount, 3), jnp.float32),
+    ]
+    if record:
+        kern = functools.partial(_mpls_sweep_kernel_rec, maxit=maxit,
+                                 h_kind=h_kind)
+        out_specs += [pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 5
+        out_shape += [jax.ShapeDtypeStruct((tcount, 1, hl), dt)] * 5
+    else:
+        kern = functools.partial(_mpls_sweep_kernel, maxit=maxit,
+                                 h_kind=h_kind)
+    outs = pl.pallas_call(
+        kern,
+        grid=(tcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(scal, a, a.T, bv.reshape(1, m))
+    base = (outs[0][:, 0, :], outs[1][:, 0].astype(jnp.int32),
+            outs[1][:, 1].astype(dt), outs[1][:, 2] > 0)
+    if record:
+        return base + (tuple(o[:, 0, :maxit] for o in outs[2:7]),)
+    return base
+
+
+def resident_mp_records(numit, hists, *, maxit):
+    """Records pytree for one resident MP solve from its history buffers
+    (hg, hs, hr, ht, ho). Counters reconstructed from the per-iteration
+    trial counts exactly as the engine meters them
+    (solvers/malitsky_pock.py): per iteration prox_h/At +1, grad_f +2,
+    f_evals += 1 + trials, prox_g/A += trials; warm-up A/At +1."""
+    import numpy as np_
+
+    from ..solvers.common import Records
+
+    hg, hs, hr, ht, ho = (np_.asarray(h) for h in hists)
+    k = int(numit)
+    it = np_.arange(1, maxit + 1)
+    trials = ht.astype(np_.int64)
+    cum_t = np_.cumsum(trials)
+    valid = it <= k
+    return Records(
+        it=it, gamma=hg, sigma=hs, norm_res=hr, objective=ho,
+        f_evals=it + cum_t,
+        grad_f_evals=2 * it,
+        prox_g_evals=cum_t,
+        prox_h_evals=it,
+        A_evals=1 + cum_t,
+        At_evals=1 + it,
+        valid=valid,
+    )
+
+
+def resident_cv_records(numit, gamma, sigma, hists, *, maxit):
+    """Records pytree for a resident Condat-Vu solve: deterministic
+    counters matching the engine's record snapshot (before the second
+    half): A/f/grad = it+1, prox_h = it, At/prox_g = it."""
+    import numpy as np_
+
+    from ..solvers.common import Records
+
+    hr, ho = (np_.asarray(h) for h in hists)
+    k = int(numit)
+    it = np_.arange(1, maxit + 1)
+    return Records(
+        it=it,
+        gamma=np_.full(maxit, float(gamma)),
+        sigma=np_.full(maxit, float(sigma)),
+        norm_res=hr, objective=ho,
+        f_evals=it + 1,
+        grad_f_evals=it + 1,
+        prox_g_evals=it,
+        prox_h_evals=it,
+        A_evals=it + 1,
+        At_evals=it,
+        valid=it <= k,
+    )

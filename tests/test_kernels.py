@@ -579,3 +579,160 @@ def test_resident_dsvm_padded_matches_engine():
                                       np.asarray(getattr(ref.records, k)), k)
     np.testing.assert_allclose(np.asarray(recs.sigma),
                                np.asarray(ref.records.sigma), rtol=1e-6)
+
+
+def test_resident_condat_vu_matches_engine():
+    """Resident Condat-Vu (f = 0, h = Translate(L2, -bv)): per-iteration
+    norm_res/objective + deterministic counters must match the engine's
+    scan records on the sqrt-lasso shape."""
+    from adaprox_tpu.ops.resident import resident_condat_vu, resident_cv_records
+
+    rng_ = np.random.default_rng(9)
+    m, n = 128, 128
+    a = jnp.asarray(rng_.standard_normal((m, n)), jnp.float64)
+    w_true = rng_.standard_normal(n) * (rng_.random(n) < 0.2)
+    bv = a @ jnp.asarray(w_true) + 0.1 * jnp.asarray(rng_.standard_normal(m))
+    lam = 1.0
+    na = float(np.linalg.norm(np.asarray(a)))  # Julia norm(A) = Frobenius
+    par, par2 = 5.0, 100.0
+    alpha = 1.0  # Lf = 0 -> norm_A > par * Lf
+    gamma = 1.0 / (0.0 / 2 + na / alpha)
+    sigma = 0.99 / (na * alpha)
+    maxit = 80
+
+    x, numit, nres, conv, hists = resident_condat_vu(
+        a, bv, lam, gamma, sigma, 0.0, maxit, record=True, interpret=True)
+    recs = resident_cv_records(numit, gamma, sigma, hists, maxit=maxit)
+
+    ref = ap.condat_vu(
+        jnp.zeros(n, jnp.float64), jnp.zeros(m, jnp.float64),
+        f=ap.ZeroSmooth(), g=ap.L1Norm(lam=lam),
+        h=ap.Translate(inner=ap.L2Norm(lam=1.0), b=-bv),
+        A=ap.DenseOperator(a=a), Lf=0.0, norm_A=na, tol=0.0, maxit=maxit,
+        history=True)
+    np.testing.assert_allclose(np.asarray(recs.norm_res),
+                               np.asarray(ref.records.norm_res), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(recs.objective),
+                               np.asarray(ref.records.objective), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-9,
+                               atol=1e-12)
+    for k in ("f_evals", "grad_f_evals", "prox_g_evals", "prox_h_evals",
+              "A_evals", "At_evals"):
+        np.testing.assert_array_equal(np.asarray(getattr(recs, k)),
+                                      np.asarray(getattr(ref.records, k)), k)
+
+
+def test_resident_mpls_sweep_matches_engine():
+    """Resident Malitsky-Pock t-sweep: gamma/sigma/norm_res trajectories,
+    linesearch trial counts (via the reconstructed counters), and the final
+    iterate must match the engine per t."""
+    from adaprox_tpu.ops.resident import resident_mpls_sweep, resident_mp_records
+
+    rng_ = np.random.default_rng(4)
+    m, n = 128, 128
+    a = jnp.asarray(rng_.standard_normal((m, n)), jnp.float64)
+    w_true = rng_.standard_normal(n) * (rng_.random(n) < 0.2)
+    bv = a @ jnp.asarray(w_true) + 0.1 * jnp.asarray(rng_.standard_normal(m))
+    lam = 1.0
+    sigma0 = 1.0
+    ts = [0.5, 1.0, 2.0]
+    maxit = 60
+
+    xs, numits, nress, convs, hists = resident_mpls_sweep(
+        a, bv, lam, jnp.asarray(ts, jnp.float64), sigma0, 0.0, maxit,
+        record=True, interpret=True)
+
+    for i, t in enumerate(ts):
+        recs = resident_mp_records(
+            numits[i], tuple(h[i] for h in hists), maxit=maxit)
+        ref = ap.malitsky_pock(
+            jnp.zeros(n, jnp.float64), jnp.zeros(m, jnp.float64),
+            f=ap.ZeroSmooth(), g=ap.L1Norm(lam=lam),
+            h=ap.Translate(inner=ap.L2Norm(lam=1.0), b=-bv),
+            A=ap.DenseOperator(a=a), sigma=sigma0, t=t, tol=0.0,
+            maxit=maxit, history=True)
+        np.testing.assert_allclose(np.asarray(recs.gamma),
+                                   np.asarray(ref.records.gamma), rtol=1e-9,
+                                   err_msg=f"gamma t={t}")
+        np.testing.assert_allclose(np.asarray(recs.sigma),
+                                   np.asarray(ref.records.sigma), rtol=1e-9,
+                                   err_msg=f"sigma t={t}")
+        np.testing.assert_allclose(np.asarray(recs.norm_res),
+                                   np.asarray(ref.records.norm_res),
+                                   rtol=1e-8, err_msg=f"norm_res t={t}")
+        np.testing.assert_allclose(np.asarray(recs.objective),
+                                   np.asarray(ref.records.objective),
+                                   rtol=1e-9, err_msg=f"objective t={t}")
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(ref.x),
+                                   rtol=1e-8, atol=1e-12,
+                                   err_msg=f"x t={t}")
+        # trial-count equality rides through the eval counters
+        for k in ("f_evals", "grad_f_evals", "prox_g_evals", "prox_h_evals",
+                  "A_evals", "At_evals"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(recs, k)),
+                np.asarray(getattr(ref.records, k)), f"{k} t={t}")
+
+
+def test_resident_cv_padded_matches_engine():
+    """Zero-padding rows/cols to tile alignment is exact for the f = 0
+    translate-L2 family: padded dual coords stay 0 through prox_{sigma h*}
+    (b pads with 0), padded primal coords stay 0 through the L1 prox."""
+    from adaprox_tpu.ops.resident import resident_condat_vu
+
+    rng_ = np.random.default_rng(2)
+    m, n = 100, 13  # housing-like misaligned shape
+    a_np = rng_.standard_normal((m, n))
+    bv_np = a_np @ (rng_.standard_normal(n) * (rng_.random(n) < 0.5)) \
+        + 0.1 * rng_.standard_normal(m)
+    lam = 1.0
+    na = float(np.linalg.norm(a_np))
+    gamma = 1.0 / na
+    sigma = 0.99 / na
+    maxit = 60
+
+    mp, np_pad = 128, 128
+    a_pad = np.zeros((mp, np_pad))
+    a_pad[:m, :n] = a_np
+    bv_pad = np.zeros(mp)
+    bv_pad[:m] = bv_np
+    x, numit, nres, conv = resident_condat_vu(
+        jnp.asarray(a_pad), jnp.asarray(bv_pad), lam, gamma, sigma, 0.0,
+        maxit, interpret=True)
+
+    ref = ap.condat_vu(
+        jnp.zeros(n), jnp.zeros(m), f=ap.ZeroSmooth(), g=ap.L1Norm(lam=lam),
+        h=ap.Translate(inner=ap.L2Norm(lam=1.0), b=-jnp.asarray(bv_np)),
+        A=ap.DenseOperator(a=jnp.asarray(a_np)), gamma=gamma, sigma=sigma,
+        Lf=0.0, tol=0.0, maxit=maxit)
+    np.testing.assert_allclose(np.asarray(x[:n]), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(x[n:]), 0.0, atol=0.0)
+    np.testing.assert_allclose(float(nres), float(ref.norm_res), rtol=1e-6)
+
+
+def test_resident_cv_l1_inner_matches_engine():
+    """h_kind="l1" (least absolute deviation): translate-L1 conjugate prox."""
+    from adaprox_tpu.ops.resident import resident_condat_vu
+
+    rng_ = np.random.default_rng(6)
+    m, n = 128, 128
+    a = jnp.asarray(rng_.standard_normal((m, n)), jnp.float64)
+    bv = a @ jnp.asarray(rng_.standard_normal(n) * (rng_.random(n) < 0.2)) \
+        + 0.1 * jnp.asarray(rng_.standard_normal(m))
+    lam = 1.0
+    na = float(np.linalg.norm(np.asarray(a)))
+    gamma, sigma = 1.0 / na, 0.99 / na
+    maxit = 60
+
+    x, numit, nres, conv = resident_condat_vu(
+        a, bv, lam, gamma, sigma, 0.0, maxit, h_kind="l1", interpret=True)
+    ref = ap.condat_vu(
+        jnp.zeros(n, jnp.float64), jnp.zeros(m, jnp.float64),
+        f=ap.ZeroSmooth(), g=ap.L1Norm(lam=lam),
+        h=ap.Translate(inner=ap.L1Norm(lam=1.0), b=-bv),
+        A=ap.DenseOperator(a=a), gamma=gamma, sigma=sigma, Lf=0.0,
+        tol=0.0, maxit=maxit)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-8,
+                               atol=1e-12)
+    np.testing.assert_allclose(float(nres), float(ref.norm_res), rtol=1e-6)
