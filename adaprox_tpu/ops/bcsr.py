@@ -252,18 +252,24 @@ def bcsr_matvec_ref(vals, cols, rowptr, x):
     return jnp.asarray(y)
 
 
-@pytree_dataclass(meta=("shape", "padded_shape", "max_bpr", "max_bpr_t"))
+@pytree_dataclass(meta=("shape", "padded_shape", "max_bpr", "max_bpr_t", "kernel"))
 class BCSROperator:
     """Linear operator over (bm, bn) block-sparse storage, both directions
     (default 64x512 = 128 KB f32 tiles; pass ``block=`` to change — finer
     tiles capture more sparsity but are DMA-latency-bound, see the module
     header measurements).
 
-    Construct with ``from_dense``; on TPU the Pallas kernel streams only
-    the stored tiles, on other backends a dense-equivalent einsum over the
-    tiles is used. ``block_density`` (stored tiles / total tiles AT THE
-    CHOSEN GRANULARITY) is the traffic ratio vs dense — measured crossover
-    near 0.2 with the defaults.
+    Construct with ``from_dense``. ``kernel`` selects the matvec path:
+    "xla" (default, gather + einsum + segment_sum) or "pallas"
+    (scalar-prefetch tile streaming) or "slab" (contiguous slab DMA).
+    Same-window round-3 measurements (tools/bcsr_probe.py,
+    tools/bcsr_mxu_probe.py, 8192x16384 @ 10.6% block density, 54.5 MB
+    stored): ALL paths are dominated by a ~1 ms per-invocation floor on
+    this chip — xla 0.91 ms, pallas 1.03, slab 1.02-1.07, MXU-formulated
+    slabs slower still — so the XLA path wins by ~10% and sparse-vs-dense
+    delivers 1.35-1.5x wall at this size (crossover density ~0.14).
+    ``block_density`` (stored tiles / total tiles AT THE CHOSEN
+    GRANULARITY) is the traffic ratio vs dense.
     """
 
     vals: jnp.ndarray
@@ -278,9 +284,10 @@ class BCSROperator:
     padded_shape: tuple
     max_bpr: int
     max_bpr_t: int
+    kernel: str = "xla"
 
     @classmethod
-    def from_dense(cls, dense, block=(_BM, _BN)):
+    def from_dense(cls, dense, block=(_BM, _BN), kernel="xla"):
         d = np.asarray(dense)
         bm, bn = block
         vals, cols, rowptr, pshape = bcsr_from_dense(d, bm, bn)
@@ -295,6 +302,7 @@ class BCSROperator:
             shape=d.shape, padded_shape=pshape,
             max_bpr=int(np.diff(rowptr).max(initial=1)),
             max_bpr_t=int(np.diff(rowptr_t).max(initial=1)),
+            kernel=kernel,
         )
 
     @property
@@ -306,8 +314,11 @@ class BCSROperator:
 
     def _mv(self, vals, cols, rowptr, rows, max_bpr, v, in_dim, out_dim):
         vp = jnp.zeros(_pad_up(in_dim, vals.shape[2]), v.dtype).at[:in_dim].set(v)
-        if jax.default_backend() in ("tpu", "axon"):
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if self.kernel == "pallas" and on_tpu:
             y = bcsr_matvec(vals, cols, rowptr, max_bpr, vp)
+        elif self.kernel == "slab" and on_tpu:
+            y = bcsr_matvec_slab(vals, cols, rows, rowptr.shape[0] - 1, vp)
         else:
             y = bcsr_matvec_xla(vals, cols, rows, vp, rowptr.shape[0] - 1)
         return y[:out_dim]
