@@ -71,8 +71,9 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
         from types import SimpleNamespace
 
         from adaprox_tpu.ops.resident import (
-            _VMEM_BYTES, resident_condat_vu, resident_cv_records,
-            resident_mp_records, resident_mpls_sweep)
+            _VMEM_BYTES, resident_adapdmp_records, resident_adapdmp_sweep,
+            resident_condat_vu, resident_cv_records, resident_mp_records,
+            resident_mpls_sweep)
 
         m_pad = -(-m // 128) * 128
         n_pad = -(-(n + 1) // 128) * 128
@@ -113,6 +114,21 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
                         numits[i], tuple(hh[i] for hh in mp_hists),
                         maxit=maxit),
                     name=f"Malitsky-Pock (t={t})"), primal_dual=True)
+
+            def pdmp_solve():
+                return resident_adapdmp_sweep(
+                    a_pad, bv_pad, float(lam),
+                    jnp.asarray(T_VALUES, a_dev.dtype), norm_a, tol, maxit,
+                    record=True, h_kind=h_kind, interpret=interp)
+
+            _, numits_p, _, _, pdmp_hists = run_timed(
+                times, "AdaPDM+ t-sweep", pdmp_solve)
+            for i, t in enumerate(T_VALUES):
+                sink.add(SimpleNamespace(
+                    records=resident_adapdmp_records(
+                        numits_p[i], tuple(hh[i] for hh in pdmp_hists),
+                        maxit=maxit),
+                    name=f"AdaPDM+ (t={t})"), primal_dual=True)
         else:
             print(f"  [resident] {m_pad}x{n_pad} exceeds the VMEM budget; "
                   "falling back to the engine")
@@ -168,13 +184,14 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
 
     if not use_resident:
         add_sweep("Malitsky-Pock", solve_mp)
-    add_sweep("AdaPDM+", solve_pdmp)
+        add_sweep("AdaPDM+", solve_pdmp)
     sink.emit_meta(
         wall_s=times,
         fast_path=("resident" if use_resident else
                    "fused" if fused else
                    "vmap" if vmap_sweep else "default"),
-        fast_methods=(["Condat-Vu", "Malitsky-Pock t-sweep"]
+        fast_methods=(["Condat-Vu", "Malitsky-Pock t-sweep",
+                       "AdaPDM+ t-sweep"]
                       if use_resident else
                       ["Condat-Vu"] if fused else
                       ["Malitsky-Pock t-sweep", "AdaPDM+ t-sweep"]

@@ -1233,3 +1233,230 @@ def resident_cv_records(numit, gamma, sigma, hists, *, maxit):
         At_evals=it,
         valid=it <= k,
     )
+
+
+def _adapdmp_core(a, at, bv, lam, t, eta0, tol, *, maxit, h_kind="l2",
+                  record=False, delta=1e-8, theta_big=1.2, r_up=2.0,
+                  r_down=0.95):
+    """AdaPDM+ with f = 0, transcribing solvers/adapdm_plus._solve (itself
+    mirror-tested vs src/AdaProx.jl:463-550): optimistic eta decay by R,
+    inner linesearch inflating eta by r with a fresh per-trial prox/A'
+    matvec, gamma from the cancellation-free curvature form (identically 0
+    for f = 0), capped at the engine's 100 trials."""
+    dt = a.dtype
+    m, n = a.shape
+    a_mv, at_mv, soft, prox_hconj, obj_of = _f0_ops(a, at, bv, lam, h_kind)
+
+    gamma0 = 1.0 / (2 * theta_big * t * eta0)
+    delta1 = 1.0 + delta
+
+    # warm-up (engine :66-84): x0 = 0, y0 = 0; grad = 0 throughout (f = 0)
+    x0 = jnp.zeros((1, n), dt)
+    y0 = jnp.zeros((1, m), dt)
+    a_x0 = a_mv(x0)
+    at_y0 = at_mv(y0)
+    v0 = x0 - gamma0 * at_y0
+    x1 = soft(v0, gamma0 * lam)
+
+    hl = _hist_len(maxit)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, hl), 1)
+
+    class C(NamedTuple):
+        it: jnp.ndarray
+        x: jnp.ndarray
+        v: jnp.ndarray
+        y: jnp.ndarray
+        at_y: jnp.ndarray
+        x_prev: jnp.ndarray
+        a_x_prev: jnp.ndarray
+        gamma: jnp.ndarray
+        gamma_prev: jnp.ndarray
+        eta: jnp.ndarray
+        norm_res: jnp.ndarray
+        hists: object  # (hg, hs, hr, ht, ho) when record
+
+    def body(c):
+        a_x = a_mv(c.x)
+        primal = (c.v - c.x) / c.gamma + c.at_y  # grad = 0
+        # big_delta = gamma*(gamma*||dg||^2 - dgdx)/||dx||^2 with dg = 0
+        big_delta = jnp.zeros((), dt)
+        xi_bar = (t * c.gamma * c.eta * delta1) ** 2
+        m4xim1 = 1 - 4 * xi_bar
+        eta_try = r_down * c.eta
+
+        def trial(eta, trials):
+            gamma_next = jnp.minimum(
+                c.gamma * jnp.sqrt(1 + c.gamma / c.gamma_prev),
+                jnp.minimum(
+                    1 / (2 * theta_big * t * eta),
+                    c.gamma * jnp.sqrt(
+                        m4xim1
+                        / (2 * delta1 * (big_delta + jnp.sqrt(
+                            big_delta ** 2
+                            + m4xim1 * (t * eta * c.gamma) ** 2)))),
+                ),
+            )
+            rho = gamma_next / c.gamma
+            sigma = t * t * gamma_next
+            w = c.y + sigma * ((1 + rho) * a_x - rho * c.a_x_prev)
+            y_next = prox_hconj(w, sigma)
+            at_y_next = at_mv(y_next)
+            daty = at_y_next - c.at_y
+            dy = y_next - c.y
+            ok = eta >= (jnp.sqrt(jnp.sum(daty * daty))
+                         / jnp.sqrt(jnp.sum(dy * dy)))
+            return (eta, gamma_next, sigma, w, y_next, at_y_next, ok, trials)
+
+        def ls_cond(cc):
+            return jnp.logical_and(jnp.logical_not(cc[6]), cc[7] < 100)
+
+        def ls_body(cc):
+            return trial(cc[0] * r_up, cc[7] + 1)
+
+        c0 = trial(eta_try, jnp.ones((), jnp.int32))
+        eta, gamma, sigma, w, y, at_y, ok, trials = jax.lax.while_loop(
+            ls_cond, ls_body, c0)
+
+        dual = (w - y) / sigma - a_x
+        norm_res = jnp.sqrt(jnp.sum(primal * primal) + jnp.sum(dual * dual))
+        if record:
+            hg, hs, hr, ht, ho = c.hists
+            mask = iota == c.it
+            hists = (jnp.where(mask, gamma, hg),
+                     jnp.where(mask, sigma, hs),
+                     jnp.where(mask, norm_res, hr),
+                     jnp.where(mask, trials.astype(dt), ht),
+                     jnp.where(mask, obj_of(c.x, a_x), ho))
+        else:
+            hists = c.hists
+        v = c.x - gamma * at_y
+        x_new = soft(v, gamma * lam)
+        return C(c.it + 1, x_new, v, y, at_y, c.x, a_x, gamma, c.gamma, eta,
+                 norm_res, hists)
+
+    def cond(c):
+        return jnp.logical_and(c.it < maxit, c.norm_res > tol)
+
+    hists0 = ((jnp.zeros((1, hl), dt),) * 5 if record else None)
+    init = C(jnp.zeros((), jnp.int32), x1, v0, y0, at_y0, x0, a_x0,
+             jnp.asarray(gamma0, dt), jnp.asarray(gamma0, dt),
+             jnp.asarray(eta0, dt), jnp.asarray(jnp.inf, dt), hists0)
+    final = jax.lax.while_loop(cond, body, init)
+    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
+           (final.norm_res <= tol).astype(jnp.float32))
+    if record:
+        return out + (final.hists,)
+    return out
+
+
+def _adapdmp_sweep_kernel(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
+                          *, maxit, h_kind):
+    i = pl.program_id(0)
+    x, it_f, nres, conv = _adapdmp_core(
+        a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
+        scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind)
+    x_ref[0] = x
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = conv
+
+
+def _adapdmp_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref,
+                              stats_ref, hg_ref, hs_ref, hr_ref, ht_ref,
+                              ho_ref, *, maxit, h_kind):
+    i = pl.program_id(0)
+    x, it_f, nres, conv, hists = _adapdmp_core(
+        a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
+        scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind,
+        record=True)
+    x_ref[0] = x
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = conv
+    hg_ref[0], hs_ref[0], hr_ref[0], ht_ref[0], ho_ref[0] = hists
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "record", "h_kind",
+                                             "interpret"))
+def resident_adapdmp_sweep(a, bv, lam, ts, eta0, tol, maxit, record=False,
+                           h_kind="l2", interpret=False):
+    """The AdaPDM+ coupling sweep (square_root_lasso/runme.jl:90-95) as ONE
+    kernel launch — same contract as resident_mpls_sweep; eta0 is the
+    initial operator-norm estimate (the driver's ||A||_F)."""
+    m, n = a.shape
+    dt = a.dtype
+    record = bool(record)
+    ts = jnp.asarray(ts, dt)
+    tcount = ts.shape[0]
+    hl = _hist_len(maxit)
+    scal = jnp.stack([
+        ts,
+        jnp.full((tcount,), eta0, dt),
+        jnp.full((tcount,), lam, dt),
+        jnp.full((tcount,), tol, dt),
+    ], axis=1)
+    out_specs = [
+        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tcount, 1, n), dt),
+        jax.ShapeDtypeStruct((tcount, 3), jnp.float32),
+    ]
+    if record:
+        kern = functools.partial(_adapdmp_sweep_kernel_rec, maxit=maxit,
+                                 h_kind=h_kind)
+        out_specs += [pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 5
+        out_shape += [jax.ShapeDtypeStruct((tcount, 1, hl), dt)] * 5
+    else:
+        kern = functools.partial(_adapdmp_sweep_kernel, maxit=maxit,
+                                 h_kind=h_kind)
+    outs = pl.pallas_call(
+        kern,
+        grid=(tcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(scal, a, a.T, bv.reshape(1, m))
+    base = (outs[0][:, 0, :], outs[1][:, 0].astype(jnp.int32),
+            outs[1][:, 1].astype(dt), outs[1][:, 2] > 0)
+    if record:
+        return base + (tuple(o[:, 0, :maxit] for o in outs[2:7]),)
+    return base
+
+
+def resident_adapdmp_records(numit, hists, *, maxit):
+    """Records for one resident AdaPDM+ solve. Counters from the trial
+    history per the engine (solvers/adapdm_plus.py): per iteration
+    A/f/grad_f +1, prox_h += trials, At += trials, prox_g +1 (second
+    half); warm-up A/f/grad_f/At/prox_g +1. Record snapshot precedes the
+    second-half prox_g (ck semantics), so prox_g at row k is k (warm-up 1
+    + k-1 completed second halves)."""
+    import numpy as np_
+
+    from ..solvers.common import Records
+
+    hg, hs, hr, ht, ho = (np_.asarray(h) for h in hists)
+    k = int(numit)
+    it = np_.arange(1, maxit + 1)
+    cum_t = np_.cumsum(ht.astype(np_.int64))
+    return Records(
+        it=it, gamma=hg, sigma=hs, norm_res=hr, objective=ho,
+        f_evals=1 + it,
+        grad_f_evals=1 + it,
+        prox_g_evals=it,
+        prox_h_evals=cum_t,
+        A_evals=1 + it,
+        At_evals=1 + cum_t,
+        valid=it <= k,
+    )

@@ -736,3 +736,52 @@ def test_resident_cv_l1_inner_matches_engine():
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-8,
                                atol=1e-12)
     np.testing.assert_allclose(float(nres), float(ref.norm_res), rtol=1e-6)
+
+
+def test_resident_adapdmp_sweep_matches_engine():
+    """Resident AdaPDM+ t-sweep: gamma/sigma/eta linesearch trajectories,
+    trial counts (via counters), and final iterates must match the engine
+    per t."""
+    from adaprox_tpu.ops.resident import (resident_adapdmp_records,
+                                          resident_adapdmp_sweep)
+
+    rng_ = np.random.default_rng(8)
+    m, n = 128, 128
+    a = jnp.asarray(rng_.standard_normal((m, n)), jnp.float64)
+    bv = a @ jnp.asarray(rng_.standard_normal(n) * (rng_.random(n) < 0.2)) \
+        + 0.1 * jnp.asarray(rng_.standard_normal(m))
+    lam = 1.0
+    eta0 = float(np.linalg.norm(np.asarray(a)))  # driver: eta = ||A||_F
+    ts = [0.5, 1.0, 2.0]
+    maxit = 60
+
+    xs, numits, nress, convs, hists = resident_adapdmp_sweep(
+        a, bv, lam, jnp.asarray(ts, jnp.float64), eta0, 0.0, maxit,
+        record=True, interpret=True)
+
+    for i, t in enumerate(ts):
+        recs = resident_adapdmp_records(
+            numits[i], tuple(h[i] for h in hists), maxit=maxit)
+        ref = ap.adaptive_linesearch_primal_dual(
+            jnp.zeros(n, jnp.float64), jnp.zeros(m, jnp.float64),
+            f=ap.ZeroSmooth(), g=ap.L1Norm(lam=lam),
+            h=ap.Translate(inner=ap.L2Norm(lam=1.0), b=-bv),
+            A=ap.DenseOperator(a=a), eta=eta0, t=t, tol=0.0,
+            maxit=maxit, history=True)
+        np.testing.assert_allclose(np.asarray(recs.gamma),
+                                   np.asarray(ref.records.gamma), rtol=1e-9,
+                                   err_msg=f"gamma t={t}")
+        np.testing.assert_allclose(np.asarray(recs.sigma),
+                                   np.asarray(ref.records.sigma), rtol=1e-9,
+                                   err_msg=f"sigma t={t}")
+        np.testing.assert_allclose(np.asarray(recs.norm_res),
+                                   np.asarray(ref.records.norm_res),
+                                   rtol=1e-8, err_msg=f"norm_res t={t}")
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(ref.x),
+                                   rtol=1e-8, atol=1e-12,
+                                   err_msg=f"x t={t}")
+        for k in ("f_evals", "grad_f_evals", "prox_g_evals", "prox_h_evals",
+                  "A_evals", "At_evals"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(recs, k)),
+                np.asarray(getattr(ref.records, k)), f"{k} t={t}")
