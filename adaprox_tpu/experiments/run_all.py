@@ -19,6 +19,9 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--f64", action="store_true")
     p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--fast-paths", action="store_true",
+                   help="run the drivers on their fused/resident fast paths "
+                        "(the results_fast/ grid)")
     args = p.parse_args(argv)
 
     from . import (
@@ -65,8 +68,17 @@ def main(argv=None):
         ]),
     ]
     del common
+    fast_flags = {
+        "lasso": ["--resident"],
+        "sparse_logreg": ["--resident"],
+        "dual_svm": ["--resident"],
+        "square_root_lasso": ["--resident"],
+        "least_absolute_deviation": ["--resident"],
+    }
     for name, fn, extra in jobs:
         t0 = time.time()
+        if args.fast_paths:
+            extra = extra + fast_flags.get(name, [])
         fn(extra + plot + cpu)
         print(f"== {name} done in {time.time() - t0:.1f}s", flush=True)
 
