@@ -15,7 +15,8 @@ import os
 
 import numpy as np
 
-from .common import Sink, group_rows, pick_platform, plot_lines, run_timed
+from .common import (Sink, group_rows, pad_tiles, pick_platform, plot_lines,
+                     run_timed)
 
 T_VALUES = [0.01, 0.15, 0.02, 0.025, 0.05, 0.1, 0.2, 0.5, 1, 2, 5, 10, 20, 50, 100]
 KEYS = ["method", "norm_res", "A_evals", "At_evals"]
@@ -75,16 +76,14 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
             resident_condat_vu, resident_cv_records, resident_mp_records,
             resident_mpls_sweep)
 
-        m_pad = -(-m // 128) * 128
-        n_pad = -(-(n + 1) // 128) * 128
         a_dev = jnp.asarray(a_mat)
-        itemsize = a_dev.dtype.itemsize
-        budget = 2 * m_pad * n_pad * itemsize
-        if budget <= _VMEM_BYTES:
+        a_pad, bv_pad = pad_tiles(a_dev, jnp.asarray(y_np, a_dev.dtype),
+                                  m_mult=128, n_mult=128)
+        # _VMEM_BYTES is the PER-LAYOUT budget (resident_supported checks
+        # one layout; both fit in the kernel's ~110 MB scoped limit)
+        if a_pad.size * a_pad.dtype.itemsize <= _VMEM_BYTES:
             use_resident = True
             h_kind = "l1" if inner_cls is ap.L1Norm else "l2"
-            a_pad = jnp.pad(a_dev, ((0, m_pad - m), (0, n_pad - (n + 1))))
-            bv_pad = jnp.pad(jnp.asarray(y_np, a_dev.dtype), (0, m_pad - m))
             interp = jax.default_backend() not in ("tpu", "axon")
 
             def cv_solve():
@@ -106,7 +105,7 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
                     jnp.asarray(T_VALUES, a_dev.dtype), 1.0, tol, maxit,
                     record=True, h_kind=h_kind, interpret=interp)
 
-            xs, numits, _, _, mp_hists = run_timed(
+            xs, numits, _, _, _, mp_hists = run_timed(
                 times, "Malitsky-Pock t-sweep", mp_solve)
             for i, t in enumerate(T_VALUES):
                 sink.add(SimpleNamespace(
@@ -121,7 +120,7 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
                     jnp.asarray(T_VALUES, a_dev.dtype), norm_a, tol, maxit,
                     record=True, h_kind=h_kind, interpret=interp)
 
-            _, numits_p, _, _, pdmp_hists = run_timed(
+            _, numits_p, _, _, _, pdmp_hists = run_timed(
                 times, "AdaPDM+ t-sweep", pdmp_solve)
             for i, t in enumerate(T_VALUES):
                 sink.add(SimpleNamespace(
@@ -130,8 +129,8 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
                         maxit=maxit),
                     name=f"AdaPDM+ (t={t})"), primal_dual=True)
         else:
-            print(f"  [resident] {m_pad}x{n_pad} exceeds the VMEM budget; "
-                  "falling back to the engine")
+            print(f"  [resident] {tuple(a_pad.shape)} exceeds the VMEM "
+                  "budget; falling back to the engine")
 
     if use_resident:
         pass  # Condat-Vu row already written by the resident kernel

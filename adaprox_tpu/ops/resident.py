@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_records", "resident_supported",
            "resident_condat_vu", "resident_mpls_sweep", "resident_cv_records",
-           "resident_mp_records"]
+           "resident_mp_records", "resident_adapdmp_sweep",
+           "resident_adapdmp_records"]
 
 # static prox menu: kind -> (v, gamma, p1, p2) -> prox point
 _PROX = {
@@ -894,6 +895,7 @@ def _cv_core(a, at, bv, lam, gamma, sigma, tol, *, maxit, h_kind="l2", record=Fa
         y: jnp.ndarray
         at_y: jnp.ndarray
         a_x_prev: jnp.ndarray
+        ck_x: jnp.ndarray  # x at the convergence check (engine ck_x)
         norm_res: jnp.ndarray
         hists: object  # (hr, ho) when record
 
@@ -914,17 +916,21 @@ def _cv_core(a, at, bv, lam, gamma, sigma, tol, *, maxit, h_kind="l2", record=Fa
         at_y = at_mv(y)
         v = c.x - gamma * at_y
         x_new = soft(v, gamma * lam)
-        return C(c.it + 1, x_new, v, y, at_y, a_x, norm_res, hists)
+        return C(c.it + 1, x_new, v, y, at_y, a_x, c.x, norm_res, hists)
 
     def cond(c):
         return jnp.logical_and(c.it < maxit, c.norm_res > tol)
 
     hists0 = ((jnp.zeros((1, hl), dt),) * 2 if record else None)
-    init = C(jnp.zeros((), jnp.int32), x, v, y0, at_y0, a_x0,
+    init = C(jnp.zeros((), jnp.int32), x, v, y0, at_y0, a_x0, x,
              jnp.asarray(jnp.inf, dt), hists0)
     final = jax.lax.while_loop(cond, body, init)
-    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
-           (final.norm_res <= tol).astype(jnp.float32))
+    converged = final.norm_res <= tol
+    # engine/reference semantics: on convergence return the iterate AT the
+    # check (ck_x), not the extra second-half prox point
+    x_out = jnp.where(converged, final.ck_x, final.x)
+    out = (x_out, final.it.astype(jnp.float32), final.norm_res,
+           converged.astype(jnp.float32))
     if record:
         return out + (final.hists,)
     return out
@@ -959,6 +965,7 @@ def _mpls_core(a, at, bv, lam, t, sigma0, tol, *, maxit, h_kind="l2", record=Fal
         a_x: jnp.ndarray
         at_y: jnp.ndarray
         sigma: jnp.ndarray
+        ls_failed: jnp.ndarray  # latched: a linesearch exhausted the cap
         norm_res: jnp.ndarray
         hists: object  # (hg, hs, hr, ht, ho) when record
 
@@ -986,8 +993,9 @@ def _mpls_core(a, at, bv, lam, t, sigma0, tol, *, maxit, h_kind="l2", record=Fal
         def ls_cond(cc):
             sigma, _, x, _, _, lhs, trials = cc
             dx = x - x_prev
+            # engine cap: initial trial + up to 100 halvings = 101 evals
             return jnp.logical_and(lhs > 0.95 * jnp.sum(dx * dx),
-                                   trials < 100)
+                                   trials < 101)
 
         def ls_body(cc):
             sigma, _, _, _, _, _, trials = cc
@@ -996,6 +1004,8 @@ def _mpls_core(a, at, bv, lam, t, sigma0, tol, *, maxit, h_kind="l2", record=Fal
         c0 = trial(sigma_try, jnp.ones((), jnp.int32))
         sigma, gamma, x, v, a_x, lhs, trials = jax.lax.while_loop(
             ls_cond, ls_body, c0)
+        dx_acc = x - x_prev
+        ls_failed = lhs > 0.95 * jnp.sum(dx_acc * dx_acc)
 
         primal = (v - x) / gamma + at_y
         dual = (w - y) / sigma_prev - a_x
@@ -1010,17 +1020,20 @@ def _mpls_core(a, at, bv, lam, t, sigma0, tol, *, maxit, h_kind="l2", record=Fal
                      jnp.where(mask, obj_of(x, a_x), ho))
         else:
             hists = c.hists
-        return C(c.it + 1, x, y, a_x, at_y, sigma, norm_res, hists)
+        return C(c.it + 1, x, y, a_x, at_y, sigma,
+                 jnp.logical_or(c.ls_failed, ls_failed), norm_res, hists)
 
     def cond(c):
         return jnp.logical_and(c.it < maxit, c.norm_res > tol)
 
     hists0 = ((jnp.zeros((1, hl), dt),) * 5 if record else None)
     init = C(jnp.zeros((), jnp.int32), x0, y0, a_x0, at_y0,
-             jnp.asarray(sigma0, dt), jnp.asarray(jnp.inf, dt), hists0)
+             jnp.asarray(sigma0, dt), jnp.zeros((), jnp.bool_),
+             jnp.asarray(jnp.inf, dt), hists0)
     final = jax.lax.while_loop(cond, body, init)
     out = (final.x, final.it.astype(jnp.float32), final.norm_res,
-           (final.norm_res <= tol).astype(jnp.float32))
+           (final.norm_res <= tol).astype(jnp.float32),
+           final.ls_failed.astype(jnp.float32))
     if record:
         return out + (final.hists,)
     return out
@@ -1054,20 +1067,21 @@ def _mpls_sweep_kernel(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
     """One grid step per coupling t; scal_ref (SMEM, (T, 4)):
     [t, sigma0, lam, tol] per row."""
     i = pl.program_id(0)
-    x, it_f, nres, conv = _mpls_core(
+    x, it_f, nres, conv, ls_failed = _mpls_core(
         a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
         scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind)
     x_ref[0] = x
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
     stats_ref[i, 2] = conv
+    stats_ref[i, 3] = ls_failed
 
 
 def _mpls_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
                            hg_ref, hs_ref, hr_ref, ht_ref, ho_ref, *, maxit,
                            h_kind):
     i = pl.program_id(0)
-    x, it_f, nres, conv, hists = _mpls_core(
+    x, it_f, nres, conv, ls_failed, hists = _mpls_core(
         a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
         scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind,
         record=True)
@@ -1075,6 +1089,7 @@ def _mpls_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
     stats_ref[i, 2] = conv
+    stats_ref[i, 3] = ls_failed
     hg_ref[0], hs_ref[0], hr_ref[0], ht_ref[0], ho_ref[0] = hists
 
 
@@ -1147,7 +1162,7 @@ def resident_mpls_sweep(a, bv, lam, ts, sigma0, tol, maxit, record=False,
     ]
     out_shape = [
         jax.ShapeDtypeStruct((tcount, 1, n), dt),
-        jax.ShapeDtypeStruct((tcount, 3), jnp.float32),
+        jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
     ]
     if record:
         kern = functools.partial(_mpls_sweep_kernel_rec, maxit=maxit,
@@ -1175,7 +1190,8 @@ def resident_mpls_sweep(a, bv, lam, ts, sigma0, tol, maxit, record=False,
         ),
     )(scal, a, a.T, bv.reshape(1, m))
     base = (outs[0][:, 0, :], outs[1][:, 0].astype(jnp.int32),
-            outs[1][:, 1].astype(dt), outs[1][:, 2] > 0)
+            outs[1][:, 1].astype(dt), outs[1][:, 2] > 0,
+            outs[1][:, 3] > 0)
     if record:
         return base + (tuple(o[:, 0, :maxit] for o in outs[2:7]),)
     return base
@@ -1272,6 +1288,8 @@ def _adapdmp_core(a, at, bv, lam, t, eta0, tol, *, maxit, h_kind="l2",
         gamma: jnp.ndarray
         gamma_prev: jnp.ndarray
         eta: jnp.ndarray
+        ck_x: jnp.ndarray  # x at the convergence check (engine ck_x)
+        ls_failed: jnp.ndarray  # latched: a linesearch exhausted the cap
         norm_res: jnp.ndarray
         hists: object  # (hg, hs, hr, ht, ho) when record
 
@@ -1308,7 +1326,8 @@ def _adapdmp_core(a, at, bv, lam, t, eta0, tol, *, maxit, h_kind="l2",
             return (eta, gamma_next, sigma, w, y_next, at_y_next, ok, trials)
 
         def ls_cond(cc):
-            return jnp.logical_and(jnp.logical_not(cc[6]), cc[7] < 100)
+            # engine cap: initial trial + up to 100 inflations = 101 evals
+            return jnp.logical_and(jnp.logical_not(cc[6]), cc[7] < 101)
 
         def ls_body(cc):
             return trial(cc[0] * r_up, cc[7] + 1)
@@ -1332,6 +1351,7 @@ def _adapdmp_core(a, at, bv, lam, t, eta0, tol, *, maxit, h_kind="l2",
         v = c.x - gamma * at_y
         x_new = soft(v, gamma * lam)
         return C(c.it + 1, x_new, v, y, at_y, c.x, a_x, gamma, c.gamma, eta,
+                 c.x, jnp.logical_or(c.ls_failed, jnp.logical_not(ok)),
                  norm_res, hists)
 
     def cond(c):
@@ -1340,10 +1360,14 @@ def _adapdmp_core(a, at, bv, lam, t, eta0, tol, *, maxit, h_kind="l2",
     hists0 = ((jnp.zeros((1, hl), dt),) * 5 if record else None)
     init = C(jnp.zeros((), jnp.int32), x1, v0, y0, at_y0, x0, a_x0,
              jnp.asarray(gamma0, dt), jnp.asarray(gamma0, dt),
-             jnp.asarray(eta0, dt), jnp.asarray(jnp.inf, dt), hists0)
+             jnp.asarray(eta0, dt), x1, jnp.zeros((), jnp.bool_),
+             jnp.asarray(jnp.inf, dt), hists0)
     final = jax.lax.while_loop(cond, body, init)
-    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
-           (final.norm_res <= tol).astype(jnp.float32))
+    converged = final.norm_res <= tol
+    x_out = jnp.where(converged, final.ck_x, final.x)
+    out = (x_out, final.it.astype(jnp.float32), final.norm_res,
+           converged.astype(jnp.float32),
+           final.ls_failed.astype(jnp.float32))
     if record:
         return out + (final.hists,)
     return out
@@ -1352,20 +1376,21 @@ def _adapdmp_core(a, at, bv, lam, t, eta0, tol, *, maxit, h_kind="l2",
 def _adapdmp_sweep_kernel(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
                           *, maxit, h_kind):
     i = pl.program_id(0)
-    x, it_f, nres, conv = _adapdmp_core(
+    x, it_f, nres, conv, ls_failed = _adapdmp_core(
         a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
         scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind)
     x_ref[0] = x
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
     stats_ref[i, 2] = conv
+    stats_ref[i, 3] = ls_failed
 
 
 def _adapdmp_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref,
                               stats_ref, hg_ref, hs_ref, hr_ref, ht_ref,
                               ho_ref, *, maxit, h_kind):
     i = pl.program_id(0)
-    x, it_f, nres, conv, hists = _adapdmp_core(
+    x, it_f, nres, conv, ls_failed, hists = _adapdmp_core(
         a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
         scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind,
         record=True)
@@ -1373,6 +1398,7 @@ def _adapdmp_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref,
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
     stats_ref[i, 2] = conv
+    stats_ref[i, 3] = ls_failed
     hg_ref[0], hs_ref[0], hr_ref[0], ht_ref[0], ho_ref[0] = hists
 
 
@@ -1401,7 +1427,7 @@ def resident_adapdmp_sweep(a, bv, lam, ts, eta0, tol, maxit, record=False,
     ]
     out_shape = [
         jax.ShapeDtypeStruct((tcount, 1, n), dt),
-        jax.ShapeDtypeStruct((tcount, 3), jnp.float32),
+        jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
     ]
     if record:
         kern = functools.partial(_adapdmp_sweep_kernel_rec, maxit=maxit,
@@ -1429,7 +1455,8 @@ def resident_adapdmp_sweep(a, bv, lam, ts, eta0, tol, maxit, record=False,
         ),
     )(scal, a, a.T, bv.reshape(1, m))
     base = (outs[0][:, 0, :], outs[1][:, 0].astype(jnp.int32),
-            outs[1][:, 1].astype(dt), outs[1][:, 2] > 0)
+            outs[1][:, 1].astype(dt), outs[1][:, 2] > 0,
+            outs[1][:, 3] > 0)
     if record:
         return base + (tuple(o[:, 0, :maxit] for o in outs[2:7]),)
     return base

@@ -638,7 +638,7 @@ def test_resident_mpls_sweep_matches_engine():
     ts = [0.5, 1.0, 2.0]
     maxit = 60
 
-    xs, numits, nress, convs, hists = resident_mpls_sweep(
+    xs, numits, nress, convs, ls_failed, hists = resident_mpls_sweep(
         a, bv, lam, jnp.asarray(ts, jnp.float64), sigma0, 0.0, maxit,
         record=True, interpret=True)
 
@@ -755,7 +755,7 @@ def test_resident_adapdmp_sweep_matches_engine():
     ts = [0.5, 1.0, 2.0]
     maxit = 60
 
-    xs, numits, nress, convs, hists = resident_adapdmp_sweep(
+    xs, numits, nress, convs, ls_failed, hists = resident_adapdmp_sweep(
         a, bv, lam, jnp.asarray(ts, jnp.float64), eta0, 0.0, maxit,
         record=True, interpret=True)
 
@@ -785,3 +785,34 @@ def test_resident_adapdmp_sweep_matches_engine():
             np.testing.assert_array_equal(
                 np.asarray(getattr(recs, k)),
                 np.asarray(getattr(ref.records, k)), f"{k} t={t}")
+
+
+def test_resident_cv_converged_returns_ck_x():
+    """At tol > 0 the engine returns ck_x (the iterate AT the convergence
+    check, reference semantics) — the resident kernels must match there
+    too, not return the extra second-half prox point (round-3 self-review
+    finding)."""
+    from adaprox_tpu.ops.resident import resident_condat_vu
+
+    rng_ = np.random.default_rng(12)
+    m, n = 128, 128
+    a = jnp.asarray(rng_.standard_normal((m, n)), jnp.float64)
+    bv = a @ jnp.asarray(rng_.standard_normal(n) * (rng_.random(n) < 0.2)) \
+        + 0.1 * jnp.asarray(rng_.standard_normal(m))
+    lam = 1.0
+    na = float(np.linalg.norm(np.asarray(a)))
+    gamma, sigma = 1.0 / na, 0.99 / na
+    tol = 1e-2
+
+    x, numit, nres, conv = resident_condat_vu(
+        a, bv, lam, gamma, sigma, tol, 5000, interpret=True)
+    ref = ap.condat_vu(
+        jnp.zeros(n, jnp.float64), jnp.zeros(m, jnp.float64),
+        f=ap.ZeroSmooth(), g=ap.L1Norm(lam=lam),
+        h=ap.Translate(inner=ap.L2Norm(lam=1.0), b=-bv),
+        A=ap.DenseOperator(a=a), gamma=gamma, sigma=sigma, Lf=0.0,
+        tol=tol, maxit=5000)
+    assert bool(conv)
+    assert int(numit) == int(ref.numit)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-9,
+                               atol=1e-12)

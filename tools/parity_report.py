@@ -266,12 +266,13 @@ def main():
     # the reference experiment sweeps the coupling t and plots the best
     # (dual_svm/runme.jl:61-76) — mirror that with a small t grid
     best = None
+    maxit_big = 2_000 if args.fast else 10_000
     for t_big in (0.1, 0.25, 1.0):
         r = ap.adaptive_primal_dual(
             jnp.zeros(n_big), jnp.zeros(1), f=fbig,
             g=ap.IndBox(lo=0.0, hi=0.1), h=ap.IndZero(), A=a_big,
             rule=ap.AdaPGMRule.make(t=t_big, norm_a=na_big),
-            tol=1e-5, maxit=10_000)
+            tol=1e-5, maxit=maxit_big)
         res = float(r.norm_res)
         if best is None or res < best[1]:
             best = (t_big, res, int(r.numit))
