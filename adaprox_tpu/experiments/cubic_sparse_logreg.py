@@ -15,7 +15,7 @@ import os
 
 import numpy as np
 
-from .common import Sink, group_rows, pick_platform, plot_lines
+from .common import Sink, group_rows, pick_platform, plot_lines, run_timed
 
 
 def logistic_loss_grad_hessian(x_np, y_np, w):
@@ -65,20 +65,27 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100, seed
     x0 = jnp.zeros(n)
     kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
 
-    ref = ap.adaptive_proxgrad(
+    times = {}
+
+    def add(name, fn):
+        sink.add(run_timed(times, name or "(ground truth)", fn))
+
+    add(None, lambda: ap.adaptive_proxgrad(
         x0, f=f, g=g, rule=ap.AdaPGMRule(gamma=gam), tol=tol / 10,
-        maxit=maxit * 10, history=True, name=None,
-    )
-    sink.add(ref)
+        maxit=maxit * 10, history=True, name=None))
     for xi in (1.0, 1.5, 2.0):
-        sink.add(ap.backtracking_proxgrad(
-            x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **kw))
-    sink.add(ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **kw))
-    sink.add(ap.adaptive_proxgrad(
+        add(f"PGM (backtracking)-(xi={xi})",
+            lambda xi=xi: ap.backtracking_proxgrad(
+                x0, gamma0=gam, xi=xi,
+                name=f"PGM (backtracking)-(xi={xi})", **kw))
+    add("Nesterov (backtracking)", lambda: ap.backtracking_nesterov(
+        x0, gamma0=gam, name="Nesterov (backtracking)", **kw))
+    add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
         x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
-    sink.add(ap.adaptive_proxgrad(
+    add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
         x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
-    sink.add(ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+    add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+    sink.emit_meta(wall_s=times, fast_path="default", fast_methods=[])
     return source
 
 

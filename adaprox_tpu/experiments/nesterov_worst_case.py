@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 
-from .common import Sink, group_rows, pick_platform, plot_lines
+from .common import Sink, group_rows, pick_platform, plot_lines, run_timed
 
 
 def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6, maxit=10_000):
@@ -29,14 +29,24 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6, maxit=10_00
 
     x0 = jnp.zeros(n)
     kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
-    sink.add(ap.fixed_proxgrad(x0, gamma=1 / lip, name="Fixed stepsize PGM", **kw))
-    sink.add(ap.backtracking_proxgrad(x0, gamma0=1.0, name="Backtracking PG", **kw))
-    sink.add(ap.fixed_nesterov(x0, gamma=1 / lip, name="Fixed Nesterov", **kw))
-    sink.add(ap.backtracking_nesterov(x0, gamma0=1.0, name="Backtracking Nesterov", **kw))
-    sink.add(ap.adaptive_proxgrad(
+    times = {}
+
+    def add(name, fn):
+        sink.add(run_timed(times, name, fn))
+
+    add("Fixed stepsize PGM", lambda: ap.fixed_proxgrad(
+        x0, gamma=1 / lip, name="Fixed stepsize PGM", **kw))
+    add("Backtracking PG", lambda: ap.backtracking_proxgrad(
+        x0, gamma0=1.0, name="Backtracking PG", **kw))
+    add("Fixed Nesterov", lambda: ap.fixed_nesterov(
+        x0, gamma=1 / lip, name="Fixed Nesterov", **kw))
+    add("Backtracking Nesterov", lambda: ap.backtracking_nesterov(
+        x0, gamma0=1.0, name="Backtracking Nesterov", **kw))
+    add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
         x0, rule=ap.MalitskyMishchenkoRule(gamma=1 / lip), name="AdaPGM (MM)", **kw))
-    sink.add(ap.adaptive_proxgrad(
+    add("AdaPGM", lambda: ap.adaptive_proxgrad(
         x0, rule=ap.AdaPGMRule(gamma=1 / lip), name="AdaPGM", **kw))
+    sink.emit_meta(wall_s=times, fast_path="default", fast_methods=[])
     return optimum
 
 
