@@ -75,20 +75,31 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             _VMEM_BYTES, resident_adapdm_dsvm_sweep, resident_pd_records)
 
         n_pad = -(-n_pts // 128) * 128
-        if dyx.dtype.itemsize * n_pad * n_pad <= _VMEM_BYTES:
+        d_pad = -(-dyx.shape[1] // 128) * 128
+        dense_ok = dyx.dtype.itemsize * n_pad * n_pad <= _VMEM_BYTES
+        factored_ok = dyx.dtype.itemsize * n_pad * d_pad <= _VMEM_BYTES
+        if dense_ok or factored_ok:
             interp = jax.default_backend() not in ("tpu", "axon")
-            # the resident kernel wants Q VMEM-resident — materialize the
-            # (small, budget-checked) Gram only here
-            q_mat = jax.lax.dot_general(
-                dyx, dyx, (((1,), (1,)), ((), ())), precision="highest")
-            q_pad = jnp.pad(q_mat, ((0, n_pad - n_pts), (0, n_pad - n_pts)))
-            lab_pad = jnp.pad(jnp.asarray(y_np, q_mat.dtype), (0, n_pad - n_pts))
+            lab_pad = jnp.pad(jnp.asarray(y_np, dyx.dtype), (0, n_pad - n_pts))
+            if dense_ok:
+                # small instances: the (budget-checked) Gram stays resident
+                q_mat = jax.lax.dot_general(
+                    dyx, dyx, (((1,), (1,)), ((), ())), precision="highest")
+                q_arg = jnp.pad(q_mat,
+                                ((0, n_pad - n_pts), (0, n_pad - n_pts)))
+            else:
+                # mushrooms-scale: gram-free — B = D_y X stays resident and
+                # the kernel computes grad = B(B'x) - 1 (zero-padded rows/
+                # cols of B contribute exact zeros)
+                q_arg = jnp.pad(dyx, ((0, n_pad - n_pts),
+                                      (0, d_pad - dyx.shape[1])))
 
             def sweep():
                 return resident_adapdm_dsvm_sweep(
-                    q_pad, lab_pad, float(big_c),
-                    jnp.asarray(T_VALUES, q_mat.dtype), norm_a, tol, maxit,
-                    n_true=n_pts, record=True, interpret=interp)
+                    q_arg, lab_pad, float(big_c),
+                    jnp.asarray(T_VALUES, dyx.dtype), norm_a, tol, maxit,
+                    n_true=n_pts, record=True, factored=not dense_ok,
+                    interpret=interp)
 
             xs, numits, nress, convs, hg, hr = run_timed(
                 times, "AdaPDM t-sweep (resident)", sweep)

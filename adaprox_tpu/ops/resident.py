@@ -543,7 +543,7 @@ def resident_pd_records(numit, gamma_hist, res_hist, *, maxit, t):
 
 
 def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
-             record=False):
+             record=False, factored=False):
     """AdaPDM (engine half1/half2 structure, solvers/primal_dual._step) for
     the dual-SVM problem: f = 0.5 x'Qx - 1'x (Q symmetric, VMEM-resident),
     g = IndBox(0, C), h = IndZero with A = labels^T (so prox_{sigma h*} is
@@ -563,9 +563,18 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
     ones = (jax.lax.broadcasted_iota(jnp.int32, (1, n_pts), 1)
             < n_true.astype(jnp.int32)).astype(q.dtype)
 
-    def grad_of(x_row):  # (1, N): Qx - 1 via the symmetric trick
-        qx = jnp.sum(q * x_row, axis=1, keepdims=True).T
-        return qx - ones
+    if factored:
+        # ``q`` is B (N, d): grad = B(B'x) - 1 without the (N, N) Gram —
+        # the at-scale form (models.objectives.FactoredQuadratic); B'x is a
+        # sublane reduction, B@(B'x) a lane reduction, both structured
+        def grad_of(x_row):  # (1, N)
+            btx = jnp.sum(q * x_row.T, axis=0, keepdims=True)   # (1, d)
+            qx = jnp.sum(q * btx, axis=1, keepdims=True).T      # (1, N)
+            return qx - ones
+    else:
+        def grad_of(x_row):  # (1, N): Qx - 1 via the symmetric trick
+            qx = jnp.sum(q * x_row, axis=1, keepdims=True).T
+            return qx - ones
 
     def a_mv(x_row):  # scalar labels'x
         return jnp.sum(lab * x_row)
@@ -671,14 +680,14 @@ def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):
 
 
 def _pd_sweep_kernel_rec(scal_ref, q_ref, lab_ref, x_ref, stats_ref,
-                         hg_ref, hr_ref, *, maxit):
+                         hg_ref, hr_ref, *, maxit, factored=False):
     """Record-mode t-sweep: two extra (T, 1, H) outputs with per-iteration
     (gamma, norm_res) per coupling value."""
     i = pl.program_id(0)
     x, it_f, nres, gamma, conv, hists = _pd_core(
         q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2],
         scal_ref[i, 3], scal_ref[i, 4], scal_ref[i, 5], maxit=maxit,
-        record=True)
+        record=True, factored=factored)
     x_ref[0] = x
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
@@ -687,7 +696,8 @@ def _pd_sweep_kernel_rec(scal_ref, q_ref, lab_ref, x_ref, stats_ref,
     hg_ref[0], hr_ref[0] = hists
 
 
-def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit):
+def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit,
+                     factored=False):
     """One grid step per coupling value t (the reference sweeps t
     sequentially, dual_svm/runme.jl:61-76 — here entirely on-core): Q and
     the labels are re-streamed per step with constant index maps; per-t
@@ -696,7 +706,8 @@ def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit):
     i = pl.program_id(0)
     x, it_f, nres, gamma, conv = _pd_core(
         q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2],
-        scal_ref[i, 3], scal_ref[i, 4], scal_ref[i, 5], maxit=maxit)
+        scal_ref[i, 3], scal_ref[i, 4], scal_ref[i, 5], maxit=maxit,
+        factored=factored)
     x_ref[0] = x
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
@@ -751,12 +762,16 @@ def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "record"))
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret", "record",
+                                             "factored"))
 def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
-                               n_true=None, record=False, interpret=False):
+                               n_true=None, record=False, factored=False,
+                               interpret=False):
     """The full coupling sweep (dual_svm/runme.jl:61) as ONE kernel launch:
     grid over the t values, each step a complete early-exit AdaPDM solve
-    with Q resident.
+    with Q resident — or, with ``factored=True``, ``q`` is the (N, d)
+    B = D_y X and the gradient runs gram-free as B(B'x) - 1 (the at-scale
+    form: mushrooms-sized instances stay on-core at N x d VMEM).
 
     ts: (T,) couplings. Returns (x (T, N), numit (T,), norm_res (T,),
     converged (T,)), plus per-t (gamma_hist, norm_res_hist) of shape
@@ -786,18 +801,20 @@ def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
         jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
     ]
     if record:
-        kern = functools.partial(_pd_sweep_kernel_rec, maxit=maxit)
+        kern = functools.partial(_pd_sweep_kernel_rec, maxit=maxit,
+                                 factored=factored)
         out_specs += [pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)] * 2
         out_shape += [jax.ShapeDtypeStruct((tcount, 1, hl), dt)] * 2
     else:
-        kern = functools.partial(_pd_sweep_kernel, maxit=maxit)
+        kern = functools.partial(_pd_sweep_kernel, maxit=maxit,
+                                 factored=factored)
     outs = pl.pallas_call(
         kern,
         grid=(tcount,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),

@@ -816,3 +816,35 @@ def test_resident_cv_converged_returns_ck_x():
     assert int(numit) == int(ref.numit)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-9,
                                atol=1e-12)
+
+
+def test_resident_dsvm_factored_matches_dense():
+    """factored=True (B resident, grad = B(B'x) - 1) must reproduce the
+    dense-Gram resident sweep trajectory exactly — the gram-free form that
+    keeps mushrooms-sized dual SVMs on-core."""
+    from adaprox_tpu.ops.resident import resident_adapdm_dsvm_sweep
+
+    rng_ = np.random.default_rng(5)
+    n_pts, d = 256, 64
+    xb = rng_.standard_normal((n_pts, d)) / np.sqrt(d)
+    lb = np.sign(rng_.standard_normal(n_pts)); lb[lb == 0] = 1
+    dyx = jnp.asarray(lb[:, None] * xb, jnp.float64)
+    q = jax.lax.dot_general(dyx, dyx, (((1,), (1,)), ((), ())),
+                            precision="highest")
+    lab = jnp.asarray(lb, jnp.float64)
+    na = float(np.linalg.norm(lb))
+    ts = jnp.asarray([0.5, 1.0, 5.0], jnp.float64)
+    # pad B's feature dim to the lane multiple (zero cols are exact)
+    b_pad = jnp.pad(dyx, ((0, 0), (0, 128 - d)))
+
+    xs_d, it_d, res_d, conv_d, hg_d, hr_d = resident_adapdm_dsvm_sweep(
+        q, lab, 0.1, ts, na, 1e-6, 400, record=True, interpret=True)
+    xs_f, it_f, res_f, conv_f, hg_f, hr_f = resident_adapdm_dsvm_sweep(
+        b_pad, lab, 0.1, ts, na, 1e-6, 400, record=True, factored=True,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(it_d), np.asarray(it_f))
+    np.testing.assert_allclose(np.asarray(hg_f), np.asarray(hg_d), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(hr_f), np.asarray(hr_d),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_d),
+                               rtol=1e-9, atol=1e-12)
