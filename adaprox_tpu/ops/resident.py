@@ -1079,12 +1079,13 @@ def _cv_kernel_rec(a_ref, at_ref, bv_ref, scal_ref, x_ref, stats_ref,
     hr_ref[:], ho_ref[:] = hists
 
 
-def _mpls_sweep_kernel(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
-                       *, maxit, h_kind):
+def _f0_sweep_kernel(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
+                     *, maxit, h_kind, core):
     """One grid step per coupling t; scal_ref (SMEM, (T, 4)):
-    [t, sigma0, lam, tol] per row."""
+    [t, sigma0-or-eta0, lam, tol] per row. ``core`` is the per-solve loop
+    (_mpls_core or _adapdmp_core — same signature and return contract)."""
     i = pl.program_id(0)
-    x, it_f, nres, conv, ls_failed = _mpls_core(
+    x, it_f, nres, conv, ls_failed = core(
         a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
         scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind)
     x_ref[0] = x
@@ -1094,11 +1095,11 @@ def _mpls_sweep_kernel(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
     stats_ref[i, 3] = ls_failed
 
 
-def _mpls_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
-                           hg_ref, hs_ref, hr_ref, ht_ref, ho_ref, *, maxit,
-                           h_kind):
+def _f0_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
+                         hg_ref, hs_ref, hr_ref, ht_ref, ho_ref, *, maxit,
+                         h_kind, core):
     i = pl.program_id(0)
-    x, it_f, nres, conv, ls_failed, hists = _mpls_core(
+    x, it_f, nres, conv, ls_failed, hists = core(
         a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
         scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind,
         record=True)
@@ -1108,6 +1109,67 @@ def _mpls_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
     stats_ref[i, 2] = conv
     stats_ref[i, 3] = ls_failed
     hg_ref[0], hs_ref[0], hr_ref[0], ht_ref[0], ho_ref[0] = hists
+
+
+@functools.partial(jax.jit, static_argnames=("core", "maxit", "record",
+                                             "h_kind", "interpret"))
+def _f0_sweep(core, a, bv, lam, ts, p2, tol, maxit, record=False,
+              h_kind="l2", interpret=False):
+    """Shared coupling-sweep launcher for the f = 0 linesearch PD cores:
+    grid over the t values, each step a complete early-exit solve with A
+    and A' resident. Returns (x (T, n), numit (T,), norm_res (T,),
+    converged (T,), ls_failed (T,)[, (hg, hs, hr, ht, ho) each
+    (T, maxit)])."""
+    m, n = a.shape
+    dt = a.dtype
+    ts = jnp.asarray(ts, dt)
+    tcount = ts.shape[0]
+    hl = _hist_len(maxit)
+    scal = jnp.stack([
+        ts,
+        jnp.full((tcount,), p2, dt),
+        jnp.full((tcount,), lam, dt),
+        jnp.full((tcount,), tol, dt),
+    ], axis=1)
+    out_specs = [
+        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tcount, 1, n), dt),
+        jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
+    ]
+    if record:
+        kern = functools.partial(_f0_sweep_kernel_rec, maxit=maxit,
+                                 h_kind=h_kind, core=core)
+        out_specs += [pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 5
+        out_shape += [jax.ShapeDtypeStruct((tcount, 1, hl), dt)] * 5
+    else:
+        kern = functools.partial(_f0_sweep_kernel, maxit=maxit,
+                                 h_kind=h_kind, core=core)
+    outs = pl.pallas_call(
+        kern,
+        grid=(tcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(scal, a, a.T, bv.reshape(1, m))
+    base = (outs[0][:, 0, :], outs[1][:, 0].astype(jnp.int32),
+            outs[1][:, 1].astype(dt), outs[1][:, 2] > 0,
+            outs[1][:, 3] > 0)
+    if record:
+        return base + (tuple(o[:, 0, :maxit] for o in outs[2:7]),)
+    return base
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "record", "h_kind", "interpret"))
@@ -1150,68 +1212,13 @@ def resident_condat_vu(a, bv, lam, gamma, sigma, tol, maxit, record=False,
     return base
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "record", "h_kind", "interpret"))
 def resident_mpls_sweep(a, bv, lam, ts, sigma0, tol, maxit, record=False,
                         h_kind="l2", interpret=False):
     """The Malitsky-Pock coupling sweep (square_root_lasso/runme.jl:80-88)
-    as ONE kernel launch: grid over the t values, each step a complete
-    early-exit linesearch solve with A and A' resident.
-
-    ts: (T,). Returns (x (T, n), numit (T,), norm_res (T,), converged (T,)
-    [, (hg, hs, hr, ht, ho) each (T, maxit)]) — gamma/sigma/norm_res/
-    linesearch-trials/objective per iteration, from which
-    ``resident_mp_records`` reconstructs the engine's exact Records."""
-    m, n = a.shape
-    dt = a.dtype
-    record = bool(record)
-    ts = jnp.asarray(ts, dt)
-    tcount = ts.shape[0]
-    hl = _hist_len(maxit)
-    scal = jnp.stack([
-        ts,
-        jnp.full((tcount,), sigma0, dt),
-        jnp.full((tcount,), lam, dt),
-        jnp.full((tcount,), tol, dt),
-    ], axis=1)
-    out_specs = [
-        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((tcount, 1, n), dt),
-        jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
-    ]
-    if record:
-        kern = functools.partial(_mpls_sweep_kernel_rec, maxit=maxit,
-                                 h_kind=h_kind)
-        out_specs += [pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM)] * 5
-        out_shape += [jax.ShapeDtypeStruct((tcount, 1, hl), dt)] * 5
-    else:
-        kern = functools.partial(_mpls_sweep_kernel, maxit=maxit,
-                                 h_kind=h_kind)
-    outs = pl.pallas_call(
-        kern,
-        grid=(tcount,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-    )(scal, a, a.T, bv.reshape(1, m))
-    base = (outs[0][:, 0, :], outs[1][:, 0].astype(jnp.int32),
-            outs[1][:, 1].astype(dt), outs[1][:, 2] > 0,
-            outs[1][:, 3] > 0)
-    if record:
-        return base + (tuple(o[:, 0, :maxit] for o in outs[2:7]),)
-    return base
+    as ONE kernel launch (see _f0_sweep for the return contract); the
+    record histories feed ``resident_mp_records``."""
+    return _f0_sweep(_mpls_core, a, bv, lam, ts, sigma0, tol, maxit,
+                     record=record, h_kind=h_kind, interpret=interpret)
 
 
 def resident_mp_records(numit, hists, *, maxit):
@@ -1390,93 +1397,13 @@ def _adapdmp_core(a, at, bv, lam, t, eta0, tol, *, maxit, h_kind="l2",
     return out
 
 
-def _adapdmp_sweep_kernel(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
-                          *, maxit, h_kind):
-    i = pl.program_id(0)
-    x, it_f, nres, conv, ls_failed = _adapdmp_core(
-        a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
-        scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind)
-    x_ref[0] = x
-    stats_ref[i, 0] = it_f
-    stats_ref[i, 1] = nres.astype(jnp.float32)
-    stats_ref[i, 2] = conv
-    stats_ref[i, 3] = ls_failed
-
-
-def _adapdmp_sweep_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref,
-                              stats_ref, hg_ref, hs_ref, hr_ref, ht_ref,
-                              ho_ref, *, maxit, h_kind):
-    i = pl.program_id(0)
-    x, it_f, nres, conv, ls_failed, hists = _adapdmp_core(
-        a_ref[:], at_ref[:], bv_ref[:], scal_ref[i, 2], scal_ref[i, 0],
-        scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind,
-        record=True)
-    x_ref[0] = x
-    stats_ref[i, 0] = it_f
-    stats_ref[i, 1] = nres.astype(jnp.float32)
-    stats_ref[i, 2] = conv
-    stats_ref[i, 3] = ls_failed
-    hg_ref[0], hs_ref[0], hr_ref[0], ht_ref[0], ho_ref[0] = hists
-
-
-@functools.partial(jax.jit, static_argnames=("maxit", "record", "h_kind",
-                                             "interpret"))
 def resident_adapdmp_sweep(a, bv, lam, ts, eta0, tol, maxit, record=False,
                            h_kind="l2", interpret=False):
     """The AdaPDM+ coupling sweep (square_root_lasso/runme.jl:90-95) as ONE
     kernel launch — same contract as resident_mpls_sweep; eta0 is the
     initial operator-norm estimate (the driver's ||A||_F)."""
-    m, n = a.shape
-    dt = a.dtype
-    record = bool(record)
-    ts = jnp.asarray(ts, dt)
-    tcount = ts.shape[0]
-    hl = _hist_len(maxit)
-    scal = jnp.stack([
-        ts,
-        jnp.full((tcount,), eta0, dt),
-        jnp.full((tcount,), lam, dt),
-        jnp.full((tcount,), tol, dt),
-    ], axis=1)
-    out_specs = [
-        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((tcount, 1, n), dt),
-        jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
-    ]
-    if record:
-        kern = functools.partial(_adapdmp_sweep_kernel_rec, maxit=maxit,
-                                 h_kind=h_kind)
-        out_specs += [pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM)] * 5
-        out_shape += [jax.ShapeDtypeStruct((tcount, 1, hl), dt)] * 5
-    else:
-        kern = functools.partial(_adapdmp_sweep_kernel, maxit=maxit,
-                                 h_kind=h_kind)
-    outs = pl.pallas_call(
-        kern,
-        grid=(tcount,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((m, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-    )(scal, a, a.T, bv.reshape(1, m))
-    base = (outs[0][:, 0, :], outs[1][:, 0].astype(jnp.int32),
-            outs[1][:, 1].astype(dt), outs[1][:, 2] > 0,
-            outs[1][:, 3] > 0)
-    if record:
-        return base + (tuple(o[:, 0, :maxit] for o in outs[2:7]),)
-    return base
+    return _f0_sweep(_adapdmp_core, a, bv, lam, ts, eta0, tol, maxit,
+                     record=record, h_kind=h_kind, interpret=interpret)
 
 
 def resident_adapdmp_records(numit, hists, *, maxit):
