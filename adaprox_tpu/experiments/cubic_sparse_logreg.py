@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import os
+from types import SimpleNamespace
 
 import numpy as np
 
@@ -34,7 +35,9 @@ def logistic_loss_grad_hessian(x_np, y_np, w):
     return h, g
 
 
-def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100, seed=0):
+def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100,
+                          seed=0, resident=False):
+    import jax
     import jax.numpy as jnp
 
     import adaprox_tpu as ap
@@ -69,6 +72,72 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100, seed
 
     def add(name, fn):
         sink.add(run_timed(times, name or "(ground truth)", fn))
+
+    if resident:
+        # whole-solve on-core: the (n+1)^2 Hessian is VMEM-trivial (~113^2)
+        # and the engine path pays ~25 ms relay dispatch per step — every
+        # method (incl. the in-kernel backtracking linesearches and aGRAAL)
+        # runs as ONE early-exit kernel launch (ops.resident_bt)
+        from adaprox_tpu.ops.resident import resident_adapgm, resident_records
+        from adaprox_tpu.ops.resident_bt import (
+            resident_agraal, resident_agraal_records, resident_backtracking,
+            resident_bt_records)
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+        dt = x0.dtype
+        n_pad = -(-n // 128) * 128
+        h_pad = jnp.zeros((n_pad, n_pad), dt).at[:n, :n].set(
+            jnp.asarray(q_mat, dt))
+        q_pad = jnp.zeros(n_pad, dt).at[:n].set(jnp.asarray(q_vec, dt))
+        x0_pad = jnp.zeros(n_pad, dt)
+        ckw = dict(prox_kind="zero", obj_kind="cubic", cube_c=float(lam),
+                   record=True, interpret=interp)
+
+        def add_adapgm(name, rule_kind, tol_r=tol, maxit_r=maxit):
+            def solve():
+                x, numit, nres, conv, hg, hr, ho = resident_adapgm(
+                    h_pad, q_pad, x0_pad, gam, tol_r, maxit_r,
+                    rule_kind=rule_kind, **ckw)
+                recs = resident_records(numit, hg, hr, ho, maxit=maxit_r)
+                return SimpleNamespace(records=recs, name=name, x=x)
+            sink.add(run_timed(times, name or "(ground truth)", solve))
+
+        def add_bt(name, xi=1.0, nesterov=False):
+            def solve():
+                x, numit, nres, conv, lsf, hg, hr, ho, ht = \
+                    resident_backtracking(
+                        h_pad, q_pad, x0_pad, gam, tol, maxit, xi=xi,
+                        nesterov=nesterov, **ckw)
+                recs = resident_bt_records(numit, hg, hr, ho, ht,
+                                           maxit=maxit, nesterov=nesterov)
+                return SimpleNamespace(records=recs, name=name, x=x)
+            sink.add(run_timed(times, name, solve))
+
+        def add_ag(name):
+            # the engine's default companion point: x1 + N(0,1) noise from
+            # PRNGKey(0) on the UNPADDED coordinates (padded stay exactly 0
+            # so every reduction matches the unpadded trajectory)
+            noise = jax.random.normal(jax.random.PRNGKey(0), (n,), dt)
+            x0p = x0_pad.at[:n].add(noise)
+
+            def solve():
+                x, numit, nres, conv, hg, hr, ho = resident_agraal(
+                    h_pad, q_pad, x0_pad, x0p, 0.0, tol, maxit, **ckw)
+                recs = resident_agraal_records(numit, hg, hr, ho,
+                                               maxit=maxit)
+                return SimpleNamespace(records=recs, name=name, x=x)
+            sink.add(run_timed(times, name, solve))
+
+        add_adapgm(None, "adapgm", tol_r=tol / 10, maxit_r=maxit * 10)
+        for xi in (1.0, 1.5, 2.0):
+            add_bt(f"PGM (backtracking)-(xi={xi})", xi=xi)
+        add_bt("Nesterov (backtracking)", nesterov=True)
+        add_adapgm("AdaPGM (MM)", "mm")
+        add_adapgm("AdaPGM (Ours)", "adapgm")
+        add_ag("aGRAAL")
+        sink.emit_meta(wall_s=times, fast_path="resident",
+                       fast_methods=sorted(k for k in times))
+        return source
 
     add(None, lambda: ap.adaptive_proxgrad(
         x0, f=f, g=g, rule=ap.AdaPGMRule(gamma=gam), tol=tol / 10,
@@ -113,6 +182,9 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--f64", action="store_true",
                    help="f64 on the accelerator (reference-regime parity)")
+    p.add_argument("--resident", action="store_true",
+                   help="whole-solve VMEM-resident kernels for every method "
+                        "(incl. in-kernel backtracking linesearches)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -120,7 +192,8 @@ def main(argv=None):
     for ds in args.datasets.split(","):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
         sink = Sink(path)
-        src = run_cubic_logreg_data(ds, sink, lam=args.lam, tol=args.tol, maxit=args.maxit)
+        src = run_cubic_logreg_data(ds, sink, lam=args.lam, tol=args.tol,
+                                    maxit=args.maxit, resident=args.resident)
         sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")
         if not args.no_plot:

@@ -102,16 +102,75 @@ def _rule_fixed(g1, g0, ndg2, dgdx, ndx2):
 _RULES = {"adapgm": _rule_adapgm, "mm": _rule_mm, "fixed": _rule_fixed}
 
 
+def _obj_split(a, at, b, obj_kind, m_true, cube_c, dt):
+    """The in-kernel smooth-oracle menu, split exactly like ops.oracles
+    (value_and_aux / grad_from_aux) so linesearch trial loops keep the
+    reference's lazy-pullback economy (src/AdaProx.jl:37,45,61): a
+    backtracking trial costs ONE matvec (the forward pass), the gradient is
+    finished once from the carried aux after acceptance.
+
+    Returns (val_aux_of, grad_from_aux) on (1, n) row iterates:
+
+    * "ls":      f = 0.5||Ax-b||^2; aux = residual (one lane-reduction
+                 matvec); grad = A' res (second lane-reduction matvec).
+    * "logreg":  mean logistic with the bias folded as a ones-column of
+                 ``a``; caller prescales ``at`` by 1/m so the mean is free
+                 (sparse_logreg/runme.jl:18-39); aux = logits. ``m_true``:
+                 the unpadded row count — each zero-padded row contributes
+                 exactly -log(2) to the raw loss sum, removed as a static
+                 constant.
+    * "cubic":   f = 0.5 x'Hx + q'x + (c/6)||x||^3 with ``a`` = H (symmetric,
+                 tile-padded), ``b`` = q row, ``cube_c`` = c — the
+                 cubic-regularized model (cubic_sparse_logreg/runme.jl:26-32,
+                 models.objectives.Cubic): aux IS the gradient (the
+                 reference's pullback returns the precomputed grad), so the
+                 value and the gradient share the single Hx matvec.
+    """
+    if obj_kind == "logreg":
+        m_rows = a.shape[0]
+        m_div = float(m_true if m_true is not None else m_rows)
+        pad_rows = float(m_rows - (m_true if m_true is not None else m_rows))
+
+        def val_aux_of(x_row):  # logits on VPU; (1, m) aux
+            logits = jnp.sum(a * x_row, axis=1, keepdims=True).T   # (1, m)
+            softplus_neg = jnp.logaddexp(jnp.zeros((), dt), -logits)
+            raw = jnp.sum((b - 1.0) * logits - softplus_neg)
+            fval = -(raw + pad_rows * float(np.log(2.0))) / m_div
+            return fval, logits
+
+        def grad_from_aux(x_row, logits):  # sigmoid + weighted pullback
+            diff = 1.0 / (1.0 + jnp.exp(-logits)) - b
+            return jnp.sum(at * diff, axis=1, keepdims=True).T     # (1, n)
+    elif obj_kind == "cubic":
+        def val_aux_of(x_row):  # grad = Hx + q + (c/2)||x|| x; val reuses it
+            hx = jnp.sum(a * x_row, axis=1, keepdims=True).T       # (1, n)
+            nx = jnp.sqrt(jnp.sum(x_row * x_row))
+            grad = hx + b + (nx * cube_c / 2) * x_row
+            val = ((jnp.sum(x_row * grad) + jnp.sum(b * x_row)) / 2
+                   - nx * nx * nx * cube_c / 12)
+            return val, grad
+
+        def grad_from_aux(x_row, grad):
+            return grad
+    else:
+        def val_aux_of(x_row):  # (1, n) -> (1, m) residual aux
+            res = jnp.sum(a * x_row, axis=1, keepdims=True).T - b  # (1, m)
+            return 0.5 * jnp.sum(res * res), res
+
+        def grad_from_aux(x_row, res):
+            return jnp.sum(at * res, axis=1, keepdims=True).T      # (1, n)
+
+    return val_aux_of, grad_from_aux
+
+
 def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
                 rule_kind, momentum, obj_kind="ls", record=False,
-                m_true=None):
+                m_true=None, cube_c=0.0):
     """The whole-solve loop on VMEM-resident values. Returns
     (x_final(1, n), it, norm_res, gamma, converged[, hists]). Shared by the
     single and the batched (grid-over-instances) kernels.
 
-    ``obj_kind``: "ls" (f = 0.5||Ax-b||^2) or "logreg" (mean logistic with
-    the bias folded as a ones-column of ``a``; caller prescales ``at`` by
-    1/m so the mean is free — sparse_logreg/runme.jl:18-39 semantics).
+    ``obj_kind``: "ls", "logreg", or "cubic" — see ``_obj_split``.
 
     ``record=True`` additionally carries (1, H) per-iteration history
     vectors of (gamma, norm_res, objective) — H = maxit rounded up to the
@@ -120,29 +179,15 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
     VERDICT-r2 telemetry channel: the fastest solver in the repo must be
     able to produce the reference's per-iteration JSONL. The objective is
     nearly free: f reuses the residual/logits the gradient already
-    computed; g comes from the static prox menu. ``m_true`` (logreg): the
-    unpadded row count — each zero-padded row contributes exactly
-    -log(2) to the raw loss sum, removed as a static constant."""
+    computed; g comes from the static prox menu."""
 
     dt = x0.dtype
-    if obj_kind == "logreg":
-        m_rows = a.shape[0]
-        m_div = float(m_true if m_true is not None else m_rows)
-        pad_rows = float(m_rows - (m_true if m_true is not None else m_rows))
+    val_aux_of, grad_from_aux = _obj_split(a, at, b, obj_kind, m_true,
+                                           cube_c, dt)
 
-        def val_grad_of(x_row):  # logits / sigmoid / weighted pullback on VPU
-            logits = jnp.sum(a * x_row, axis=1, keepdims=True).T   # (1, m)
-            diff = 1.0 / (1.0 + jnp.exp(-logits)) - b
-            grad = jnp.sum(at * diff, axis=1, keepdims=True).T     # (1, n)
-            softplus_neg = jnp.logaddexp(jnp.zeros((), dt), -logits)
-            raw = jnp.sum((b - 1.0) * logits - softplus_neg)
-            fval = -(raw + pad_rows * float(np.log(2.0))) / m_div
-            return fval, grad
-    else:
-        def val_grad_of(x_row):  # (1, n) -> (1, n); both reductions over lanes
-            res = jnp.sum(a * x_row, axis=1, keepdims=True).T - b  # (1, m)
-            return (0.5 * jnp.sum(res * res),
-                    jnp.sum(at * res, axis=1, keepdims=True).T)    # (1, n)
+    def val_grad_of(x_row):
+        fval, aux = val_aux_of(x_row)
+        return fval, grad_from_aux(x_row, aux)
 
     def grad_of(x_row):
         return val_grad_of(x_row)[1]
@@ -261,8 +306,9 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
 
 
 def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, prox_kind, rule_kind, momentum=False, obj_kind="ls", m_true=None):
-    """scal_ref (SMEM, (4,)): [gamma0, tol, p1, p2] with (p1, p2) the static
-    prox menu's parameters. Outputs: x (1, n); stats (SMEM, (4,)):
+    """scal_ref (SMEM, (5,)): [gamma0, tol, p1, p2, cube_c] with (p1, p2)
+    the static prox menu's parameters and cube_c the cubic model's c
+    (unused otherwise). Outputs: x (1, n); stats (SMEM, (4,)):
     [numit, norm_res, gamma, converged].
 
     ``momentum=True`` runs the accelerated iteration (fixed_nesterov,
@@ -273,7 +319,8 @@ def _kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *, maxit, 
         a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
         maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
-        momentum=momentum, obj_kind=obj_kind, m_true=m_true)
+        momentum=momentum, obj_kind=obj_kind, m_true=m_true,
+        cube_c=scal_ref[4])
     x_ref[:] = x_f
     stats_ref[0] = it_f
     stats_ref[1] = nres.astype(jnp.float32)
@@ -290,7 +337,8 @@ def _kernel_rec(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref,
         a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
         maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
-        momentum=momentum, obj_kind=obj_kind, record=True, m_true=m_true)
+        momentum=momentum, obj_kind=obj_kind, record=True, m_true=m_true,
+        cube_c=scal_ref[4])
     x_ref[:] = x_f
     stats_ref[0] = it_f
     stats_ref[1] = nres.astype(jnp.float32)
@@ -317,7 +365,7 @@ def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
         a_ref[0], at_ref[0], b_ref[0], x0_ref[0],
         scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2], scal_ref[i, 3],
         maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
-        momentum=momentum, obj_kind=obj_kind)
+        momentum=momentum, obj_kind=obj_kind, cube_c=scal_ref[i, 4])
     x_ref[0] = x_f
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
@@ -328,7 +376,8 @@ def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret", "prox_kind", "rule_kind", "momentum", "obj_kind", "m_true", "record"))
 def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
                     p1=0.0, p2=0.0, rule_kind="adapgm", momentum=False,
-                    obj_kind="ls", m_true=None, record=False, interpret=False):
+                    obj_kind="ls", m_true=None, record=False, cube_c=0.0,
+                    interpret=False):
     """Full adaptive PG solve of 0.5||Ax-b||^2 + g(x) in one resident
     kernel, with g chosen from the static prox menu ("l1", "box",
     "elastic", "zero") parameterized by (p1, p2) and the stepsize rule from
@@ -347,7 +396,7 @@ def resident_adapgm(a, b, x0, gamma0, tol, maxit, prox_kind="l1",
     dt = x0.dtype
     scal = jnp.stack([
         jnp.asarray(gamma0, dt), jnp.asarray(tol, dt),
-        jnp.asarray(p1, dt), jnp.asarray(p2, dt),
+        jnp.asarray(p1, dt), jnp.asarray(p2, dt), jnp.asarray(cube_c, dt),
     ])
     hl = _hist_len(maxit)
     out_shape = [
@@ -421,11 +470,14 @@ def resident_adapgm_batch(a, b, x0, scal, maxit, prox_kind="l1",
     GRID dimension (one Pallas program; per-instance early exit).
 
     a: (B, m, n); b: (B, m); x0: (B, n); scal: (B, 4) rows of
-    [gamma0, tol, p1, p2]. Returns (x (B, n), numit (B,), norm_res (B,),
+    [gamma0, tol, p1, p2] (or (B, 5) with a trailing cube_c column for
+    obj_kind="cubic"). Returns (x (B, n), numit (B,), norm_res (B,),
     converged (B,)). This is the compiled-TPU answer to ``jax.vmap`` over
     the single kernel, which Mosaic rejects (SMEM scalar batching)."""
     bsz, m, n = a.shape
     dt = x0.dtype
+    if scal.shape[1] == 4:
+        scal = jnp.concatenate([scal, jnp.zeros((bsz, 1), scal.dtype)], axis=1)
     at = jnp.swapaxes(a, 1, 2)
     if obj_kind == "logreg":
         at = at / (m if m_true is None else m_true)

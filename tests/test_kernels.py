@@ -848,3 +848,199 @@ def test_resident_dsvm_factored_matches_dense():
                                rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_d),
                                rtol=1e-9, atol=1e-12)
+
+
+# --- resident linesearch PG family (backtracking / aGRAAL / cubic) ---------
+
+
+def _cubic_problem(seed=0, n=128):
+    """A logistic-Hessian-shaped cubic model (PSD, modest scale) so the
+    adaptive-rule chaos amplifies slowly enough for prefix assertions."""
+    rng_ = np.random.default_rng(seed)
+    feats = rng_.standard_normal((256, n)) / np.sqrt(n)
+    sb = rng_.random(256) / 256
+    h_mat = (feats.T @ (sb[:, None] * feats)).astype(np.float64)
+    q_vec = rng_.standard_normal(n) / n
+    return h_mat, q_vec
+
+
+def test_resident_backtracking_matches_engine_records():
+    """Step-exact: resident backtracking PG (xi inflation, in-kernel trial
+    loop) must reproduce the engine's per-iteration gamma/norm_res/objective
+    AND the data-dependent oracle counters (trial counts)."""
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident_bt import (resident_backtracking,
+                                             resident_bt_records)
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=3)
+    a = jnp.asarray(prob.a, jnp.float64)
+    b = jnp.asarray(prob.b, jnp.float64)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    maxit = 100
+    x0 = jnp.zeros(128, jnp.float64)
+    x, numit, nres, conv, lsf, hg, hr, ho, ht = resident_backtracking(
+        a, b, x0, 10.0 / lf, 0.0, maxit, xi=1.5, prox_kind="l1", p1=1.0,
+        record=True, interpret=True)
+    recs = resident_bt_records(numit, hg, hr, ho, ht, maxit=maxit)
+    ref = ap.backtracking_proxgrad(
+        x0, f=LeastSquares(a=a, b=b), g=ap.L1Norm(lam=jnp.float64(1.0)),
+        gamma0=10.0 / lf, xi=1.5, tol=0.0, maxit=maxit, history=True)
+    np.testing.assert_allclose(np.asarray(recs.gamma)[:60],
+                               np.asarray(ref.records.gamma)[:60], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(recs.norm_res)[:60],
+                               np.asarray(ref.records.norm_res)[:60],
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(recs.objective)[:60],
+                               np.asarray(ref.records.objective)[:60],
+                               rtol=1e-10)
+    for k in ("f_evals", "grad_f_evals", "prox_g_evals"):
+        np.testing.assert_array_equal(np.asarray(getattr(recs, k)),
+                                      np.asarray(getattr(ref.records, k)), k)
+
+
+def test_resident_backtracking_nesterov_matches_engine_records():
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident_bt import (resident_backtracking,
+                                             resident_bt_records)
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=3)
+    a = jnp.asarray(prob.a, jnp.float64)
+    b = jnp.asarray(prob.b, jnp.float64)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    maxit = 100
+    x0 = jnp.zeros(128, jnp.float64)
+    x, numit, nres, conv, lsf, hg, hr, ho, ht = resident_backtracking(
+        a, b, x0, 10.0 / lf, 0.0, maxit, nesterov=True, prox_kind="l1",
+        p1=1.0, record=True, interpret=True)
+    recs = resident_bt_records(numit, hg, hr, ho, ht, maxit=maxit,
+                               nesterov=True)
+    ref = ap.backtracking_nesterov(
+        x0, f=LeastSquares(a=a, b=b), g=ap.L1Norm(lam=jnp.float64(1.0)),
+        gamma0=10.0 / lf, tol=0.0, maxit=maxit, history=True)
+    np.testing.assert_allclose(np.asarray(recs.gamma)[:60],
+                               np.asarray(ref.records.gamma)[:60], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(recs.norm_res)[:60],
+                               np.asarray(ref.records.norm_res)[:60],
+                               rtol=1e-8)
+    for k in ("f_evals", "grad_f_evals", "prox_g_evals"):
+        np.testing.assert_array_equal(np.asarray(getattr(recs, k)),
+                                      np.asarray(getattr(ref.records, k)), k)
+
+
+def test_resident_agraal_matches_engine_records():
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident_bt import (resident_agraal,
+                                             resident_agraal_records)
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=3)
+    a = jnp.asarray(prob.a, jnp.float64)
+    b = jnp.asarray(prob.b, jnp.float64)
+    maxit = 100
+    x0 = jnp.zeros(128, jnp.float64)
+    x0p = x0 + jax.random.normal(jax.random.PRNGKey(0), x0.shape, x0.dtype)
+    x, numit, nres, conv, hg, hr, ho = resident_agraal(
+        a, b, x0, x0p, 0.0, 0.0, maxit, prox_kind="l1", p1=1.0,
+        record=True, interpret=True)
+    recs = resident_agraal_records(numit, hg, hr, ho, maxit=maxit)
+    ref = ap.agraal(x0, f=LeastSquares(a=a, b=b),
+                    g=ap.L1Norm(lam=jnp.float64(1.0)), x0=x0p, tol=0.0,
+                    maxit=maxit, history=True)
+    np.testing.assert_allclose(np.asarray(recs.gamma)[:60],
+                               np.asarray(ref.records.gamma)[:60], rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(recs.norm_res)[:60],
+                               np.asarray(ref.records.norm_res)[:60],
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(recs.objective)[:60],
+                               np.asarray(ref.records.objective)[:60],
+                               rtol=1e-9)
+    for k in ("f_evals", "grad_f_evals", "prox_g_evals"):
+        np.testing.assert_array_equal(np.asarray(getattr(recs, k)),
+                                      np.asarray(getattr(ref.records, k)), k)
+
+
+def test_resident_cubic_adapgm_matches_engine():
+    """obj_kind="cubic" through the resident AdaPGM kernel vs the engine on
+    models.objectives.Cubic. Adaptive-rule chaos amplifies formulation-
+    order noise geometrically — tight prefix, loose full-trajectory check
+    (same treatment as test_resident_record_matches_engine_records)."""
+    from adaprox_tpu.models.objectives import Cubic
+    from adaprox_tpu.ops.resident import resident_adapgm, resident_records
+
+    h_mat, q_vec = _cubic_problem()
+    maxit = 80
+    x0 = jnp.zeros(128, jnp.float64)
+    gam = 0.01
+    fq = Cubic(q_mat=jnp.asarray(h_mat), q_vec=jnp.asarray(q_vec),
+               c=jnp.asarray(1.0), precision="highest")
+    x, numit, nres, conv, hg, hr, ho = resident_adapgm(
+        jnp.asarray(h_mat), jnp.asarray(q_vec), x0, gam, 0.0, maxit,
+        prox_kind="zero", obj_kind="cubic", cube_c=1.0, record=True,
+        interpret=True)
+    recs = resident_records(numit, hg, hr, ho, maxit=maxit)
+    ref = ap.adaptive_proxgrad(x0, f=fq, g=ap.Zero(),
+                               rule=ap.AdaPGMRule(gamma=jnp.float64(gam)),
+                               tol=0.0, maxit=maxit, history=True)
+    np.testing.assert_allclose(np.asarray(recs.gamma)[:20],
+                               np.asarray(ref.records.gamma)[:20], rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(recs.objective)[:20],
+                               np.asarray(ref.records.objective)[:20],
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(recs.objective),
+                               np.asarray(ref.records.objective), rtol=5e-2)
+    for k in ("f_evals", "grad_f_evals", "prox_g_evals"):
+        np.testing.assert_array_equal(np.asarray(getattr(recs, k)),
+                                      np.asarray(getattr(ref.records, k)), k)
+
+
+def test_resident_cubic_backtracking_and_agraal():
+    """Cubic objective through the resident backtracking and aGRAAL kernels
+    (the cubic driver's full method menu on-core)."""
+    from adaprox_tpu.models.objectives import Cubic
+    from adaprox_tpu.ops.resident_bt import (resident_agraal,
+                                             resident_agraal_records,
+                                             resident_backtracking,
+                                             resident_bt_records)
+
+    h_mat, q_vec = _cubic_problem(seed=1)
+    maxit = 60
+    x0 = jnp.zeros(128, jnp.float64)
+    fq = Cubic(q_mat=jnp.asarray(h_mat), q_vec=jnp.asarray(q_vec),
+               c=jnp.asarray(1.0), precision="highest")
+
+    x, numit, nres, conv, lsf, hg, hr, ho, ht = resident_backtracking(
+        jnp.asarray(h_mat), jnp.asarray(q_vec), x0, 0.1, 0.0, maxit,
+        xi=2.0, prox_kind="zero", obj_kind="cubic", cube_c=1.0,
+        record=True, interpret=True)
+    recs = resident_bt_records(numit, hg, hr, ho, ht, maxit=maxit)
+    ref = ap.backtracking_proxgrad(x0, f=fq, g=ap.Zero(), gamma0=0.1,
+                                   xi=2.0, tol=0.0, maxit=maxit,
+                                   history=True)
+    # backtracking accept/reject tests sit on knife edges for the cubic
+    # (f_z ~ upper bound): a 1-ulp formulation difference flips a halving
+    # and doubles gamma — discrete chaos. Exact prefix, then objective-level
+    # agreement (both trajectories minimize the same model).
+    np.testing.assert_allclose(np.asarray(recs.gamma)[:12],
+                               np.asarray(ref.records.gamma)[:12], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(recs.objective)[:12],
+                               np.asarray(ref.records.objective)[:12],
+                               rtol=1e-9)
+    for k in ("f_evals", "grad_f_evals", "prox_g_evals"):
+        np.testing.assert_array_equal(np.asarray(getattr(recs, k))[:12],
+                                      np.asarray(getattr(ref.records, k))[:12], k)
+    np.testing.assert_allclose(np.asarray(recs.objective)[-1],
+                               np.asarray(ref.records.objective)[-1],
+                               rtol=1e-6)
+
+    x0p = x0 + jax.random.normal(jax.random.PRNGKey(0), x0.shape, x0.dtype)
+    x, numit, nres, conv, hg, hr, ho = resident_agraal(
+        jnp.asarray(h_mat), jnp.asarray(q_vec), x0, x0p, 0.0, 0.0, maxit,
+        prox_kind="zero", obj_kind="cubic", cube_c=1.0, record=True,
+        interpret=True)
+    recs = resident_agraal_records(numit, hg, hr, ho, maxit=maxit)
+    ref = ap.agraal(x0, f=fq, g=ap.Zero(), x0=x0p, tol=0.0, maxit=maxit,
+                    history=True)
+    np.testing.assert_allclose(np.asarray(recs.gamma)[:30],
+                               np.asarray(ref.records.gamma)[:30], rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(recs.objective)[:30],
+                               np.asarray(ref.records.objective)[:30],
+                               rtol=1e-9)
