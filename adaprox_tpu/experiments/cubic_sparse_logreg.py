@@ -122,7 +122,7 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100,
 
             def solve():
                 x, numit, nres, conv, hg, hr, ho = resident_agraal(
-                    h_pad, q_pad, x0_pad, x0p, 0.0, tol, maxit, **ckw)
+                    h_pad, q_pad, x0_pad, x0p, gam, tol, maxit, **ckw)
                 recs = resident_agraal_records(numit, hg, hr, ho,
                                                maxit=maxit)
                 return SimpleNamespace(records=recs, name=name, x=x)

@@ -12,9 +12,11 @@ reference grid, not just bench.py):
 * ``--fused``:    every solver's LS oracle becomes the one-pass Pallas
                   kernel (ops.kernels.fused_ls_value_grad) on a zero-padded
                   tile-aligned A — trajectory-identical, ~2x HBM economy.
-* ``--resident``: the four menu solvers (fixed PG/Nesterov, AdaPGM MM/Ours)
-                  run as whole-solve VMEM-resident kernels with record-mode
-                  per-iteration histories (ops.resident) — same JSONL.
+* ``--resident``: EVERY solver row (fixed PG/Nesterov, AdaPGM MM/Ours,
+                  the three backtracking-xi variants, backtracking Nesterov,
+                  and aGRAAL) runs as a whole-solve VMEM-resident kernel
+                  with record-mode per-iteration histories
+                  (ops.resident / ops.resident_bt) — same JSONL.
 
 Per-method wall-clock is emitted as a ``wall_s`` meta row either way, so
 RESULTS.md can carry a speedup column on the reference's own grid.
@@ -62,18 +64,20 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
     times = {}
 
     from adaprox_tpu.ops.resident import resident_adapgm, resident_records, resident_supported
+    from adaprox_tpu.ops.resident_bt import (
+        resident_agraal, resident_agraal_records, resident_backtracking,
+        resident_bt_records)
 
     use_resident = resident and resident_supported(a)
     if resident and not use_resident:
         print(f"  [resident] unsupported shape/size {tuple(a.shape)} "
               f"({a.dtype}); falling back to the engine")
+    interp = jax.default_backend() not in ("tpu", "axon")
 
     def add(name, fn):
         sink.add(run_timed(times, name, fn))
 
     def add_resident(name, rule_kind, momentum=False):
-        interp = jax.default_backend() not in ("tpu", "axon")
-
         def solve():
             x, numit, nres, conv, hg, hr, ho = resident_adapgm(
                 a, b, x0, gam, tol, maxit, prox_kind="l1", p1=float(lam),
@@ -85,34 +89,65 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
 
         sink.add(run_timed(times, name, solve))
 
+    def add_resident_bt(name, xi=1.0, nesterov=False):
+        def solve():
+            x, numit, nres, conv, lsf, hg, hr, ho, ht = \
+                resident_backtracking(
+                    a, b, x0, gam, tol, maxit, xi=xi, nesterov=nesterov,
+                    prox_kind="l1", p1=float(lam), record=True,
+                    interpret=interp)
+            recs = resident_bt_records(numit, hg, hr, ho, ht, maxit=maxit,
+                                       nesterov=nesterov)
+            return SimpleNamespace(records=recs, name=name, x=x)
+
+        sink.add(run_timed(times, name, solve))
+
+    def add_resident_agraal(name):
+        # the engine's default companion point: x1 + PRNGKey(0) noise at the
+        # UNPADDED width, zero-padded — padded coordinates then stay exactly
+        # 0 (zero A-columns + l1 shrink), so this row reproduces the
+        # unpadded engine/reference trajectory
+        noise = jax.random.normal(jax.random.PRNGKey(0), (n,), x0.dtype)
+        x0p = x0.at[:n].add(noise)
+
+        def solve():
+            x, numit, nres, conv, hg, hr, ho = resident_agraal(
+                a, b, x0, x0p, gam, tol, maxit, prox_kind="l1",
+                p1=float(lam), record=True, interpret=interp)
+            recs = resident_agraal_records(numit, hg, hr, ho, maxit=maxit)
+            return SimpleNamespace(records=recs, name=name, x=x)
+
+        sink.add(run_timed(times, name, solve))
+
     if use_resident:
         add_resident("PGM (fixed)", "fixed")
-    else:
-        add("PGM (fixed)", lambda: ap.fixed_proxgrad(x0, gamma=gam, name="PGM (fixed)", **kw))
-    for xi in (1.0, 1.5, 2.0):
-        add(f"PGM (backtracking)-(xi={xi})",
-            lambda xi=xi: ap.backtracking_proxgrad(
-                x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **kw))
-    add("Nesterov (backtracking)",
-        lambda: ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **kw))
-    if use_resident:
+        for xi in (1.0, 1.5, 2.0):
+            add_resident_bt(f"PGM (backtracking)-(xi={xi})", xi=xi)
+        add_resident_bt("Nesterov (backtracking)", nesterov=True)
         add_resident("Nesterov (fixed)", "fixed", momentum=True)
         add_resident("AdaPGM (MM)", "mm")
         add_resident("AdaPGM (Ours)", "adapgm")
+        add_resident_agraal("aGRAAL")
     else:
+        add("PGM (fixed)", lambda: ap.fixed_proxgrad(x0, gamma=gam, name="PGM (fixed)", **kw))
+        for xi in (1.0, 1.5, 2.0):
+            add(f"PGM (backtracking)-(xi={xi})",
+                lambda xi=xi: ap.backtracking_proxgrad(
+                    x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **kw))
+        add("Nesterov (backtracking)",
+            lambda: ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **kw))
         add("Nesterov (fixed)", lambda: ap.fixed_nesterov(x0, gamma=gam, name="Nesterov (fixed)", **kw))
         add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
             x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
         add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
             x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
-    add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+        add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
     # which timed methods actually took a fast path (the summarizer pairs
     # only these — engine-vs-engine rows are compile/co-tenancy noise)
     if fused:  # the fused oracle feeds EVERY engine method
         fast_methods = sorted(times)
     elif use_resident:
-        fast_methods = ["PGM (fixed)", "Nesterov (fixed)", "AdaPGM (MM)",
-                        "AdaPGM (Ours)"]
+        fast_methods = sorted(times)  # every row is on-core now
     else:
         fast_methods = []
     sink.emit_meta(wall_s=times, fast_path=(

@@ -69,6 +69,9 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
     # record-mode parity tested in tests/test_kernels.py)
     from adaprox_tpu.ops.resident import (
         resident_logreg_l1, resident_records, resident_supported)
+    from adaprox_tpu.ops.resident_bt import (
+        resident_agraal, resident_agraal_records, resident_backtracking,
+        resident_bt_records)
 
     use_resident = False
     if resident:  # pad + ship [X 1] only when the fast path is requested
@@ -78,9 +81,9 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
         if not use_resident:
             print(f"  [resident] unsupported shape/size {tuple(x1_pad.shape)} "
                   f"({x1_pad.dtype}); falling back to the engine")
+    interp = jax.default_backend() not in ("tpu", "axon")
 
     def add_resident(name, rule_kind, momentum=False, r_tol=tol, r_maxit=maxit):
-        interp = jax.default_backend() not in ("tpu", "axon")
         x0p = jnp.zeros(x1_pad.shape[1], x_mat.dtype)
 
         def solve():
@@ -94,40 +97,74 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
 
         sink.add(run_timed(times, name or "(ground truth)", solve))
 
+    def add_resident_bt(name, xi=1.0, nesterov=False):
+        x0p = jnp.zeros(x1_pad.shape[1], x_mat.dtype)
+
+        def solve():
+            x, numit, nres, conv, lsf, hg, hr, ho, ht = \
+                resident_backtracking(
+                    x1_pad, y_pad, x0p, gam, tol, maxit // 2, xi=xi,
+                    nesterov=nesterov, prox_kind="l1", p1=float(lam),
+                    obj_kind="logreg", m_true=float(m), record=True,
+                    interpret=interp)
+            recs = resident_bt_records(numit, hg, hr, ho, ht,
+                                       maxit=maxit // 2, nesterov=nesterov)
+            return SimpleNamespace(records=recs, name=name, x=x)
+
+        sink.add(run_timed(times, name, solve))
+
+    def add_resident_agraal(name):
+        # engine default companion: x0 + PRNGKey(0) noise over the UNPADDED
+        # coordinates, zero-padded (padded coords then stay exactly 0, so
+        # the trajectory matches the unpadded engine row)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (n,), x_mat.dtype)
+        x1p = jnp.zeros(x1_pad.shape[1], x_mat.dtype)
+        x0p = x1p.at[:n].add(noise)
+
+        def solve():
+            x, numit, nres, conv, hg, hr, ho = resident_agraal(
+                x1_pad, y_pad, x1p, x0p, gam, tol, maxit, prox_kind="l1",
+                p1=float(lam), obj_kind="logreg", m_true=float(m),
+                record=True, interpret=interp)
+            recs = resident_agraal_records(numit, hg, hr, ho, maxit=maxit)
+            return SimpleNamespace(records=recs, name=name, x=x)
+
+        sink.add(run_timed(times, name, solve))
+
     # high-accuracy ground-truth run, logged with method=None so plotting
     # uses it only through the min-objective (runme.jl:64-73)
     if use_resident:
         add_resident(None, "adapgm", r_tol=tol / 10, r_maxit=maxit * 10)
         add_resident("PGM (1/Lf)", "fixed")
+        for xi in (1.0, 1.5, 2.0):
+            add_resident_bt(f"PGM (backtracking)-(xi={xi})", xi=xi)
+        add_resident_bt("Nesterov (backtracking)", nesterov=True)
+        add_resident("Nesterov (fixed)", "fixed", momentum=True, r_maxit=maxit // 2)
+        add_resident("AdaPGM (MM)", "mm")
+        add_resident("AdaPGM (Ours)", "adapgm")
+        add_resident_agraal("aGRAAL")
     else:
         add(None, lambda: ap.adaptive_proxgrad(
             x0, f=f, g=g, rule=ap.AdaPGMRule(gamma=gam), tol=tol / 10,
             maxit=maxit * 10, history=True, name=None))
         add("PGM (1/Lf)", lambda: ap.fixed_proxgrad(x0, gamma=gam, name="PGM (1/Lf)", **kw))
-    for xi in (1.0, 1.5, 2.0):
-        add(f"PGM (backtracking)-(xi={xi})",
-            lambda xi=xi: ap.backtracking_proxgrad(
-                x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **half))
-    add("Nesterov (backtracking)",
-        lambda: ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **half))
-    if use_resident:
-        add_resident("Nesterov (fixed)", "fixed", momentum=True, r_maxit=maxit // 2)
-        add_resident("AdaPGM (MM)", "mm")
-        add_resident("AdaPGM (Ours)", "adapgm")
-    else:
+        for xi in (1.0, 1.5, 2.0):
+            add(f"PGM (backtracking)-(xi={xi})",
+                lambda xi=xi: ap.backtracking_proxgrad(
+                    x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **half))
+        add("Nesterov (backtracking)",
+            lambda: ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **half))
         add("Nesterov (fixed)", lambda: ap.fixed_nesterov(
             x0, gamma=gam, name="Nesterov (fixed)", **half))
         add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
             x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
         add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
             x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
-    add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+        add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
     sink.emit_meta(
         wall_s=times,
         fast_path=("resident" if use_resident else "default"),
-        fast_methods=(["(ground truth)", "PGM (1/Lf)", "Nesterov (fixed)",
-                       "AdaPGM (MM)", "AdaPGM (Ours)"]
-                      if use_resident else []))
+        fast_methods=(sorted(times) if use_resident else []))
     return source
 
 
