@@ -71,6 +71,7 @@ def main(argv=None):
     fast_flags = {
         "lasso": ["--resident"],
         "sparse_logreg": ["--resident"],
+        "cubic_sparse_logreg": ["--resident"],
         "dual_svm": ["--resident"],
         "square_root_lasso": ["--resident"],
         "least_absolute_deviation": ["--resident"],

@@ -610,10 +610,15 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
     to tile alignment; the linear term -1'x must not extend onto the padded
     coordinates (a constant -1 gradient would push them off 0 through the
     box prox), so f's gradient uses a lane-iota mask: grad = Qx - 1[i<n_true].
-    Every other term then keeps the padded coordinates exactly 0."""
+    Every other term then keeps the padded coordinates exactly 0.
+
+    Iterates/scalars run in ``lab.dtype``; ``q`` (the Gram or the factored
+    B) may be stored bf16 — the matvec products promote, halving the
+    resident footprint."""
     n_pts = q.shape[0]
+    dt = lab.dtype
     ones = (jax.lax.broadcasted_iota(jnp.int32, (1, n_pts), 1)
-            < n_true.astype(jnp.int32)).astype(q.dtype)
+            < n_true.astype(jnp.int32)).astype(dt)
 
     if factored:
         # ``q`` is B (N, d): grad = B(B'x) - 1 without the (N, N) Gram —
@@ -637,7 +642,7 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
     # warm-up (src/AdaProx.jl:324-332); y0 = 0
     gamma0 = 1.0 / (2 * theta_big * t * norm_a)
     n = q.shape[0]
-    x0 = jnp.zeros((1, n), q.dtype)
+    x0 = jnp.zeros((1, n), dt)
     a_x0 = a_mv(x0)
     grad0 = grad_of(x0)
     v = x0 - gamma0 * grad0  # At_y0 = 0
@@ -704,12 +709,12 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
     def cond(c):
         return jnp.logical_and(c.it < maxit, c.norm_res > tol)
 
-    hists0 = ((jnp.zeros((1, hl), q.dtype), jnp.zeros((1, hl), q.dtype))
+    hists0 = ((jnp.zeros((1, hl), dt), jnp.zeros((1, hl), dt))
               if record else None)
     init = C(
-        jnp.zeros((), jnp.int32), x, v, jnp.zeros((), q.dtype),
-        jnp.zeros((1, n), q.dtype), x0, a_x0, grad0,
-        gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, q.dtype), hists0,
+        jnp.zeros((), jnp.int32), x, v, jnp.zeros((), dt),
+        jnp.zeros((1, n), dt), x0, a_x0, grad0,
+        gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, dt), hists0,
     )
     final = jax.lax.while_loop(cond, body, init)
     out = (final.x, final.it.astype(jnp.float32), final.norm_res,
@@ -780,7 +785,7 @@ def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit,
     Returns (x, numit, norm_res, converged).
     """
     n = q.shape[0]
-    dt = q.dtype
+    dt = labels.dtype
     scal = jnp.stack([
         jnp.asarray(t, dt), jnp.asarray(norm_a, dt), jnp.asarray(big_c, dt),
         jnp.asarray(tol, dt), jnp.asarray(1.2, dt),
@@ -830,9 +835,10 @@ def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
     (T, maxit) when ``record=True`` — enough for the dual-SVM experiment's
     projected JSONL keys [method, it, f_evals, norm_res]
     (dual_svm/runme.jl:141; f_evals is deterministically it+1 in the
-    engine's record snapshot)."""
+    engine's record snapshot). ``q`` may be bf16 storage (iterates follow
+    ``labels``)."""
     n = q.shape[0]
-    dt = q.dtype
+    dt = labels.dtype
     ts = jnp.asarray(ts, dt)
     tcount = ts.shape[0]
     hl = _hist_len(maxit)
@@ -941,8 +947,12 @@ def _f0_ops(a, at, bv, lam, h_kind="l2"):
 def _cv_core(a, at, bv, lam, gamma, sigma, tol, *, maxit, h_kind="l2", record=False):
     """Condat-Vu fixed-step PD, transcribing the generic engine loop
     (solvers/primal_dual._step with FixedStepsize, f = Zero): per-iteration
-    record snapshot BEFORE the second half, exactly like the engine."""
-    dt = a.dtype
+    record snapshot BEFORE the second half, exactly like the engine.
+
+    Iterates/scalars run in ``bv.dtype``; ``a``/``at`` may be stored bf16
+    (elementwise products promote, halving the VMEM footprint — doubles the
+    resident size range like the adapgm family's bf16 storage)."""
+    dt = bv.dtype
     m, n = a.shape
     a_mv, at_mv, soft, prox_hconj, obj_of = _f0_ops(a, at, bv, lam, h_kind)
 
@@ -1013,8 +1023,9 @@ def _mpls_core(a, at, bv, lam, t, sigma0, tol, *, maxit, h_kind="l2", record=Fal
     gamma*sigma*||A(x)-A(x_prev)||^2 <= 0.95||x-x_prev||^2, capped at the
     engine's 100 trials. ``record=True`` carries per-iteration
     (gamma, sigma, norm_res, trials, objective) — trials makes the
-    data-dependent oracle counters reconstructible."""
-    dt = a.dtype
+    data-dependent oracle counters reconstructible. Iterates in
+    ``bv.dtype``; ``a``/``at`` may be stored bf16."""
+    dt = bv.dtype
     m, n = a.shape
     a_mv, at_mv, soft, prox_hconj, obj_of = _f0_ops(a, at, bv, lam, h_kind)
     sqrt2 = jnp.sqrt(jnp.asarray(2.0, dt))
@@ -1171,9 +1182,9 @@ def _f0_sweep(core, a, bv, lam, ts, p2, tol, maxit, record=False,
     grid over the t values, each step a complete early-exit solve with A
     and A' resident. Returns (x (T, n), numit (T,), norm_res (T,),
     converged (T,), ls_failed (T,)[, (hg, hs, hr, ht, ho) each
-    (T, maxit)])."""
+    (T, maxit)]). ``a`` may be bf16 storage (iterates follow ``bv``)."""
     m, n = a.shape
-    dt = a.dtype
+    dt = bv.dtype
     ts = jnp.asarray(ts, dt)
     tcount = ts.shape[0]
     hl = _hist_len(maxit)
@@ -1229,9 +1240,10 @@ def resident_condat_vu(a, bv, lam, gamma, sigma, tol, maxit, record=False,
                        h_kind="l2", interpret=False):
     """Whole-solve Condat-Vu for min lam||x||_1 + ||Ax - bv||_2 in one
     resident kernel. a: (m, n) tile-aligned; bv: (m,). Returns
-    (x (n,), numit, norm_res, converged[, (hr, ho) (maxit,) histories])."""
+    (x (n,), numit, norm_res, converged[, (hr, ho) (maxit,) histories]).
+    ``a`` may be bf16 storage (iterates follow ``bv``)."""
     m, n = a.shape
-    dt = a.dtype
+    dt = bv.dtype
     record = bool(record)
     scal = jnp.stack([jnp.asarray(gamma, dt), jnp.asarray(sigma, dt),
                       jnp.asarray(lam, dt), jnp.asarray(tol, dt)])

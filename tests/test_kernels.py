@@ -1044,3 +1044,53 @@ def test_resident_cubic_backtracking_and_agraal():
     np.testing.assert_allclose(np.asarray(recs.objective)[:30],
                                np.asarray(ref.records.objective)[:30],
                                rtol=1e-9)
+
+
+def test_resident_f0_bf16_storage():
+    """bf16 A/A' storage in the f = 0 linesearch PD kernels (iterates stay
+    in bv.dtype = f32 via promotion): the MP t-sweep must track the f32-
+    storage sweep and converge to the same solution."""
+    from adaprox_tpu.ops.resident import resident_mpls_sweep
+
+    rng_ = np.random.default_rng(7)
+    m_, n_ = 64, 128
+    a32 = jnp.asarray(rng_.standard_normal((m_, n_)) / np.sqrt(m_),
+                      jnp.float32)
+    xs = np.zeros(n_); xs[:6] = rng_.standard_normal(6)
+    bv = jnp.asarray(np.asarray(a32) @ xs + 0.01 * rng_.standard_normal(m_),
+                     jnp.float32)
+    ts = jnp.asarray([0.5], jnp.float32)
+    kw = dict(record=False, h_kind="l2", interpret=True)
+    x32, it32, r32, c32, l32 = resident_mpls_sweep(
+        a32, bv, 0.05, ts, 1.0, 1e-4, 3000, **kw)
+    xbf, itbf, rbf, cbf, lbf = resident_mpls_sweep(
+        a32.astype(jnp.bfloat16), bv, 0.05, ts, 1.0, 1e-4, 3000, **kw)
+    assert xbf.dtype == jnp.float32
+    assert bool(c32[0]) and bool(cbf[0])
+    np.testing.assert_allclose(np.asarray(xbf), np.asarray(x32),
+                               rtol=5e-2, atol=3e-2)
+
+
+def test_resident_dsvm_bf16_storage():
+    """bf16 Q storage in the dual-SVM resident sweep (iterates follow the
+    f32 labels): converges to the f32-storage solution."""
+    from adaprox_tpu.ops.resident import resident_adapdm_dsvm_sweep
+
+    rng_ = np.random.default_rng(8)
+    n_pts, d = 128, 16
+    feats = rng_.standard_normal((n_pts, d)) / np.sqrt(d)
+    lb = np.sign(rng_.standard_normal(n_pts)); lb[lb == 0] = 1
+    dyx = (lb[:, None] * feats).astype(np.float32)
+    q32 = jnp.asarray(dyx @ dyx.T, jnp.float32)
+    lab = jnp.asarray(lb, jnp.float32)
+    na = float(np.linalg.norm(lb))
+    ts = jnp.asarray([1.0], jnp.float32)
+    x32, it32, r32, c32 = resident_adapdm_dsvm_sweep(
+        q32, lab, 0.1, ts, na, 1e-4, 4000, interpret=True)
+    xbf, itbf, rbf, cbf = resident_adapdm_dsvm_sweep(
+        q32.astype(jnp.bfloat16), lab, 0.1, ts, na, 1e-4, 4000,
+        interpret=True)
+    assert xbf.dtype == jnp.float32
+    assert bool(c32[0]) and bool(cbf[0])
+    np.testing.assert_allclose(np.asarray(xbf), np.asarray(x32),
+                               rtol=5e-2, atol=5e-3)
