@@ -45,7 +45,8 @@ def pick_platform(force_cpu: bool = False, x64: bool = False):
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-    elif x64:
+        return
+    if x64:
         jax.config.update("jax_enable_x64", True)
     else:
         # accelerator path runs f32: the f64-to-f32 truncation of the numpy
@@ -55,6 +56,18 @@ def pick_platform(force_cpu: bool = False, x64: bool = False):
         warnings.filterwarnings(
             "ignore", message=".*requested dtype float64.*", category=UserWarning
         )
+
+    # force one tiny synced dispatch before anything is timed: the FIRST
+    # device round-trip of a fresh process through the relay can stall
+    # 60-100+ s (session establishment / queue) — measured landing entirely
+    # in whichever wall_s row happened to run first, even with every kernel
+    # compile already in the persistent cache
+    try:
+        import jax.numpy as jnp
+
+        float(jnp.zeros((8, 128)).sum())
+    except Exception:
+        pass
 
 
 def pad_tiles(a, b, m_mult=8, n_mult=128):

@@ -15,7 +15,8 @@ import os
 from .common import Sink, group_rows, pick_platform, plot_lines, run_timed
 
 
-def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6, maxit=10_000):
+def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6,
+                            maxit=10_000, resident=False):
     import jax.numpy as jnp
 
     import adaprox_tpu as ap
@@ -33,6 +34,65 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6, maxit=10_00
 
     def add(name, fn):
         sink.add(run_timed(times, name, fn))
+
+    if resident:
+        # whole-solve on-core: the worst-case objective is the quadratic
+        # f = 0.5 x'Qx + q'x with Q = (L/4) tridiag(-1,2,-1) on the first k
+        # coordinates and q = -(L/4) e1 — exactly the resident cubic model
+        # with c = 0 (dense Q at n ~ 100 is VMEM-trivial; padded
+        # coordinates of Q/q are zero so they stay exactly 0)
+        import numpy as np
+        import jax
+        from types import SimpleNamespace
+
+        from adaprox_tpu.ops.resident import resident_adapgm, resident_records
+        from adaprox_tpu.ops.resident_bt import (resident_backtracking,
+                                                 resident_bt_records)
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+        dt = x0.dtype
+        n_pad = -(-n // 128) * 128
+        t_np = np.zeros((n_pad, n_pad))
+        for i in range(k):
+            t_np[i, i] = 2.0
+            if i + 1 < k:
+                t_np[i, i + 1] = t_np[i + 1, i] = -1.0
+        q_mat = jnp.asarray(lip / 4 * t_np, dt)
+        q_vec = jnp.zeros(n_pad, dt).at[0].set(-lip / 4)
+        x0_pad = jnp.zeros(n_pad, dt)
+        ckw = dict(prox_kind="zero", obj_kind="cubic", cube_c=0.0,
+                   record=True, interpret=interp)
+
+        def add_rule(name, rule_kind, gamma0, momentum=False):
+            def solve():
+                x, numit, nres, conv, hg, hr, ho = resident_adapgm(
+                    q_mat, q_vec, x0_pad, gamma0, tol, maxit,
+                    rule_kind=rule_kind, momentum=momentum, **ckw)
+                recs = resident_records(numit, hg, hr, ho, maxit=maxit,
+                                        momentum=momentum)
+                return SimpleNamespace(records=recs, name=name, x=x)
+            sink.add(run_timed(times, name, solve))
+
+        def add_bt(name, nesterov=False):
+            def solve():
+                x, numit, nres, conv, lsf, hg, hr, ho, ht = \
+                    resident_backtracking(
+                        q_mat, q_vec, x0_pad, 1.0, tol, maxit,
+                        nesterov=nesterov, **ckw)
+                recs = resident_bt_records(numit, hg, hr, ho, ht,
+                                           maxit=maxit, nesterov=nesterov)
+                return SimpleNamespace(records=recs, name=name, x=x)
+            sink.add(run_timed(times, name, solve))
+
+        add_rule("Fixed stepsize PGM", "fixed", 1 / lip)
+        add_bt("Backtracking PG")
+        add_rule("Fixed Nesterov", "fixed", 1 / lip, momentum=True)
+        add_bt("Backtracking Nesterov", nesterov=True)
+        add_rule("AdaPGM (MM)", "mm", 1 / lip)
+        add_rule("AdaPGM", "adapgm", 1 / lip)
+        sink.emit_meta(wall_s=times, fast_path="resident",
+                       fast_methods=sorted(times))
+        return optimum
 
     add("Fixed stepsize PGM", lambda: ap.fixed_proxgrad(
         x0, gamma=1 / lip, name="Fixed stepsize PGM", **kw))
@@ -75,6 +135,9 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--f64", action="store_true",
                    help="f64 on the accelerator (reference-regime parity)")
+    p.add_argument("--resident", action="store_true",
+                   help="whole-solve VMEM-resident kernels (dense worst-case"
+                        " quadratic as the c=0 cubic model)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -82,7 +145,8 @@ def main(argv=None):
     path = os.path.join(args.outdir, "nesterov_worst_case.jsonl")
     sink = Sink(path)
     opt = run_nesterov_worst_case(sink, k=args.k, n=args.n, lip=args.L,
-                                  tol=args.tol, maxit=args.maxit)
+                                  tol=args.tol, maxit=args.maxit,
+                                  resident=args.resident)
     print(f"{path}: optimum={opt:.8f}")
     if not args.no_plot:
         plot_convergence(path)

@@ -72,6 +72,7 @@ def main(argv=None):
         "lasso": ["--resident"],
         "sparse_logreg": ["--resident"],
         "cubic_sparse_logreg": ["--resident"],
+        "nesterov_worst_case": ["--resident"],
         "dual_svm": ["--resident"],
         "square_root_lasso": ["--resident"],
         "least_absolute_deviation": ["--resident"],
