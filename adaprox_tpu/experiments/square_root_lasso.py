@@ -198,6 +198,117 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
     return source
 
 
+def run_composite_grid(datasets, outdir, inner_cls, lam=10.0, tol=1e-5,
+                       maxit=5000):
+    """The ENTIRE multi-dataset experiment as one (dataset x t) grid launch
+    per solver family (ops.resident._f0_grid): datasets zero-padded to a
+    common tile shape (exact for the f = 0 translate family), one compile
+    for the common shape instead of one per dataset, one launch per family
+    instead of one per (dataset, family). Condat-Vu stays one resident
+    launch per dataset (a single solve each). Per-file ``wall_s`` carries
+    the amortized share (total/D) plus the grid total in
+    ``grid_total_s``."""
+    import time as _time
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    import adaprox_tpu as ap
+    from adaprox_tpu.ops.resident import (
+        _VMEM_BYTES, resident_adapdmp_grid, resident_adapdmp_records,
+        resident_condat_vu, resident_cv_records, resident_mp_records,
+        resident_mpls_grid)
+
+    h_kind = "l1" if inner_cls is ap.L1Norm else "l2"
+    interp = jax.default_backend() not in ("tpu", "axon")
+    loaded = []
+    m_max = n_max = 0
+    for ds in datasets:
+        x_np, y_np, source = _load(ds)
+        m, n = x_np.shape
+        a_np = np.hstack([x_np, np.ones((m, 1))])
+        loaded.append((os.path.basename(str(ds)), a_np, y_np, source))
+        m_max = max(m_max, -(-m // 128) * 128)
+        n_max = max(n_max, -(-(n + 1) // 128) * 128)
+    if m_max * n_max * jnp.asarray(0.0).dtype.itemsize > _VMEM_BYTES:
+        raise ValueError(
+            f"common padded shape ({m_max}, {n_max}) exceeds the resident "
+            "VMEM budget; run per-dataset --resident instead")
+    dcount = len(loaded)
+    dt = jnp.asarray(0.0).dtype  # ambient float dtype (f64 under --cpu/--f64)
+    a_stack = np.zeros((dcount, m_max, n_max))
+    bv_stack = np.zeros((dcount, m_max))
+    norm_as = []
+    for i, (_, a_np, y_np, _) in enumerate(loaded):
+        a_stack[i, :a_np.shape[0], :a_np.shape[1]] = a_np
+        bv_stack[i, :y_np.shape[0]] = y_np
+        norm_as.append(float(np.linalg.norm(a_np)))
+    a_stack = jnp.asarray(a_stack, dt)
+    bv_stack = jnp.asarray(bv_stack, dt)
+    lams = jnp.full((dcount,), float(lam), dt)
+    ts = jnp.asarray(T_VALUES, dt)
+
+    def timed(fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        for leaf in jax.tree_util.tree_leaves(out):
+            jax.block_until_ready(leaf)
+        float(jnp.asarray(out[1]).sum())  # forced sync (relay semantics)
+        return out, _time.perf_counter() - t0
+
+    cv_results, cv_walls = [], []
+    for i in range(dcount):
+        (out, w) = timed(lambda i=i: resident_condat_vu(
+            a_stack[i], bv_stack[i], float(lam), 1.0 / norm_as[i],
+            0.99 / norm_as[i], tol, maxit, record=True, h_kind=h_kind,
+            interpret=interp))
+        cv_results.append(out)
+        cv_walls.append(w)
+
+    mp_out, mp_wall = timed(lambda: resident_mpls_grid(
+        a_stack, bv_stack, lams, ts, jnp.ones((dcount,), dt),
+        tol, maxit, record=True, h_kind=h_kind, interpret=interp))
+    pd_out, pd_wall = timed(lambda: resident_adapdmp_grid(
+        a_stack, bv_stack, lams, ts, jnp.asarray(norm_as, dt),
+        tol, maxit, record=True, h_kind=h_kind, interpret=interp))
+
+    for i, (name, _, _, source) in enumerate(loaded):
+        path = os.path.join(outdir, f"{name}.jsonl")
+        sink = Sink(path, keys=KEYS)
+        xcv, numit_cv, _, _, cv_hists = cv_results[i]
+        sink.add(SimpleNamespace(
+            records=resident_cv_records(
+                numit_cv, 1.0 / norm_as[i], 0.99 / norm_as[i], cv_hists,
+                maxit=maxit),
+            name="Condat-Vu"), primal_dual=True)
+        _, numits, _, _, _, mp_hists = mp_out
+        for j, t in enumerate(T_VALUES):
+            sink.add(SimpleNamespace(
+                records=resident_mp_records(
+                    numits[i][j], tuple(hh[i][j] for hh in mp_hists),
+                    maxit=maxit),
+                name=f"Malitsky-Pock (t={t})"), primal_dual=True)
+        _, numits_p, _, _, _, pd_hists = pd_out
+        for j, t in enumerate(T_VALUES):
+            sink.add(SimpleNamespace(
+                records=resident_adapdmp_records(
+                    numits_p[i][j], tuple(hh[i][j] for hh in pd_hists),
+                    maxit=maxit),
+                name=f"AdaPDM+ (t={t})"), primal_dual=True)
+        sink.emit_meta(
+            wall_s={"Condat-Vu": round(cv_walls[i], 4),
+                    "Malitsky-Pock t-sweep": round(mp_wall / dcount, 4),
+                    "AdaPDM+ t-sweep": round(pd_wall / dcount, 4)},
+            fast_path="resident-grid",
+            grid_total_s={"Malitsky-Pock t-sweep": round(mp_wall, 4),
+                          "AdaPDM+ t-sweep": round(pd_wall, 4)},
+            fast_methods=["Condat-Vu", "Malitsky-Pock t-sweep",
+                          "AdaPDM+ t-sweep"])
+        sink.emit_meta(data_source=source)
+        print(f"{path}: data={source} (grid-batched)")
+
+
 def plot_residual(path, title_prefix="Square root lasso"):
     from ..utils.logging import find_best, read_jsonl
 
@@ -240,12 +351,24 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
                    help="whole-solve VMEM-resident kernels: on-core "
                         "Condat-Vu and the Malitsky-Pock t-sweep as one "
                         "kernel launch each")
+    p.add_argument("--resident-grid", action="store_true",
+                   help="the ENTIRE multi-dataset grid as one (dataset x t)"
+                        " kernel launch per solver family")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
 
     inner_cls = ap.L2Norm if inner == "l2" else ap.L1Norm
     title = "Square root lasso" if inner == "l2" else "Least absolute deviation"
+    if args.resident_grid:
+        datasets = args.datasets.split(",")
+        run_composite_grid(datasets, args.outdir, inner_cls, lam=args.lam,
+                           tol=args.tol, maxit=args.maxit)
+        if not args.no_plot:
+            for ds in datasets:
+                plot_residual(os.path.join(
+                    args.outdir, f"{os.path.basename(ds)}.jsonl"), title)
+        return
     for ds in args.datasets.split(","):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
         sink = Sink(path, keys=KEYS)

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_records", "resident_supported",
            "resident_condat_vu", "resident_mpls_sweep", "resident_cv_records",
+           "resident_mpls_grid", "resident_adapdmp_grid",
            "resident_mp_records", "resident_adapdmp_sweep",
            "resident_adapdmp_records"]
 
@@ -1233,6 +1234,131 @@ def _f0_sweep(core, a, bv, lam, ts, p2, tol, maxit, record=False,
     if record:
         return base + (tuple(o[:, 0, :maxit] for o in outs[2:7]),)
     return base
+
+
+def _f0_grid_kernel(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
+                    *, maxit, h_kind, core, tcount):
+    """2-D (dataset, coupling) grid step: program_id(0) = dataset block d
+    (A/A'/bv re-streamed only when d changes — t is the INNER grid axis),
+    program_id(1) = coupling index. Per-cell scalars in a FULL
+    (D*T, 4) SMEM table at row d*T + t."""
+    d = pl.program_id(0)
+    i = d * tcount + pl.program_id(1)
+    x, it_f, nres, conv, ls_failed = core(
+        a_ref[0], at_ref[0], bv_ref[0], scal_ref[i, 2], scal_ref[i, 0],
+        scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind)
+    x_ref[0, 0] = x
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = conv
+    stats_ref[i, 3] = ls_failed
+
+
+def _f0_grid_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
+                        hg_ref, hs_ref, hr_ref, ht_ref, ho_ref, *, maxit,
+                        h_kind, core, tcount):
+    d = pl.program_id(0)
+    i = d * tcount + pl.program_id(1)
+    x, it_f, nres, conv, ls_failed, hists = core(
+        a_ref[0], at_ref[0], bv_ref[0], scal_ref[i, 2], scal_ref[i, 0],
+        scal_ref[i, 1], scal_ref[i, 3], maxit=maxit, h_kind=h_kind,
+        record=True)
+    x_ref[0, 0] = x
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = conv
+    stats_ref[i, 3] = ls_failed
+    (hg_ref[0, 0], hs_ref[0, 0], hr_ref[0, 0], ht_ref[0, 0],
+     ho_ref[0, 0]) = hists
+
+
+@functools.partial(jax.jit, static_argnames=("core", "maxit", "record",
+                                             "h_kind", "interpret"))
+def _f0_grid(core, a_stack, bv_stack, lams, ts, p2s, tol, maxit,
+             record=False, h_kind="l2", interpret=False):
+    """DATASET-BATCHED coupling grid for the f = 0 linesearch PD cores: the
+    reference's whole multi-dataset experiment loop
+    (square_root_lasso/runme.jl:100-110 over datasets x :48 over t) as ONE
+    kernel launch. ``a_stack``: (D, m, n) datasets zero-padded to a common
+    tile-aligned shape (exact for this translate family — padded rows/cols
+    stay 0); ``bv_stack``: (D, m); ``lams``/``p2s``: per-dataset lambda and
+    sigma0/eta0 (eta0 = that dataset's ||A||_F for AdaPDM+); ``ts``: (T,)
+    couplings shared across datasets. One compile for the common shape
+    instead of D shape-specialized compiles, and the per-launch dispatch is
+    paid once. Returns the _f0_sweep contract with a leading D axis:
+    (x (D, T, n), numit (D, T), norm_res, converged, ls_failed
+    [, 5 histories (D, T, maxit)])."""
+    dcount, m, n = a_stack.shape
+    dt = bv_stack.dtype
+    ts = jnp.asarray(ts, dt)
+    tcount = ts.shape[0]
+    hl = _hist_len(maxit)
+    # (D, T, 4) -> (D*T, 4) rows of [t, p2_d, lam_d, tol]
+    scal = jnp.stack([
+        jnp.tile(ts, dcount),
+        jnp.repeat(jnp.asarray(p2s, dt), tcount),
+        jnp.repeat(jnp.asarray(lams, dt), tcount),
+        jnp.full((dcount * tcount,), tol, dt),
+    ], axis=1)
+    at_stack = jnp.swapaxes(a_stack, 1, 2)
+    out_specs = [
+        pl.BlockSpec((1, 1, 1, n), lambda d, t: (d, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((dcount, tcount, 1, n), dt),
+        jax.ShapeDtypeStruct((dcount * tcount, 4), jnp.float32),
+    ]
+    if record:
+        kern = functools.partial(_f0_grid_kernel_rec, maxit=maxit,
+                                 h_kind=h_kind, core=core, tcount=tcount)
+        out_specs += [pl.BlockSpec((1, 1, 1, hl), lambda d, t: (d, t, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 5
+        out_shape += [jax.ShapeDtypeStruct((dcount, tcount, 1, hl), dt)] * 5
+    else:
+        kern = functools.partial(_f0_grid_kernel, maxit=maxit,
+                                 h_kind=h_kind, core=core, tcount=tcount)
+    outs = pl.pallas_call(
+        kern,
+        grid=(dcount, tcount),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m, n), lambda d, t: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, m), lambda d, t: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda d, t: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(scal, a_stack, at_stack, bv_stack.reshape(dcount, 1, m))
+    stats = outs[1].reshape(dcount, tcount, 4)
+    base = (outs[0][:, :, 0, :], stats[..., 0].astype(jnp.int32),
+            stats[..., 1].astype(dt), stats[..., 2] > 0, stats[..., 3] > 0)
+    if record:
+        return base + (tuple(o[:, :, 0, :maxit] for o in outs[2:7]),)
+    return base
+
+
+def resident_mpls_grid(a_stack, bv_stack, lams, ts, sigma0s, tol, maxit,
+                       record=False, h_kind="l2", interpret=False):
+    """Malitsky-Pock (dataset x t) grid in one launch — see _f0_grid."""
+    return _f0_grid(_mpls_core, a_stack, bv_stack, lams, ts, sigma0s, tol,
+                    maxit, record=record, h_kind=h_kind, interpret=interpret)
+
+
+def resident_adapdmp_grid(a_stack, bv_stack, lams, ts, eta0s, tol, maxit,
+                          record=False, h_kind="l2", interpret=False):
+    """AdaPDM+ (dataset x t) grid in one launch — eta0s per dataset (its
+    ||A||_F) — see _f0_grid."""
+    return _f0_grid(_adapdmp_core, a_stack, bv_stack, lams, ts, eta0s, tol,
+                    maxit, record=record, h_kind=h_kind, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "record", "h_kind", "interpret"))

@@ -1094,3 +1094,52 @@ def test_resident_dsvm_bf16_storage():
     assert bool(c32[0]) and bool(cbf[0])
     np.testing.assert_allclose(np.asarray(xbf), np.asarray(x32),
                                rtol=5e-2, atol=5e-3)
+
+
+def test_resident_f0_grid_matches_per_dataset_sweeps():
+    """The (dataset x t) grid launch must reproduce each per-dataset sweep
+    exactly — common zero-padding of rows beyond a dataset's true m is
+    exact for the f = 0 translate family."""
+    from adaprox_tpu.ops.resident import (resident_adapdmp_grid,
+                                          resident_adapdmp_sweep,
+                                          resident_mpls_grid,
+                                          resident_mpls_sweep)
+
+    rng_ = np.random.default_rng(11)
+    shapes = [(64, 128), (32, 128)]
+    m_max = 64
+    ts = jnp.asarray([0.5, 2.0], jnp.float64)
+    a_list, bv_list, na_list = [], [], []
+    for mi, ni in shapes:
+        ai = rng_.standard_normal((mi, ni)) / np.sqrt(mi)
+        bvi = rng_.standard_normal(mi)
+        a_pad = np.zeros((m_max, ni)); a_pad[:mi] = ai
+        bv_pad = np.zeros(m_max); bv_pad[:mi] = bvi
+        a_list.append(a_pad); bv_list.append(bv_pad)
+        na_list.append(float(np.linalg.norm(ai)))
+    a_stack = jnp.asarray(np.stack(a_list), jnp.float64)
+    bv_stack = jnp.asarray(np.stack(bv_list), jnp.float64)
+    lams = jnp.asarray([0.05, 0.1], jnp.float64)
+    maxit = 300
+
+    for grid_fn, sweep_fn, p2s in [
+        (resident_mpls_grid, resident_mpls_sweep,
+         jnp.asarray([1.0, 1.0], jnp.float64)),
+        (resident_adapdmp_grid, resident_adapdmp_sweep,
+         jnp.asarray(na_list, jnp.float64)),
+    ]:
+        xg, itg, resg, convg, lsg, hists_g = grid_fn(
+            a_stack, bv_stack, lams, ts, p2s, 1e-6, maxit, record=True,
+            interpret=True)
+        for d in range(2):
+            xs, its, ress, convs, lss, hists_s = sweep_fn(
+                a_stack[d], bv_stack[d], float(lams[d]), ts, float(p2s[d]),
+                1e-6, maxit, record=True, interpret=True)
+            np.testing.assert_array_equal(np.asarray(itg[d]),
+                                          np.asarray(its))
+            np.testing.assert_allclose(np.asarray(xg[d]), np.asarray(xs),
+                                       rtol=1e-12, atol=1e-15)
+            for hg_, hs_ in zip(hists_g, hists_s):
+                np.testing.assert_allclose(np.asarray(hg_[d]),
+                                           np.asarray(hs_), rtol=1e-12,
+                                           atol=1e-15)
