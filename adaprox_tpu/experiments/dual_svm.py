@@ -72,7 +72,9 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
     # reference coupling grid (dual_svm/runme.jl:61-76)
     if resident:
         from adaprox_tpu.ops.resident import (
-            _VMEM_BYTES, resident_adapdm_dsvm_sweep, resident_pd_records)
+            _VMEM_BYTES, resident_adapdm_dsvm_sweep, resident_cv_dsvm,
+            resident_cv_records, resident_mp_dsvm_sweep, resident_mp_records,
+            resident_pd_records)
 
         n_pad = -(-n_pts // 128) * 128
         d_pad = -(-dyx.shape[1] // 128) * 128
@@ -108,6 +110,43 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
                                            maxit=maxit, t=float(t))
                 sink.add(SimpleNamespace(records=recs, name=f"AdaPDM (t={t})"),
                          primal_dual=True)
+
+            # MP t-sweep on-core: the general-f linesearch (Bregman term of
+            # the resident quadratic) runs in-kernel, one launch for the grid
+            def mp_sweep():
+                return resident_mp_dsvm_sweep(
+                    q_arg, lab_pad, float(big_c),
+                    jnp.asarray(T_VALUES, dyx.dtype), 1.0 / norm_a, tol,
+                    maxit, n_true=n_pts, record=True,
+                    factored=not dense_ok, interpret=interp)
+
+            _, numits_mp, _, _, _, mp_hists = run_timed(
+                times, "MP t-sweep (resident)", mp_sweep)
+            for i, t in enumerate(T_VALUES):
+                recs = resident_mp_records(
+                    numits_mp[i], tuple(h[i] for h in mp_hists), maxit=maxit)
+                sink.add(SimpleNamespace(records=recs,
+                                         name=f"Malitsky-Pock (t={t})"),
+                         primal_dual=True)
+
+            # Condat-Vu on-core with the engine's par-heuristic fixed steps
+            par, par2 = 5.0, 100.0
+            alpha = 1.0 if norm_a > par * lf else par2 * norm_a / lf
+            cv_gamma = 1.0 / (lf / 2 + norm_a / alpha)
+            cv_sigma = 0.99 / (norm_a * alpha)
+
+            def cv_solve():
+                return resident_cv_dsvm(
+                    q_arg, lab_pad, float(big_c), cv_gamma, cv_sigma, tol,
+                    maxit, n_true=n_pts, record=True,
+                    factored=not dense_ok, interpret=interp)
+
+            _, numit_cv, _, _, cv_hists = run_timed(
+                times, "Condat-Vu", cv_solve)
+            sink.add(SimpleNamespace(
+                records=resident_cv_records(numit_cv, cv_gamma, cv_sigma,
+                                            cv_hists, maxit=maxit),
+                name="Condat-Vu"), primal_dual=True)
         else:
             print(f"  [resident] Q {n_pad}^2 exceeds the VMEM budget; "
                   "falling back to the engine sweep")
@@ -144,7 +183,9 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             ), primal_dual=True)
         times["AdaPDM t-sweep"] = round(_time.perf_counter() - t0, 4)
 
-    if vmap_sweep:
+    if resident:
+        pass  # MP rows already written by the resident sweep
+    elif vmap_sweep:
         # nested while (linesearch) inside scan inside vmap — one kernel
         def solve_mp(t):
             res = ap.malitsky_pock(
@@ -168,15 +209,18 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             ), primal_dual=True)
         times["MP t-sweep"] = round(_time.perf_counter() - t0, 4)
 
-    sink.add(run_timed(times, "Condat-Vu", lambda: ap.condat_vu(
-        x0, y0, f=f, g=g, h=h, A=a_op, Lf=lf, tol=tol, maxit=maxit,
-        history=True, name="Condat-Vu",
-    )), primal_dual=True)
+    if not resident:  # resident path wrote its on-core Condat-Vu row above
+        sink.add(run_timed(times, "Condat-Vu", lambda: ap.condat_vu(
+            x0, y0, f=f, g=g, h=h, A=a_op, Lf=lf, tol=tol, maxit=maxit,
+            history=True, name="Condat-Vu",
+        )), primal_dual=True)
     sink.emit_meta(
         wall_s=times,
         fast_path=("resident" if resident else
                    "vmap" if vmap_sweep else "default"),
-        fast_methods=(["AdaPDM t-sweep (resident)"] if resident else
+        fast_methods=(["AdaPDM t-sweep (resident)",
+                       "MP t-sweep (resident)", "Condat-Vu"]
+                      if resident else
                       ["AdaPDM t-sweep (vmap)"] if vmap_sweep else []))
     return source
 

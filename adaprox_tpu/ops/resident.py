@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_records", "resident_supported",
            "resident_condat_vu", "resident_mpls_sweep", "resident_cv_records",
            "resident_mpls_grid", "resident_adapdmp_grid",
+           "resident_mp_dsvm_sweep", "resident_cv_dsvm",
            "resident_mp_records", "resident_adapdmp_sweep",
            "resident_adapdmp_records"]
 
@@ -723,6 +724,379 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
     if record:
         return out + (final.hists,)
     return out
+
+
+def _dsvm_obj(q, lab, n_true, factored):
+    """Shared dual-SVM smooth oracle on (1, N) rows: returns
+    (qx_of, ones, a_mv) with grad = qx - ones, f = 0.5 x.qx - ones.x.
+    ``ones`` is the iota-masked linear term (padded coordinates see 0 so
+    they stay exactly 0 through the box prox — _pd_core semantics)."""
+    n_pts = q.shape[0]
+    dt = lab.dtype
+    ones = (jax.lax.broadcasted_iota(jnp.int32, (1, n_pts), 1)
+            < n_true.astype(jnp.int32)).astype(dt)
+
+    if factored:
+        def qx_of(x_row):  # gram-free B(B'x)
+            btx = jnp.sum(q * x_row.T, axis=0, keepdims=True)   # (1, d)
+            return jnp.sum(q * btx, axis=1, keepdims=True).T    # (1, N)
+    else:
+        def qx_of(x_row):
+            return jnp.sum(q * x_row, axis=1, keepdims=True).T
+
+    def a_mv(x_row):  # scalar labels'x
+        return jnp.sum(lab * x_row)
+
+    return qx_of, ones, a_mv
+
+
+def _dsvm_mp_core(q, lab, t, sigma0, big_c, tol, n_true, *, maxit,
+                  factored=False, record=False):
+    """Malitsky-Pock linesearch for the dual-SVM problem (f = 0.5 x'Qx -
+    1'x resident, g = IndBox(0, C), h = IndZero with scalar dual),
+    transcribing solvers/malitsky_pock._solve: sigma grows by sqrt(2), the
+    inner linesearch halves sigma until
+
+        gamma*sigma*(dax)^2 + 2*gamma*(f(x) - f(x_prev)
+            - <grad_prev, dx>) <= 0.95 ||dx||^2
+
+    — each trial one Q-matvec (the f eval; the gradient is qx - ones, free
+    from the same matvec), capped at the engine's 101 evals. Returns the
+    _mpls_core contract; record hists (hg, hs, hr, ht, ho)."""
+    dt = lab.dtype
+    n = q.shape[0]
+    qx_of, ones, a_mv = _dsvm_obj(q, lab, n_true, factored)
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dt))
+
+    def clamp(v):
+        return jnp.clip(v, 0.0, big_c)
+
+    x0 = jnp.zeros((1, n), dt)
+    hl = _hist_len(maxit)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, hl), 1)
+
+    class C(NamedTuple):
+        it: jnp.ndarray
+        x: jnp.ndarray
+        y: jnp.ndarray       # scalar dual
+        a_x: jnp.ndarray     # scalar
+        at_y: jnp.ndarray    # (1, N)
+        sigma: jnp.ndarray
+        ls_failed: jnp.ndarray
+        norm_res: jnp.ndarray
+        hists: object
+
+    def body(c):
+        at_y_prev = c.at_y
+        w = c.y + c.sigma * c.a_x
+        y = w  # prox of (IndZero)* = Zero: identity
+        at_y = lab * y
+
+        sigma_prev = c.sigma
+        sigma_try = c.sigma * sqrt2
+        x_prev, a_x_prev = c.x, c.a_x
+        qx_prev = qx_of(c.x)
+        grad_prev = qx_prev - ones
+        f_x_prev = 0.5 * jnp.sum(c.x * qx_prev) - jnp.sum(ones * c.x)
+
+        def trial(sigma, trials):
+            theta = sigma / sigma_prev
+            gamma = t * t * sigma
+            at_ybar = (1 + theta) * at_y - theta * at_y_prev
+            v = x_prev - gamma * (at_ybar + grad_prev)
+            x = clamp(v)
+            a_x = a_mv(x)
+            qx = qx_of(x)
+            f_x = 0.5 * jnp.sum(x * qx) - jnp.sum(ones * x)
+            dax = a_x - a_x_prev
+            dx = x - x_prev
+            lhs = (gamma * sigma * dax * dax
+                   + 2 * gamma * (f_x - f_x_prev
+                                  - jnp.sum(grad_prev * dx)))
+            return (sigma, gamma, x, v, a_x, qx, f_x, lhs, trials)
+
+        def ls_cond(cc):
+            sigma, _, x, _, _, _, _, lhs, trials = cc
+            dx = x - x_prev
+            return jnp.logical_and(lhs > 0.95 * jnp.sum(dx * dx),
+                                   trials < 101)
+
+        def ls_body(cc):
+            return trial(cc[0] / 2, cc[8] + 1)
+
+        c0 = trial(sigma_try, jnp.ones((), jnp.int32))
+        sigma, gamma, x, v, a_x, qx, f_x, lhs, trials = jax.lax.while_loop(
+            ls_cond, ls_body, c0)
+        dx_acc = x - x_prev
+        ls_failed = lhs > 0.95 * jnp.sum(dx_acc * dx_acc)
+
+        grad_x = qx - ones
+        primal = (v - x) / gamma + grad_x + at_y
+        # dual_res = (w - y)/sigma_prev - a_x = -a_x
+        norm_res = jnp.sqrt(jnp.sum(primal * primal) + a_x * a_x)
+        if record:
+            hg, hs, hr, ht, ho = c.hists
+            mask = iota == c.it
+            hists = (jnp.where(mask, gamma, hg),
+                     jnp.where(mask, sigma, hs),
+                     jnp.where(mask, norm_res, hr),
+                     jnp.where(mask, trials.astype(dt), ht),
+                     jnp.where(mask, f_x, ho))
+        else:
+            hists = c.hists
+        return C(c.it + 1, x, y, a_x, at_y, sigma,
+                 jnp.logical_or(c.ls_failed, ls_failed), norm_res, hists)
+
+    def cond(c):
+        return jnp.logical_and(c.it < maxit, c.norm_res > tol)
+
+    hists0 = ((jnp.zeros((1, hl), dt),) * 5 if record else None)
+    init = C(jnp.zeros((), jnp.int32), x0, jnp.zeros((), dt),
+             jnp.zeros((), dt), jnp.zeros((1, n), dt),
+             jnp.asarray(sigma0, dt), jnp.zeros((), jnp.bool_),
+             jnp.asarray(jnp.inf, dt), hists0)
+    final = jax.lax.while_loop(cond, body, init)
+    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
+           (final.norm_res <= tol).astype(jnp.float32),
+           final.ls_failed.astype(jnp.float32))
+    if record:
+        return out + (final.hists,)
+    return out
+
+
+def _dsvm_cv_core(q, lab, gamma, sigma, big_c, tol, n_true, *, maxit,
+                  factored=False, record=False):
+    """Condat-Vu fixed-step PD for the dual-SVM problem, transcribing the
+    generic engine loop (solvers/primal_dual._step with FixedStepsize):
+    record snapshot BEFORE the second half, ck_x convergence semantics."""
+    dt = lab.dtype
+    n = q.shape[0]
+    qx_of, ones, a_mv = _dsvm_obj(q, lab, n_true, factored)
+
+    def clamp(v):
+        return jnp.clip(v, 0.0, big_c)
+
+    # warm-up (engine _init): x0 = 0, y0 = 0
+    x0 = jnp.zeros((1, n), dt)
+    a_x0 = a_mv(x0)
+    grad0 = qx_of(x0) - ones
+    v = x0 - gamma * grad0  # at_y0 = 0
+    x = clamp(v)
+
+    hl = _hist_len(maxit)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, hl), 1)
+
+    class C(NamedTuple):
+        it: jnp.ndarray
+        x: jnp.ndarray
+        v: jnp.ndarray
+        y: jnp.ndarray       # scalar dual
+        at_y: jnp.ndarray
+        a_x_prev: jnp.ndarray
+        ck_x: jnp.ndarray
+        norm_res: jnp.ndarray
+        hists: object        # (hr, ho) when record
+
+    def body(c):
+        a_x = a_mv(c.x)
+        qx = qx_of(c.x)
+        grad = qx - ones
+        primal = (c.v - c.x) / gamma + grad + c.at_y
+        w = c.y + sigma * (2.0 * a_x - c.a_x_prev)  # rho = 1 fixed rule
+        y = w  # prox of (IndZero)* = Zero: identity
+        norm_res = jnp.sqrt(jnp.sum(primal * primal) + a_x * a_x)
+        if record:
+            hr, ho = c.hists
+            mask = iota == c.it
+            f_x = 0.5 * jnp.sum(c.x * qx) - jnp.sum(ones * c.x)
+            hists = (jnp.where(mask, norm_res, hr), jnp.where(mask, f_x, ho))
+        else:
+            hists = c.hists
+        at_y = lab * y
+        v = c.x - gamma * (grad + at_y)
+        x_new = clamp(v)
+        return C(c.it + 1, x_new, v, y, at_y, a_x, c.x, norm_res, hists)
+
+    def cond(c):
+        return jnp.logical_and(c.it < maxit, c.norm_res > tol)
+
+    hists0 = ((jnp.zeros((1, hl), dt),) * 2 if record else None)
+    init = C(jnp.zeros((), jnp.int32), x, v, jnp.zeros((), dt),
+             jnp.zeros((1, n), dt), a_x0, x, jnp.asarray(jnp.inf, dt),
+             hists0)
+    final = jax.lax.while_loop(cond, body, init)
+    converged = final.norm_res <= tol
+    x_out = jnp.where(converged, final.ck_x, final.x)
+    out = (x_out, final.it.astype(jnp.float32), final.norm_res,
+           converged.astype(jnp.float32))
+    if record:
+        return out + (final.hists,)
+    return out
+
+
+def _dsvm_mp_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *,
+                          maxit, factored, record):
+    """One grid step per coupling t; scal (T, 5) SMEM rows of
+    [t, sigma0, big_c, tol, n_true]; record adds 5 (T, 1, H) outputs."""
+    i = pl.program_id(0)
+    out = _dsvm_mp_core(
+        q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1],
+        scal_ref[i, 2], scal_ref[i, 3], scal_ref[i, 4], maxit=maxit,
+        factored=factored, record=record)
+    x_ref[0] = out[0]
+    stats_ref[i, 0] = out[1]
+    stats_ref[i, 1] = out[2].astype(jnp.float32)
+    stats_ref[i, 2] = out[3]
+    stats_ref[i, 3] = out[4]
+
+
+def _dsvm_mp_sweep_kernel_rec(scal_ref, q_ref, lab_ref, x_ref, stats_ref,
+                              hg_ref, hs_ref, hr_ref, ht_ref, ho_ref, *,
+                              maxit, factored):
+    i = pl.program_id(0)
+    x, it_f, nres, conv, lsf, hists = _dsvm_mp_core(
+        q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1],
+        scal_ref[i, 2], scal_ref[i, 3], scal_ref[i, 4], maxit=maxit,
+        factored=factored, record=True)
+    x_ref[0] = x
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = conv
+    stats_ref[i, 3] = lsf
+    hg_ref[0], hs_ref[0], hr_ref[0], ht_ref[0], ho_ref[0] = hists
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "record", "factored",
+                                             "interpret"))
+def resident_mp_dsvm_sweep(q, labels, big_c, ts, sigma0, tol, maxit,
+                           n_true=None, record=False, factored=False,
+                           interpret=False):
+    """The dual-SVM Malitsky-Pock coupling sweep (dual_svm/runme.jl:61) as
+    ONE kernel launch: grid over t, each step a complete early-exit MP
+    solve with Q (or the factored B) resident. Same contract as
+    resident_mpls_sweep; the record hists feed resident_mp_records (the
+    counter schedule is identical to the engine's general-f MP)."""
+    n = q.shape[0]
+    dt = labels.dtype
+    ts = jnp.asarray(ts, dt)
+    tcount = ts.shape[0]
+    hl = _hist_len(maxit)
+    scal = jnp.stack([
+        ts,
+        jnp.full((tcount,), sigma0, dt),
+        jnp.full((tcount,), big_c, dt),
+        jnp.full((tcount,), tol, dt),
+        jnp.full((tcount,), n if n_true is None else n_true, dt),
+    ], axis=1)
+    out_specs = [
+        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tcount, 1, n), dt),
+        jax.ShapeDtypeStruct((tcount, 4), jnp.float32),
+    ]
+    if record:
+        kern = functools.partial(_dsvm_mp_sweep_kernel_rec, maxit=maxit,
+                                 factored=factored)
+        out_specs += [pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)] * 5
+        out_shape += [jax.ShapeDtypeStruct((tcount, 1, hl), dt)] * 5
+    else:
+        kern = functools.partial(_dsvm_mp_sweep_kernel, maxit=maxit,
+                                 factored=factored, record=False)
+    outs = pl.pallas_call(
+        kern,
+        grid=(tcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(scal, q, labels.reshape(1, n))
+    stats = outs[1]
+    base = (outs[0][:, 0, :], stats[:, 0].astype(jnp.int32),
+            stats[:, 1].astype(dt), stats[:, 2] > 0, stats[:, 3] > 0)
+    if record:
+        return base + (tuple(o[:, 0, :maxit] for o in outs[2:7]),)
+    return base
+
+
+def _dsvm_cv_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit,
+                    factored):
+    """scal (SMEM, (5,)): [gamma, sigma, big_c, tol, n_true]."""
+    x, it_f, nres, conv = _dsvm_cv_core(
+        q_ref[:], lab_ref[:], scal_ref[0], scal_ref[1], scal_ref[2],
+        scal_ref[3], scal_ref[4], maxit=maxit, factored=factored)
+    x_ref[:] = x
+    stats_ref[0] = it_f
+    stats_ref[1] = nres.astype(jnp.float32)
+    stats_ref[2] = conv
+
+
+def _dsvm_cv_kernel_rec(q_ref, lab_ref, scal_ref, x_ref, stats_ref, hr_ref,
+                        ho_ref, *, maxit, factored):
+    x, it_f, nres, conv, hists = _dsvm_cv_core(
+        q_ref[:], lab_ref[:], scal_ref[0], scal_ref[1], scal_ref[2],
+        scal_ref[3], scal_ref[4], maxit=maxit, factored=factored,
+        record=True)
+    x_ref[:] = x
+    stats_ref[0] = it_f
+    stats_ref[1] = nres.astype(jnp.float32)
+    stats_ref[2] = conv
+    hr_ref[:], ho_ref[:] = hists
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "record", "factored",
+                                             "interpret"))
+def resident_cv_dsvm(q, labels, big_c, gamma, sigma, tol, maxit,
+                     n_true=None, record=False, factored=False,
+                     interpret=False):
+    """Whole-solve Condat-Vu for the dual SVM (fixed steps from the
+    engine's par-heuristics, solvers/primal_dual.condat_vu). Same contract
+    as resident_condat_vu; record hists feed resident_cv_records."""
+    n = q.shape[0]
+    dt = labels.dtype
+    scal = jnp.stack([
+        jnp.asarray(gamma, dt), jnp.asarray(sigma, dt),
+        jnp.asarray(big_c, dt), jnp.asarray(tol, dt),
+        jnp.asarray(n if n_true is None else n_true, dt),
+    ])
+    hl = _hist_len(maxit)
+    out_shape = [jax.ShapeDtypeStruct((1, n), dt),
+                 jax.ShapeDtypeStruct((3,), jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if record:
+        kern = functools.partial(_dsvm_cv_kernel_rec, maxit=maxit,
+                                 factored=factored)
+        out_shape += [jax.ShapeDtypeStruct((1, hl), dt)] * 2
+        out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    else:
+        kern = functools.partial(_dsvm_cv_kernel, maxit=maxit,
+                                 factored=factored)
+    outs = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(q, labels.reshape(1, n), scal)
+    base = (outs[0][0], outs[1][0].astype(jnp.int32), outs[1][1].astype(dt),
+            outs[1][2] > 0)
+    if record:
+        return base + ((outs[2][0, :maxit], outs[3][0, :maxit]),)
+    return base
 
 
 def _pd_kernel(q_ref, lab_ref, scal_ref, x_ref, stats_ref, *, maxit):

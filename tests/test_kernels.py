@@ -1143,3 +1143,113 @@ def test_resident_f0_grid_matches_per_dataset_sweeps():
                 np.testing.assert_allclose(np.asarray(hg_[d]),
                                            np.asarray(hs_), rtol=1e-12,
                                            atol=1e-15)
+
+
+def _dsvm_problem(seed=9, n_pts=128, d=16):
+    rng_ = np.random.default_rng(seed)
+    feats = rng_.standard_normal((n_pts, d)) / np.sqrt(d)
+    lb = np.sign(rng_.standard_normal(n_pts)); lb[lb == 0] = 1
+    return (lb[:, None] * feats).astype(np.float64), lb.astype(np.float64)
+
+
+def test_resident_mp_dsvm_matches_engine_records():
+    """Resident dual-SVM Malitsky-Pock t-sweep (general-f linesearch with
+    the Bregman term in-kernel) must reproduce the engine's per-iteration
+    gamma/sigma/norm_res AND trial counts."""
+    from adaprox_tpu.models.objectives import FactoredQuadratic
+    from adaprox_tpu.ops.resident import (resident_mp_dsvm_sweep,
+                                          resident_mp_records)
+
+    dyx, lb = _dsvm_problem()
+    n_pts = lb.shape[0]
+    dyx_j = jnp.asarray(dyx)
+    lab = jnp.asarray(lb)
+    f = FactoredQuadratic(b_mat=dyx_j, q_vec=-jnp.ones(n_pts, jnp.float64))
+    na = float(np.linalg.norm(lb))
+    big_c = 0.1
+    maxit = 150
+    ts = [0.5, 2.0]
+    q = jax.lax.dot_general(dyx_j, dyx_j, (((1,), (1,)), ((), ())),
+                            precision="highest")
+    xs, numits, ress, convs, lsf, hists = resident_mp_dsvm_sweep(
+        q, lab, big_c, jnp.asarray(ts, jnp.float64), 1.0 / na, 0.0, maxit,
+        record=True, interpret=True)
+    for i, t in enumerate(ts):
+        recs = resident_mp_records(numits[i], tuple(h[i] for h in hists),
+                                   maxit=maxit)
+        ref = ap.malitsky_pock(
+            jnp.zeros(n_pts, jnp.float64), jnp.zeros(1, jnp.float64),
+            f=f, g=ap.IndBox(lo=0.0, hi=big_c), h=ap.IndZero(),
+            A=ap.DenseOperator(a=jnp.asarray(lb[None, :])), sigma=1.0 / na,
+            t=t, tol=0.0, maxit=maxit, history=True)
+        # the quadratic's Bregman term makes the linesearch accept/reject
+        # test a knife edge (difference of near-equal values): a 1-ulp
+        # formulation difference flips a halving and doubles gamma —
+        # discrete chaos (cf. the cubic backtracking test). Exact prefix,
+        # then objective-level agreement at the end.
+        np.testing.assert_allclose(np.asarray(recs.gamma)[:10],
+                                   np.asarray(ref.records.gamma)[:10],
+                                   rtol=1e-9, err_msg=f"gamma t={t}")
+        np.testing.assert_allclose(np.asarray(recs.sigma)[:10],
+                                   np.asarray(ref.records.sigma)[:10],
+                                   rtol=1e-9, err_msg=f"sigma t={t}")
+        np.testing.assert_allclose(np.asarray(recs.norm_res)[:10],
+                                   np.asarray(ref.records.norm_res)[:10],
+                                   rtol=1e-7, err_msg=f"norm_res t={t}")
+        for k in ("f_evals", "prox_g_evals", "A_evals"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(recs, k))[:10],
+                np.asarray(getattr(ref.records, k))[:10], f"{k} t={t}")
+        np.testing.assert_allclose(np.asarray(recs.objective)[-1],
+                                   float(f.value_and_aux(ref.x)[0]),
+                                   rtol=1e-5, err_msg=f"final obj t={t}")
+    # factored path: same trajectories from B without the Gram
+    d_pad = 128
+    b_pad = jnp.pad(dyx_j, ((0, 0), (0, d_pad - dyx.shape[1])))
+    xs_f, numits_f, _, _, _, hists_f = resident_mp_dsvm_sweep(
+        b_pad, lab, big_c, jnp.asarray(ts, jnp.float64), 1.0 / na, 0.0,
+        maxit, record=True, factored=True, interpret=True)
+    # dense-vs-factored formulation differences hit the same linesearch
+    # knife edges — exact prefix + same converged objective
+    np.testing.assert_allclose(np.asarray(hists_f[0])[:, :10],
+                               np.asarray(hists[0])[:, :10], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(hists_f[4])[:, -1],
+                               np.asarray(hists[4])[:, -1], rtol=1e-5)
+
+
+def test_resident_cv_dsvm_matches_engine():
+    from adaprox_tpu.models.objectives import FactoredQuadratic
+    from adaprox_tpu.ops.resident import resident_cv_dsvm, resident_cv_records
+
+    dyx, lb = _dsvm_problem(seed=10)
+    n_pts = lb.shape[0]
+    dyx_j = jnp.asarray(dyx)
+    lab = jnp.asarray(lb)
+    f = FactoredQuadratic(b_mat=dyx_j, q_vec=-jnp.ones(n_pts, jnp.float64))
+    lf = float(f.norm_q())
+    na = float(np.linalg.norm(lb))
+    big_c = 0.1
+    maxit = 200
+    # engine par-heuristics (solvers/primal_dual.condat_vu)
+    par, par2 = 5.0, 100.0
+    alpha = 1.0 if na > par * lf else par2 * na / lf
+    gamma = 1.0 / (lf / 2 + na / alpha)
+    sigma = 0.99 / (na * alpha)
+    q = jax.lax.dot_general(dyx_j, dyx_j, (((1,), (1,)), ((), ())),
+                            precision="highest")
+    x, numit, nres, conv, hists = resident_cv_dsvm(
+        q, lab, big_c, gamma, sigma, 0.0, maxit, record=True,
+        interpret=True)
+    recs = resident_cv_records(numit, gamma, sigma, hists, maxit=maxit)
+    ref = ap.condat_vu(
+        jnp.zeros(n_pts, jnp.float64), jnp.zeros(1, jnp.float64),
+        f=f, g=ap.IndBox(lo=0.0, hi=big_c), h=ap.IndZero(),
+        A=ap.DenseOperator(a=jnp.asarray(lb[None, :])), Lf=lf,
+        tol=0.0, maxit=maxit, history=True)
+    np.testing.assert_allclose(np.asarray(recs.norm_res)[:100],
+                               np.asarray(ref.records.norm_res)[:100],
+                               rtol=1e-8)
+    np.testing.assert_array_equal(np.asarray(recs.f_evals),
+                                  np.asarray(ref.records.f_evals))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-8,
+                               atol=1e-12)
