@@ -101,3 +101,34 @@ def test_ell_operator_fuzz(seed):
                                rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(op.rmatvec(y)), d.T @ np.asarray(y),
                                rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("scale", [1e-2, 1.0, 1e2])
+def test_resident_bt_fuzz(seed, scale):
+    """Badly scaled random instances through the resident backtracking /
+    aGRAAL kernels (interpret mode): finite outputs, consistent with the
+    prox-feasible set, trial caps surfaced rather than poisoning x."""
+    import jax
+
+    from adaprox_tpu.ops.resident_bt import (resident_agraal,
+                                             resident_backtracking)
+
+    rng = np.random.default_rng(300 + seed)
+    m_, n_ = 32, 128
+    a = jnp.asarray(rng.standard_normal((m_, n_)) * scale)
+    b = jnp.asarray(rng.standard_normal(m_) * scale)
+    lf = float(np.linalg.norm(np.asarray(a), 2) ** 2)
+    x0 = jnp.zeros(n_)
+    for nesterov in (False, True):
+        x, numit, nres, conv, lsf = resident_backtracking(
+            a, b, x0, 10.0 / lf, 0.0, 200, xi=1.5, nesterov=nesterov,
+            prox_kind="l1", p1=0.1 * scale**2, interpret=True)
+        assert np.isfinite(np.asarray(x)).all(), (seed, scale, nesterov)
+        assert np.isfinite(float(nres))
+    x0p = x0 + jax.random.normal(jax.random.PRNGKey(seed), x0.shape, x0.dtype)
+    x, numit, nres, conv = resident_agraal(
+        a, b, x0, x0p, 1.0 / lf, 0.0, 200, prox_kind="l1",
+        p1=0.1 * scale**2, interpret=True)
+    assert np.isfinite(np.asarray(x)).all(), (seed, scale)
+    assert np.isfinite(float(nres))
