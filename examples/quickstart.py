@@ -90,3 +90,21 @@ res = ap.adaptive_primal_dual(
 )
 print(f"block-sparse PD: {int(res.numit)} iters, residual "
       f"{float(res.norm_res):.1e}, block density {op.block_density:.2f}")
+
+# ---- 6. whole-solve resident kernels: the complete linesearch solve (trial
+# loop and all) as ONE kernel launch — ~10x the engine on the reference
+# grids when the matrix fits VMEM (pad to 8x128 tiles first)
+from adaprox_tpu.ops.resident_bt import resident_backtracking, resident_bt_records
+
+m3, n3 = 64, 256
+a3 = jnp.asarray(rng.standard_normal((m3, n3)).astype(np.float32))
+b3 = jnp.asarray(rng.standard_normal(m3).astype(np.float32))
+lf3 = float(np.linalg.norm(np.asarray(a3), 2) ** 2)
+interp = jax.default_backend() not in ("tpu", "axon")
+x, numit, nres, conv, lsf, hg, hr, ho, ht = resident_backtracking(
+    a3, b3, jnp.zeros(n3, jnp.float32), 10.0 / lf3, 1e-5, 5000, xi=1.5,
+    prox_kind="l1", p1=1.0, record=True, interpret=interp)
+recs = resident_bt_records(numit, hg, hr, ho, ht, maxit=5000)
+print(f"resident backtracking PG: {int(numit)} iters in one launch, "
+      f"residual {float(nres):.1e}, "
+      f"{int(np.asarray(recs.f_evals)[int(numit)-1])} f-evals")
