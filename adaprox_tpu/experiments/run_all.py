@@ -74,8 +74,8 @@ def main(argv=None):
         "cubic_sparse_logreg": ["--resident"],
         "nesterov_worst_case": ["--resident"],
         "dual_svm": ["--resident"],
-        "square_root_lasso": ["--resident"],
-        "least_absolute_deviation": ["--resident"],
+        "square_root_lasso": ["--resident-grid"],
+        "least_absolute_deviation": ["--resident-grid"],
     }
     for name, fn, extra in jobs:
         t0 = time.time()
