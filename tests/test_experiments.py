@@ -151,3 +151,77 @@ def test_plotting(tmp_path):
 
     lasso.main(["--outdir", str(tmp_path), "--sizes", "32x48x8", "--maxit", "60"])
     assert os.path.exists(tmp_path / "lasso_32_48_8.jsonl.pdf")
+
+
+def test_cubic_driver_resident(tmp_path):
+    """--resident runs every cubic method row on-core with the same JSONL
+    schema and method set as the engine path."""
+    from adaprox_tpu.experiments import cubic_sparse_logreg
+
+    cubic_sparse_logreg.main(["--outdir", str(tmp_path), "--datasets",
+                              "mushrooms", "--maxit", "30", "--resident",
+                              "--no-plot"])
+    rows = read_jsonl(tmp_path / "mushrooms.jsonl")
+    ms = _methods(rows)
+    assert {"Nesterov (backtracking)", "AdaPGM (MM)", "AdaPGM (Ours)",
+            "aGRAAL"} <= ms
+    assert sum(1 for m in ms if m.startswith("PGM (backtracking)")) == 3
+    meta = [r for r in rows if r.get("fast_path")]
+    assert meta and meta[0]["fast_path"] == "resident"
+
+
+def test_nesterov_worst_case_driver_resident(tmp_path):
+    from adaprox_tpu.experiments import nesterov_worst_case
+
+    nesterov_worst_case.main(["--outdir", str(tmp_path), "--maxit", "60",
+                              "--resident", "--no-plot"])
+    rows = read_jsonl(tmp_path / "nesterov_worst_case.jsonl")
+    ms = _methods(rows)
+    assert {"Fixed stepsize PGM", "Backtracking PG", "Fixed Nesterov",
+            "Backtracking Nesterov", "AdaPGM (MM)", "AdaPGM"} == ms
+
+
+def test_lasso_driver_resident_all_rows(tmp_path):
+    """--resident covers the backtracking and aGRAAL rows too (all nine
+    method rows on-core)."""
+    from adaprox_tpu.experiments import lasso
+
+    lasso.main(["--outdir", str(tmp_path), "--sizes", "64x128x8", "--maxit",
+                "80", "--resident", "--no-plot"])
+    rows = read_jsonl(tmp_path / "lasso_64_128_8.jsonl")
+    meta = [r for r in rows if r.get("fast_path")]
+    assert meta[0]["fast_path"] == "resident"
+    assert len(meta[0]["fast_methods"]) == 9
+
+
+def test_dual_svm_driver_resident_all_rows(tmp_path):
+    from adaprox_tpu.experiments import dual_svm
+
+    dual_svm.main(["--outdir", str(tmp_path), "--datasets", "heart_scale",
+                   "--C", "0.1", "--maxit", "60", "--resident", "--no-plot"])
+    rows = read_jsonl(tmp_path / "heart_scale_C_0.1.jsonl")
+    ms = _methods(rows)
+    assert "Condat-Vu" in ms
+    assert sum(1 for m in ms if m.startswith("AdaPDM (")) == 12
+    assert sum(1 for m in ms if m.startswith("Malitsky-Pock")) == 12
+    meta = [r for r in rows if r.get("fast_path")]
+    assert meta[0]["fast_path"] == "resident"
+
+
+def test_sqrt_lasso_resident_grid_driver(tmp_path):
+    """--resident-grid: one (dataset x t) launch per family, same files."""
+    from adaprox_tpu.experiments import square_root_lasso
+
+    square_root_lasso.main(["--outdir", str(tmp_path), "--datasets",
+                            "housing_scale,abalone", "--maxit", "40",
+                            "--resident-grid", "--no-plot"])
+    for ds in ("housing_scale", "abalone"):
+        rows = read_jsonl(tmp_path / f"{ds}.jsonl")
+        ms = _methods(rows)
+        assert "Condat-Vu" in ms
+        assert sum(1 for m in ms if m.startswith("Malitsky-Pock")) == 15
+        assert sum(1 for m in ms if m.startswith("AdaPDM+")) == 15
+        meta = [r for r in rows if r.get("fast_path")]
+        assert meta[0]["fast_path"] == "resident-grid"
+        assert "grid_total_s" in meta[0] or any(
+            "grid_total_s" in r for r in rows)
