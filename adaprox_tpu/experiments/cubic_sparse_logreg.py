@@ -78,10 +78,8 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100,
         # and the engine path pays ~25 ms relay dispatch per step — every
         # method (incl. the in-kernel backtracking linesearches and aGRAAL)
         # runs as ONE early-exit kernel launch (ops.resident_bt)
-        from adaprox_tpu.ops.resident import resident_adapgm, resident_records
-        from adaprox_tpu.ops.resident_bt import (
-            resident_agraal, resident_agraal_records, resident_backtracking,
-            resident_bt_records)
+        from adaprox_tpu.ops.resident import resident_records
+        from adaprox_tpu.ops.resident_bt import resident_bt_records
 
         interp = jax.default_backend() not in ("tpu", "axon")
         dt = x0.dtype
@@ -93,48 +91,77 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100,
         ckw = dict(prox_kind="zero", obj_kind="cubic", cube_c=float(lam),
                    record=True, interpret=interp)
 
-        def add_adapgm(name, rule_kind, tol_r=tol, maxit_r=maxit):
-            def solve():
-                x, numit, nres, conv, hg, hr, ho = resident_adapgm(
-                    h_pad, q_pad, x0_pad, gam, tol_r, maxit_r,
-                    rule_kind=rule_kind, **ckw)
-                recs = resident_records(numit, hg, hr, ho, maxit=maxit_r)
-                return SimpleNamespace(records=recs, name=name, x=x)
-            sink.add(run_timed(times, name or "(ground truth)", solve))
+        # THREE launches for all eight rows (cf. lasso.py): rule menu
+        # (incl. the tol/10 maxit*10 ground truth via per-row caps), the
+        # four backtracking rows, aGRAAL
+        import time as _time
 
-        def add_bt(name, xi=1.0, nesterov=False):
-            def solve():
-                x, numit, nres, conv, lsf, hg, hr, ho, ht = \
-                    resident_backtracking(
-                        h_pad, q_pad, x0_pad, gam, tol, maxit, xi=xi,
-                        nesterov=nesterov, **ckw)
-                recs = resident_bt_records(numit, hg, hr, ho, ht,
-                                           maxit=maxit, nesterov=nesterov)
-                return SimpleNamespace(records=recs, name=name, x=x)
-            sink.add(run_timed(times, name, solve))
+        from adaprox_tpu.ops.resident import resident_rule_sweep, rule_rows
+        from adaprox_tpu.ops.resident_bt import resident_bt_sweep
 
-        def add_ag(name):
-            # the engine's default companion point: x1 + N(0,1) noise from
-            # PRNGKey(0) on the UNPADDED coordinates (padded stay exactly 0
-            # so every reduction matches the unpadded trajectory)
-            noise = jax.random.normal(jax.random.PRNGKey(0), (n,), dt)
-            x0p = x0_pad.at[:n].add(noise)
+        def _sync(tree):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                jax.block_until_ready(leaf)
+            return float(jnp.asarray(tree[1]).sum())
 
-            def solve():
-                x, numit, nres, conv, hg, hr, ho = resident_agraal(
-                    h_pad, q_pad, x0_pad, x0p, gam, tol, maxit, **ckw)
-                recs = resident_agraal_records(numit, hg, hr, ho,
-                                               maxit=maxit)
-                return SimpleNamespace(records=recs, name=name, x=x)
-            sink.add(run_timed(times, name, solve))
+        skw = dict(prox_kind="zero", obj_kind="cubic", cube_c=float(lam),
+                   interpret=interp)
+        bt_rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0],
+                              [gam, 2.0, 0.0], [gam, 1.0, 1.0]])
+        t0 = _time.perf_counter()
+        xb, itb, _, _, _, bt_hists = resident_bt_sweep(
+            h_pad, q_pad, x0_pad, bt_rows, tol, maxit, **skw)
+        _sync((xb, itb))
+        bt_wall = _time.perf_counter() - t0
 
-        add_adapgm(None, "adapgm", tol_r=tol / 10, maxit_r=maxit * 10)
-        for xi in (1.0, 1.5, 2.0):
-            add_bt(f"PGM (backtracking)-(xi={xi})", xi=xi)
-        add_bt("Nesterov (backtracking)", nesterov=True)
-        add_adapgm("AdaPGM (MM)", "mm")
-        add_adapgm("AdaPGM (Ours)", "adapgm")
-        add_ag("aGRAAL")
+        specs = [(gam, "adapgm", False, tol / 10, maxit * 10),
+                 (gam, "mm", False, tol, maxit),
+                 (gam, "adapgm", False, tol, maxit)]
+        caps = [maxit * 10, maxit, maxit]
+        t0 = _time.perf_counter()
+        xr, itr, _, _, rule_hists = resident_rule_sweep(
+            h_pad, q_pad, x0_pad, rule_rows(specs), tol, maxit * 10, **skw)
+        _sync((xr, itr))
+        rule_wall = _time.perf_counter() - t0
+
+        from adaprox_tpu.ops.resident_bt import (resident_agraal,
+                                                 resident_agraal_records)
+        noise = jax.random.normal(jax.random.PRNGKey(0), (n,), dt)
+        x0p = x0_pad.at[:n].add(noise)
+        t0 = _time.perf_counter()
+        xa, ita, nra, conva, hga, hra, hoa = resident_agraal(
+            h_pad, q_pad, x0_pad, x0p, gam, tol, maxit, record=True, **skw)
+        _sync((xa, ita))
+        ag_wall = _time.perf_counter() - t0
+
+        rule_names = [None, "AdaPGM (MM)", "AdaPGM (Ours)"]
+
+        def add_rule_row(j):
+            recs = resident_records(
+                itr[j], *(h[j][:caps[j]] for h in rule_hists),
+                maxit=caps[j])
+            sink.add(SimpleNamespace(records=recs, name=rule_names[j],
+                                     x=xr[j]))
+
+        add_rule_row(0)  # ground truth
+        bt_names = [f"PGM (backtracking)-(xi={xi})" for xi in (1.0, 1.5, 2.0)] \
+            + ["Nesterov (backtracking)"]
+        for j, name in enumerate(bt_names):
+            sink.add(SimpleNamespace(records=resident_bt_records(
+                itb[j], *(h[j] for h in bt_hists), maxit=maxit,
+                nesterov=(j == 3)), name=name, x=xb[j]))
+        add_rule_row(1)
+        add_rule_row(2)
+        sink.add(SimpleNamespace(records=resident_agraal_records(
+            ita, hga, hra, hoa, maxit=maxit), name="aGRAAL", x=xa))
+
+        for name in bt_names:
+            times[name] = round(bt_wall / 4, 4)
+        for name in rule_names:
+            times[name or "(ground truth)"] = round(rule_wall / 3, 4)
+        times["aGRAAL"] = round(ag_wall, 4)
+        sink.emit_meta(grid_total_s={"bt sweep": round(bt_wall, 4),
+                                     "rule sweep": round(rule_wall, 4)})
         sink.emit_meta(wall_s=times, fast_path="resident",
                        fast_methods=sorted(k for k in times))
         return source

@@ -63,10 +63,9 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
     kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
     times = {}
 
-    from adaprox_tpu.ops.resident import resident_adapgm, resident_records, resident_supported
+    from adaprox_tpu.ops.resident import resident_records, resident_supported
     from adaprox_tpu.ops.resident_bt import (
-        resident_agraal, resident_agraal_records, resident_backtracking,
-        resident_bt_records)
+        resident_agraal, resident_agraal_records, resident_bt_records)
 
     use_resident = resident and resident_supported(a)
     if resident and not use_resident:
@@ -77,57 +76,76 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
     def add(name, fn):
         sink.add(run_timed(times, name, fn))
 
-    def add_resident(name, rule_kind, momentum=False):
-        def solve():
-            x, numit, nres, conv, hg, hr, ho = resident_adapgm(
-                a, b, x0, gam, tol, maxit, prox_kind="l1", p1=float(lam),
-                rule_kind=rule_kind, momentum=momentum, record=True,
-                interpret=interp)
-            recs = resident_records(numit, hg, hr, ho, maxit=maxit,
-                                    momentum=momentum)
-            return SimpleNamespace(records=recs, name=name, x=x)
+    if use_resident:
+        # THREE kernel launches for all nine method rows: the rule menu
+        # (fixed PG/Nesterov, MM, Ours) as one dynamic-rule sweep, the four
+        # backtracking rows as one dynamic-nesterov sweep, and aGRAAL —
+        # per-row wall at these sizes is dominated by once-per-process
+        # executable loads, so collapsing the menu into shared executables
+        # is the win. wall_s carries per-row amortized shares + the grid
+        # totals in grid_total_s.
+        import time as _time
 
-        sink.add(run_timed(times, name, solve))
+        from adaprox_tpu.ops.resident import resident_rule_sweep, rule_rows
+        from adaprox_tpu.ops.resident_bt import resident_bt_sweep
 
-    def add_resident_bt(name, xi=1.0, nesterov=False):
-        def solve():
-            x, numit, nres, conv, lsf, hg, hr, ho, ht = \
-                resident_backtracking(
-                    a, b, x0, gam, tol, maxit, xi=xi, nesterov=nesterov,
-                    prox_kind="l1", p1=float(lam), record=True,
-                    interpret=interp)
-            recs = resident_bt_records(numit, hg, hr, ho, ht, maxit=maxit,
-                                       nesterov=nesterov)
-            return SimpleNamespace(records=recs, name=name, x=x)
+        def _sync(tree):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                jax.block_until_ready(leaf)
+            return float(jnp.asarray(tree[1]).sum())  # forced round-trip
 
-        sink.add(run_timed(times, name, solve))
+        bt_names = [f"PGM (backtracking)-(xi={xi})" for xi in (1.0, 1.5, 2.0)]
+        bt_rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0],
+                              [gam, 2.0, 0.0], [gam, 1.0, 1.0]])
+        t0 = _time.perf_counter()
+        xb, itb, _, _, _, bt_hists = resident_bt_sweep(
+            a, b, x0, bt_rows, tol, maxit, prox_kind="l1", p1=float(lam),
+            interpret=interp)
+        _sync((xb, itb))
+        bt_wall = _time.perf_counter() - t0
 
-    def add_resident_agraal(name):
-        # the engine's default companion point: x1 + PRNGKey(0) noise at the
-        # UNPADDED width, zero-padded — padded coordinates then stay exactly
-        # 0 (zero A-columns + l1 shrink), so this row reproduces the
-        # unpadded engine/reference trajectory
+        rule_names = ["PGM (fixed)", "Nesterov (fixed)", "AdaPGM (MM)",
+                      "AdaPGM (Ours)"]
+        specs = [(gam, "fixed", False), (gam, "fixed", True),
+                 (gam, "mm", False), (gam, "adapgm", False)]
+        t0 = _time.perf_counter()
+        xr, itr, _, _, rule_hists = resident_rule_sweep(
+            a, b, x0, rule_rows(specs, tol=tol, maxit=maxit), tol, maxit,
+            prox_kind="l1", p1=float(lam), interpret=interp)
+        _sync((xr, itr))
+        rule_wall = _time.perf_counter() - t0
+
         noise = jax.random.normal(jax.random.PRNGKey(0), (n,), x0.dtype)
         x0p = x0.at[:n].add(noise)
+        t0 = _time.perf_counter()
+        xa, ita, nra, conva, hga, hra, hoa = resident_agraal(
+            a, b, x0, x0p, gam, tol, maxit, prox_kind="l1", p1=float(lam),
+            record=True, interpret=interp)
+        _sync((xa, ita))
+        ag_wall = _time.perf_counter() - t0
 
-        def solve():
-            x, numit, nres, conv, hg, hr, ho = resident_agraal(
-                a, b, x0, x0p, gam, tol, maxit, prox_kind="l1",
-                p1=float(lam), record=True, interpret=interp)
-            recs = resident_agraal_records(numit, hg, hr, ho, maxit=maxit)
-            return SimpleNamespace(records=recs, name=name, x=x)
+        # emit rows in the reference order
+        sink.add(SimpleNamespace(records=resident_records(
+            itr[0], *(h[0] for h in rule_hists), maxit=maxit),
+            name="PGM (fixed)", x=xr[0]))
+        for j, name in enumerate(bt_names + ["Nesterov (backtracking)"]):
+            sink.add(SimpleNamespace(records=resident_bt_records(
+                itb[j], *(h[j] for h in bt_hists), maxit=maxit,
+                nesterov=(j == 3)), name=name, x=xb[j]))
+        for j, name in enumerate(rule_names[1:], start=1):
+            sink.add(SimpleNamespace(records=resident_records(
+                itr[j], *(h[j] for h in rule_hists), maxit=maxit,
+                momentum=(name == "Nesterov (fixed)")), name=name, x=xr[j]))
+        sink.add(SimpleNamespace(records=resident_agraal_records(
+            ita, hga, hra, hoa, maxit=maxit), name="aGRAAL", x=xa))
 
-        sink.add(run_timed(times, name, solve))
-
-    if use_resident:
-        add_resident("PGM (fixed)", "fixed")
-        for xi in (1.0, 1.5, 2.0):
-            add_resident_bt(f"PGM (backtracking)-(xi={xi})", xi=xi)
-        add_resident_bt("Nesterov (backtracking)", nesterov=True)
-        add_resident("Nesterov (fixed)", "fixed", momentum=True)
-        add_resident("AdaPGM (MM)", "mm")
-        add_resident("AdaPGM (Ours)", "adapgm")
-        add_resident_agraal("aGRAAL")
+        for name in bt_names + ["Nesterov (backtracking)"]:
+            times[name] = round(bt_wall / 4, 4)
+        for name in rule_names:
+            times[name] = round(rule_wall / 4, 4)
+        times["aGRAAL"] = round(ag_wall, 4)
+        sink.emit_meta(grid_total_s={"bt sweep": round(bt_wall, 4),
+                                     "rule sweep": round(rule_wall, 4)})
     else:
         add("PGM (fixed)", lambda: ap.fixed_proxgrad(x0, gamma=gam, name="PGM (fixed)", **kw))
         for xi in (1.0, 1.5, 2.0):

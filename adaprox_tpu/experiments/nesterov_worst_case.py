@@ -45,9 +45,8 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6,
         import jax
         from types import SimpleNamespace
 
-        from adaprox_tpu.ops.resident import resident_adapgm, resident_records
-        from adaprox_tpu.ops.resident_bt import (resident_backtracking,
-                                                 resident_bt_records)
+        from adaprox_tpu.ops.resident import resident_records
+        from adaprox_tpu.ops.resident_bt import resident_bt_records
 
         interp = jax.default_backend() not in ("tpu", "axon")
         dt = x0.dtype
@@ -63,33 +62,64 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6,
         ckw = dict(prox_kind="zero", obj_kind="cubic", cube_c=0.0,
                    record=True, interpret=interp)
 
-        def add_rule(name, rule_kind, gamma0, momentum=False):
-            def solve():
-                x, numit, nres, conv, hg, hr, ho = resident_adapgm(
-                    q_mat, q_vec, x0_pad, gamma0, tol, maxit,
-                    rule_kind=rule_kind, momentum=momentum, **ckw)
-                recs = resident_records(numit, hg, hr, ho, maxit=maxit,
-                                        momentum=momentum)
-                return SimpleNamespace(records=recs, name=name, x=x)
-            sink.add(run_timed(times, name, solve))
+        # TWO launches for all six rows: the rule menu as one dynamic-rule
+        # sweep, the two backtracking rows as one dynamic-nesterov sweep
+        import time as _time
 
-        def add_bt(name, nesterov=False):
-            def solve():
-                x, numit, nres, conv, lsf, hg, hr, ho, ht = \
-                    resident_backtracking(
-                        q_mat, q_vec, x0_pad, 1.0, tol, maxit,
-                        nesterov=nesterov, **ckw)
-                recs = resident_bt_records(numit, hg, hr, ho, ht,
-                                           maxit=maxit, nesterov=nesterov)
-                return SimpleNamespace(records=recs, name=name, x=x)
-            sink.add(run_timed(times, name, solve))
+        from adaprox_tpu.ops.resident import resident_rule_sweep, rule_rows
+        from adaprox_tpu.ops.resident_bt import resident_bt_sweep
 
-        add_rule("Fixed stepsize PGM", "fixed", 1 / lip)
-        add_bt("Backtracking PG")
-        add_rule("Fixed Nesterov", "fixed", 1 / lip, momentum=True)
-        add_bt("Backtracking Nesterov", nesterov=True)
-        add_rule("AdaPGM (MM)", "mm", 1 / lip)
-        add_rule("AdaPGM", "adapgm", 1 / lip)
+        def _sync(tree):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                jax.block_until_ready(leaf)
+            return float(jnp.asarray(tree[1]).sum())
+
+        skw = dict(prox_kind="zero", obj_kind="cubic", cube_c=0.0,
+                   interpret=interp)
+        bt_rows = np.asarray([[1.0, 1.0, 0.0], [1.0, 1.0, 1.0]])
+        t0 = _time.perf_counter()
+        xb, itb, _, _, _, bt_hists = resident_bt_sweep(
+            q_mat, q_vec, x0_pad, bt_rows, tol, maxit, **skw)
+        _sync((xb, itb))
+        bt_wall = _time.perf_counter() - t0
+
+        specs = [(1 / lip, "fixed", False), (1 / lip, "fixed", True),
+                 (1 / lip, "mm", False), (1 / lip, "adapgm", False)]
+        t0 = _time.perf_counter()
+        xr, itr, _, _, rule_hists = resident_rule_sweep(
+            q_mat, q_vec, x0_pad, rule_rows(specs, tol=tol, maxit=maxit),
+            tol, maxit, **skw)
+        _sync((xr, itr))
+        rule_wall = _time.perf_counter() - t0
+
+        rule_names = ["Fixed stepsize PGM", "Fixed Nesterov", "AdaPGM (MM)",
+                      "AdaPGM"]
+        bt_names = ["Backtracking PG", "Backtracking Nesterov"]
+
+        def add_rule_row(j):
+            recs = resident_records(
+                itr[j], *(h[j] for h in rule_hists), maxit=maxit,
+                momentum=(j == 1))
+            sink.add(SimpleNamespace(records=recs, name=rule_names[j],
+                                     x=xr[j]))
+
+        add_rule_row(0)
+        sink.add(SimpleNamespace(records=resident_bt_records(
+            itb[0], *(h[0] for h in bt_hists), maxit=maxit),
+            name=bt_names[0], x=xb[0]))
+        add_rule_row(1)
+        sink.add(SimpleNamespace(records=resident_bt_records(
+            itb[1], *(h[1] for h in bt_hists), maxit=maxit, nesterov=True),
+            name=bt_names[1], x=xb[1]))
+        add_rule_row(2)
+        add_rule_row(3)
+
+        for name in bt_names:
+            times[name] = round(bt_wall / 2, 4)
+        for name in rule_names:
+            times[name] = round(rule_wall / 4, 4)
+        sink.emit_meta(grid_total_s={"bt sweep": round(bt_wall, 4),
+                                     "rule sweep": round(rule_wall, 4)})
         sink.emit_meta(wall_s=times, fast_path="resident",
                        fast_methods=sorted(times))
         return optimum

@@ -68,10 +68,9 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
     # -log(2)-per-pad-row mean correction (ops.resident m_true semantics;
     # record-mode parity tested in tests/test_kernels.py)
     from adaprox_tpu.ops.resident import (
-        resident_logreg_l1, resident_records, resident_supported)
+        resident_records, resident_supported)
     from adaprox_tpu.ops.resident_bt import (
-        resident_agraal, resident_agraal_records, resident_backtracking,
-        resident_bt_records)
+        resident_agraal, resident_agraal_records, resident_bt_records)
 
     use_resident = False
     if resident:  # pad + ship [X 1] only when the fast path is requested
@@ -83,66 +82,86 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
                   f"({x1_pad.dtype}); falling back to the engine")
     interp = jax.default_backend() not in ("tpu", "axon")
 
-    def add_resident(name, rule_kind, momentum=False, r_tol=tol, r_maxit=maxit):
-        x0p = jnp.zeros(x1_pad.shape[1], x_mat.dtype)
-
-        def solve():
-            x, numit, nres, conv, hg, hr, ho = resident_logreg_l1(
-                x1_pad, y_pad, x0p, gam, lam, r_tol, r_maxit, m_true=float(m),
-                rule_kind=rule_kind, momentum=momentum, record=True,
-                interpret=interp)
-            recs = resident_records(numit, hg, hr, ho, maxit=r_maxit,
-                                    momentum=momentum)
-            return SimpleNamespace(records=recs, name=name, x=x)
-
-        sink.add(run_timed(times, name or "(ground truth)", solve))
-
-    def add_resident_bt(name, xi=1.0, nesterov=False):
-        x0p = jnp.zeros(x1_pad.shape[1], x_mat.dtype)
-
-        def solve():
-            x, numit, nres, conv, lsf, hg, hr, ho, ht = \
-                resident_backtracking(
-                    x1_pad, y_pad, x0p, gam, tol, maxit // 2, xi=xi,
-                    nesterov=nesterov, prox_kind="l1", p1=float(lam),
-                    obj_kind="logreg", m_true=float(m), record=True,
-                    interpret=interp)
-            recs = resident_bt_records(numit, hg, hr, ho, ht,
-                                       maxit=maxit // 2, nesterov=nesterov)
-            return SimpleNamespace(records=recs, name=name, x=x)
-
-        sink.add(run_timed(times, name, solve))
-
-    def add_resident_agraal(name):
-        # engine default companion: x0 + PRNGKey(0) noise over the UNPADDED
-        # coordinates, zero-padded (padded coords then stay exactly 0, so
-        # the trajectory matches the unpadded engine row)
-        noise = jax.random.normal(jax.random.PRNGKey(0), (n,), x_mat.dtype)
-        x1p = jnp.zeros(x1_pad.shape[1], x_mat.dtype)
-        x0p = x1p.at[:n].add(noise)
-
-        def solve():
-            x, numit, nres, conv, hg, hr, ho = resident_agraal(
-                x1_pad, y_pad, x1p, x0p, gam, tol, maxit, prox_kind="l1",
-                p1=float(lam), obj_kind="logreg", m_true=float(m),
-                record=True, interpret=interp)
-            recs = resident_agraal_records(numit, hg, hr, ho, maxit=maxit)
-            return SimpleNamespace(records=recs, name=name, x=x)
-
-        sink.add(run_timed(times, name, solve))
-
     # high-accuracy ground-truth run, logged with method=None so plotting
     # uses it only through the min-objective (runme.jl:64-73)
     if use_resident:
-        add_resident(None, "adapgm", r_tol=tol / 10, r_maxit=maxit * 10)
-        add_resident("PGM (1/Lf)", "fixed")
-        for xi in (1.0, 1.5, 2.0):
-            add_resident_bt(f"PGM (backtracking)-(xi={xi})", xi=xi)
-        add_resident_bt("Nesterov (backtracking)", nesterov=True)
-        add_resident("Nesterov (fixed)", "fixed", momentum=True, r_maxit=maxit // 2)
-        add_resident("AdaPGM (MM)", "mm")
-        add_resident("AdaPGM (Ours)", "adapgm")
-        add_resident_agraal("aGRAAL")
+        # THREE launches for all ten rows (cf. lasso.py): the rule menu —
+        # incl. the tol/10 maxit*10 ground truth and the half-budget fixed
+        # Nesterov via per-row caps — as one dynamic-rule sweep, the four
+        # backtracking rows (half budget) as one sweep, and aGRAAL
+        import time as _time
+
+        from adaprox_tpu.ops.resident import resident_rule_sweep, rule_rows
+        from adaprox_tpu.ops.resident_bt import resident_bt_sweep
+
+        def _sync(tree):
+            for leaf in jax.tree_util.tree_leaves(tree):
+                jax.block_until_ready(leaf)
+            return float(jnp.asarray(tree[1]).sum())
+
+        x0p = jnp.zeros(x1_pad.shape[1], x_mat.dtype)
+        lkw = dict(prox_kind="l1", p1=float(lam), obj_kind="logreg",
+                   m_true=float(m), interpret=interp)
+
+        half = maxit // 2
+        bt_rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0],
+                              [gam, 2.0, 0.0], [gam, 1.0, 1.0]])
+        t0 = _time.perf_counter()
+        xb, itb, _, _, _, bt_hists = resident_bt_sweep(
+            x1_pad, y_pad, x0p, bt_rows, tol, half, **lkw)
+        _sync((xb, itb))
+        bt_wall = _time.perf_counter() - t0
+
+        specs = [(gam, "adapgm", False, tol / 10, maxit * 10),
+                 (gam, "fixed", False, tol, maxit),
+                 (gam, "fixed", True, tol, half),
+                 (gam, "mm", False, tol, maxit),
+                 (gam, "adapgm", False, tol, maxit)]
+        caps = [maxit * 10, maxit, half, maxit, maxit]
+        t0 = _time.perf_counter()
+        xr, itr, _, _, rule_hists = resident_rule_sweep(
+            x1_pad, y_pad, x0p, rule_rows(specs), tol, maxit * 10, **lkw)
+        _sync((xr, itr))
+        rule_wall = _time.perf_counter() - t0
+
+        noise = jax.random.normal(jax.random.PRNGKey(0), (n,), x_mat.dtype)
+        x0n = x0p.at[:n].add(noise)
+        t0 = _time.perf_counter()
+        xa, ita, nra, conva, hga, hra, hoa = resident_agraal(
+            x1_pad, y_pad, x0p, x0n, gam, tol, maxit, record=True, **lkw)
+        _sync((xa, ita))
+        ag_wall = _time.perf_counter() - t0
+
+        rule_names = [None, "PGM (1/Lf)", "Nesterov (fixed)", "AdaPGM (MM)",
+                      "AdaPGM (Ours)"]
+
+        def add_rule_row(j):
+            name = rule_names[j]
+            recs = resident_records(
+                itr[j], *(h[j][:caps[j]] for h in rule_hists),
+                maxit=caps[j], momentum=(name == "Nesterov (fixed)"))
+            sink.add(SimpleNamespace(records=recs, name=name, x=xr[j]))
+
+        add_rule_row(0)  # ground truth
+        add_rule_row(1)
+        bt_names = [f"PGM (backtracking)-(xi={xi})" for xi in (1.0, 1.5, 2.0)] \
+            + ["Nesterov (backtracking)"]
+        for j, name in enumerate(bt_names):
+            sink.add(SimpleNamespace(records=resident_bt_records(
+                itb[j], *(h[j] for h in bt_hists), maxit=half,
+                nesterov=(j == 3)), name=name, x=xb[j]))
+        for j in (2, 3, 4):
+            add_rule_row(j)
+        sink.add(SimpleNamespace(records=resident_agraal_records(
+            ita, hga, hra, hoa, maxit=maxit), name="aGRAAL", x=xa))
+
+        for name in bt_names:
+            times[name] = round(bt_wall / 4, 4)
+        for name in rule_names:
+            times[name or "(ground truth)"] = round(rule_wall / 5, 4)
+        times["aGRAAL"] = round(ag_wall, 4)
+        sink.emit_meta(grid_total_s={"bt sweep": round(bt_wall, 4),
+                                     "rule sweep": round(rule_wall, 4)})
     else:
         add(None, lambda: ap.adaptive_proxgrad(
             x0, f=f, g=g, rule=ap.AdaPGMRule(gamma=gam), tol=tol / 10,

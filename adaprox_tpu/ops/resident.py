@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_records", "resident_supported",
+__all__ = ["resident_rule_sweep", "rule_rows", "resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_records", "resident_supported",
            "resident_condat_vu", "resident_mpls_sweep", "resident_cv_records",
            "resident_mpls_grid", "resident_adapdmp_grid",
            "resident_mp_dsvm_sweep", "resident_cv_dsvm",
@@ -167,7 +167,8 @@ def _obj_split(a, at, b, obj_kind, m_true, cube_c, dt):
 
 def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
                 rule_kind, momentum, obj_kind="ls", record=False,
-                m_true=None, cube_c=0.0):
+                m_true=None, cube_c=0.0, rule_sel=None, mom_sel=None,
+                it_cap=None):
     """The whole-solve loop on VMEM-resident values. Returns
     (x_final(1, n), it, norm_res, gamma, converged[, hists]). Shared by the
     single and the batched (grid-over-instances) kernels.
@@ -221,7 +222,17 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
         norm_res: jnp.ndarray
         hists: object  # (hg, hr, ho) when record else None
 
-    rule_fn = _RULES[rule_kind]
+    if rule_kind == "dynamic":
+        # traced rule selection (0 = fixed, 1 = mm, 2 = adapgm): ONE
+        # executable serves every rule row of a method menu — at reference
+        # sizes per-row wall is dominated by once-per-process executable
+        # loads, so collapsing the menu into one kernel is the win
+        def rule_fn(g1, g0, ndg2, dgdx, ndx2):
+            return jax.lax.switch(
+                rule_sel, [_rule_fixed, _rule_mm, _rule_adapgm],
+                g1, g0, ndg2, dgdx, ndx2)
+    else:
+        rule_fn = _RULES[rule_kind]
 
     def write_hist(hists, it, gamma, norm_res, objective):
         if not record:
@@ -231,10 +242,11 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
         return (jnp.where(mask, gamma, hg), jnp.where(mask, norm_res, hr),
                 jnp.where(mask, objective, ho))
 
-    if momentum:
+    dynamic_mom = momentum == "dynamic"
+    if momentum or dynamic_mom:
         # accelerated iteration (solvers/nesterov._solve, mu = 0):
         # carry reuse — x: current iterate, x_prev: previous iterate
-        def body(c):
+        def body_mom(c):
             theta = (1 + jnp.sqrt(1 + 4 * c.theta * c.theta)) / 2
             beta = (c.theta - 1) / theta
             z = c.x + beta * (c.x - c.x_prev)
@@ -251,8 +263,8 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
             hists = write_hist(c.hists, c.it, c.gamma, norm_res, objective)
             return C(c.it + 1, x_new, z, c.x, grad_z, c.gamma, c.g1, c.g0,
                      theta, norm_res, hists)
-    else:
-        def body(c):
+    if (not momentum) or dynamic_mom:
+        def body_rule(c):
             f_x, grad = val_grad_of(c.x)
             primal = (c.v - c.x) / c.gamma + grad
             norm_res = jnp.sqrt(jnp.sum(primal * primal))
@@ -274,30 +286,53 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
             return C(c.it + 1, x_new, v, c.x, grad, gamma, g1_new, g0_new,
                      c.theta, norm_res, hists)
 
+    if dynamic_mom:
+        def body(c):
+            return jax.lax.cond(mom_sel, body_mom, body_rule, c)
+    elif momentum:
+        body = body_mom
+    else:
+        body = body_rule
+
+    cap = maxit if it_cap is None else it_cap
+
     def cond(c):
-        return jnp.logical_and(c.it < maxit, c.norm_res > tol)
+        return jnp.logical_and(c.it < cap, c.norm_res > tol)
 
     hists0 = (
         (jnp.zeros((1, hl), dt), jnp.zeros((1, hl), dt), jnp.zeros((1, hl), dt))
         if record else None
     )
-    g0_init = jnp.asarray(jnp.inf, x.dtype) if rule_kind == "mm" else gamma0
+    if rule_kind == "dynamic":
+        g0_init = jnp.where(rule_sel == 1, jnp.asarray(jnp.inf, x.dtype),
+                            gamma0)
+    else:
+        g0_init = (jnp.asarray(jnp.inf, x.dtype) if rule_kind == "mm"
+                   else gamma0)
+    init_m = init_r = None
     if momentum:
         # the momentum path starts from x0 directly (fixed_nesterov's
         # x = x_prev = x0 init with theta0 = 0 for q = 0 — the engine's
         # default at solvers/nesterov.py:154; first step then has theta = 1,
         # beta = -1, z = x0, matching the reference recurrence exactly)
-        init = C(
+        init_m = C(
             jnp.zeros((), jnp.int32), x0, x0, x0, grad0,
             gamma0, gamma0, g0_init, jnp.zeros((), x.dtype),
             jnp.asarray(jnp.inf, x.dtype), hists0,
         )
-    else:
-        init = C(
+    if (not momentum) or dynamic_mom:
+        init_r = C(
             jnp.zeros((), jnp.int32), x, v, x0, grad0,
             gamma0, gamma0, g0_init, jnp.ones((), x.dtype),
             jnp.asarray(jnp.inf, x.dtype), hists0,
         )
+    if dynamic_mom:
+        init = jax.tree_util.tree_map(
+            lambda am, ar: jnp.where(mom_sel, am, ar), init_m, init_r)
+    elif momentum:
+        init = init_m
+    else:
+        init = init_r
     final = jax.lax.while_loop(cond, body, init)
     converged = (final.norm_res <= tol).astype(jnp.float32)
     out = (final.x, final.it.astype(jnp.float32), final.norm_res,
@@ -514,6 +549,126 @@ def resident_adapgm_batch(a, b, x0, scal, maxit, prox_kind="l1",
         stats[:, 1].astype(dt),
         stats[:, 3] > 0,
     )
+
+
+def _rule_sweep_kernel_rec(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref,
+                           stats_ref, hg_ref, hr_ref, ho_ref, *, maxit,
+                           prox_kind, obj_kind, m_true):
+    """One grid step per METHOD row (rule menu incl. the momentum variant):
+    scal (R, 8) SMEM rows of [gamma0, tol, p1, p2, cube_c, rule_sel,
+    mom_sel, it_cap] with rule_sel in {0: fixed, 1: mm, 2: adapgm} and
+    it_cap the per-row iteration budget (<= the launch maxit — lets the
+    ground-truth prerun and half-budget rows share the executable). One
+    executable + one launch serves the whole fixed/Nesterov/MM/AdaPGM menu
+    of an experiment (record mode — these rows always feed the JSONL)."""
+    i = pl.program_id(0)
+    x_f, it_f, nres, gamma, conv, hists = _solve_core(
+        a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
+        scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2], scal_ref[i, 3],
+        maxit=maxit, prox_kind=prox_kind, rule_kind="dynamic",
+        momentum="dynamic", obj_kind=obj_kind, record=True, m_true=m_true,
+        cube_c=scal_ref[i, 4],
+        rule_sel=scal_ref[i, 5].astype(jnp.int32),
+        mom_sel=scal_ref[i, 6] > 0,
+        it_cap=scal_ref[i, 7].astype(jnp.int32))
+    x_ref[0] = x_f
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = gamma.astype(jnp.float32)
+    stats_ref[i, 3] = conv
+    hg_ref[0], hr_ref[0], ho_ref[0] = hists
+
+
+_RULE_IDX = {"fixed": 0, "mm": 1, "adapgm": 2}
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "prox_kind",
+                                             "obj_kind", "m_true",
+                                             "interpret"))
+def resident_rule_sweep(a, b, x0, rows, tol, maxit, prox_kind="l1", p1=0.0,
+                        p2=0.0, cube_c=0.0, obj_kind="ls", m_true=None,
+                        interpret=False):
+    """The whole rule-menu of an experiment as ONE record-mode kernel
+    launch: ``rows`` is a (R, 5) array of [gamma0, rule_idx, momentum,
+    tol, it_cap] (build with ``rule_rows`` — tol/cap default to the launch
+    tol/maxit). ``maxit`` must be >= every row's cap (it sizes the history
+    buffers; slice each row's records to its own budget). Returns
+    (x (R, n), numit (R,), norm_res (R,), converged (R,), (hg, hr, ho)
+    each (R, maxit)) — feed each row to ``resident_records`` with its own
+    momentum flag."""
+    m, n = a.shape
+    dt = x0.dtype
+    rows = jnp.asarray(rows, dt)
+    rcount = rows.shape[0]
+    hl = _hist_len(maxit)
+    scal = jnp.stack([
+        rows[:, 0],
+        rows[:, 3],
+        jnp.full((rcount,), p1, dt),
+        jnp.full((rcount,), p2, dt),
+        jnp.full((rcount,), cube_c, dt),
+        rows[:, 1],
+        rows[:, 2],
+        rows[:, 4],
+    ], axis=1)
+    kern = functools.partial(_rule_sweep_kernel_rec, maxit=maxit,
+                             prox_kind=prox_kind, obj_kind=obj_kind,
+                             m_true=m_true)
+    at = a.T / (m if m_true is None else m_true) if obj_kind == "logreg" \
+        else a.T
+    outs = pl.pallas_call(
+        kern,
+        grid=(rcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(at.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rcount, 1, n), dt),
+            jax.ShapeDtypeStruct((rcount, 4), jnp.float32),
+            jax.ShapeDtypeStruct((rcount, 1, hl), dt),
+            jax.ShapeDtypeStruct((rcount, 1, hl), dt),
+            jax.ShapeDtypeStruct((rcount, 1, hl), dt),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(scal, a, at, b.reshape(1, m), x0.reshape(1, n))
+    stats = outs[1]
+    return (outs[0][:, 0, :], stats[:, 0].astype(jnp.int32),
+            stats[:, 1].astype(dt), stats[:, 3] > 0,
+            tuple(o[:, 0, :maxit] for o in outs[2:5]))
+
+
+def rule_rows(specs, tol=0.0, maxit=0):
+    """Build the (R, 5) rows array for ``resident_rule_sweep`` from
+    [(gamma0, rule_kind, momentum), ...] or
+    [(gamma0, rule_kind, momentum, tol, cap), ...] specs; 3-tuples take
+    the given default tol/maxit."""
+    out = []
+    for spec in specs:
+        if len(spec) == 3:
+            g, r, mom = spec
+            t, cap = tol, maxit
+        else:
+            g, r, mom, t, cap = spec
+        out.append([g, _RULE_IDX[r], 1.0 if mom else 0.0, t, cap])
+    return np.asarray(out)
 
 
 def resident_adapgm_l1(a, b, x0, gamma0, lam, tol, maxit, interpret=False):

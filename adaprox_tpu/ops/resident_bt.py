@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .resident import _GVAL, _PROX, _hist_len, _obj_split
 
-__all__ = ["resident_backtracking", "resident_agraal",
+__all__ = ["resident_backtracking", "resident_bt_sweep", "resident_agraal",
            "resident_bt_records", "resident_agraal_records"]
 
 # engine cap (solvers/backtracking._MAX_TRIALS): initial trial + up to 100
@@ -56,7 +56,7 @@ _MAX_EVALS = 101
 
 def _bt_core(a, at, b, x0, gamma0, xi, shrink, tol, p1, p2, cube_c, *,
              maxit, prox_kind, obj_kind, nesterov, m_true=None,
-             record=False):
+             record=False, nest_sel=None):
     """Backtracking PG / Nesterov on VMEM-resident data, transcribing
     solvers/backtracking._solve_bt. Returns
     (z_final(1, n), it, norm_res, gamma, converged, ls_failed[, hists])
@@ -90,8 +90,11 @@ def _bt_core(a, at, b, x0, gamma0, xi, shrink, tol, p1, p2, cube_c, *,
         ls_failed: jnp.ndarray
         hists: object        # (hg, hr, ho, ht) when record
 
+    dynamic = nesterov == "dynamic"
+
     def body(c):
-        trial_gamma = c.gamma * (1.0 if nesterov else xi)
+        # the nesterov row passes xi = 1.0 (no inflation, src/AdaProx.jl:72)
+        trial_gamma = c.gamma * (1.0 if nesterov is True else xi)
 
         def trial(gamma, evals):
             z = prox(c.x - gamma * c.grad_x, gamma)
@@ -128,16 +131,22 @@ def _bt_core(a, at, b, x0, gamma0, xi, shrink, tol, p1, p2, cube_c, *,
         else:
             hists = c.hists
 
-        if nesterov:
+        def post_nesterov(_):
             theta = (1 + jnp.sqrt(1 + 4 * c.theta * c.theta)) / 2
             x = z + ((c.theta - 1) / theta) * (z - c.z)
             f_x, aux_x = val_aux_of(x)
-            grad_x = grad_from_aux(x, aux_x)
+            return x, f_x, grad_from_aux(x, aux_x), theta
+
+        def post_pg(_):
+            return z, f_z, grad_from_aux(z, aux), c.theta
+
+        if dynamic:
+            x, f_x, grad_x, theta = jax.lax.cond(
+                nest_sel, post_nesterov, post_pg, None)
+        elif nesterov:
+            x, f_x, grad_x, theta = post_nesterov(None)
         else:
-            theta = c.theta
-            x = z
-            f_x = f_z
-            grad_x = grad_from_aux(z, aux)
+            x, f_x, grad_x, theta = post_pg(None)
 
         return C(c.it + 1, x, z, c.z, gamma, f_x, grad_x, theta, norm_res,
                  jnp.logical_or(c.ls_failed, bt_failed), hists)
@@ -415,6 +424,92 @@ def resident_agraal(a, b, x1, x0, gamma0, tol, maxit, *, gamma_max=1e6,
     if record:
         return base + tuple(o[0, :maxit] for o in outs[2:5])
     return base
+
+
+def _bt_sweep_kernel_rec(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref,
+                         stats_ref, hg_ref, hr_ref, ho_ref, ht_ref, *,
+                         maxit, prox_kind, obj_kind, m_true):
+    """One grid step per backtracking METHOD row: scal (R, 8) SMEM rows of
+    [gamma0, xi, shrink, tol, p1, p2, cube_c, nesterov_flag] — one
+    executable + one launch serves every backtracking row of an experiment
+    (the xi variants AND the Nesterov row via a traced post-step cond)."""
+    i = pl.program_id(0)
+    z, it_f, nres, gamma, conv, lsf, hists = _bt_core(
+        a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
+        scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2], scal_ref[i, 3],
+        scal_ref[i, 4], scal_ref[i, 5], scal_ref[i, 6], maxit=maxit,
+        prox_kind=prox_kind, obj_kind=obj_kind, nesterov="dynamic",
+        m_true=m_true, record=True, nest_sel=scal_ref[i, 7] > 0)
+    x_ref[0] = z
+    stats_ref[i, 0] = it_f
+    stats_ref[i, 1] = nres.astype(jnp.float32)
+    stats_ref[i, 2] = gamma.astype(jnp.float32)
+    stats_ref[i, 3] = conv
+    stats_ref[i, 4] = lsf
+    hg_ref[0], hr_ref[0], ho_ref[0], ht_ref[0] = hists
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "prox_kind",
+                                             "obj_kind", "m_true", "shrink",
+                                             "interpret"))
+def resident_bt_sweep(a, b, x0, rows, tol, maxit, *, shrink=0.5,
+                      prox_kind="l1", p1=0.0, p2=0.0, cube_c=0.0,
+                      obj_kind="ls", m_true=None, interpret=False):
+    """Every backtracking row of an experiment as ONE record-mode kernel
+    launch: ``rows`` is a (R, 3) array of [gamma0, xi, nesterov_flag].
+    Returns (x (R, n), numit, norm_res, converged, ls_failed,
+    (hg, hr, ho, ht) each (R, maxit)) — feed each row to
+    ``resident_bt_records`` with its own nesterov flag."""
+    m, n = a.shape
+    dt = x0.dtype
+    rows = jnp.asarray(rows, dt)
+    rcount = rows.shape[0]
+    hl = _hist_len(maxit)
+    scal = jnp.stack([
+        rows[:, 0],
+        rows[:, 1],
+        jnp.full((rcount,), shrink, dt),
+        jnp.full((rcount,), tol, dt),
+        jnp.full((rcount,), p1, dt),
+        jnp.full((rcount,), p2, dt),
+        jnp.full((rcount,), cube_c, dt),
+        rows[:, 2],
+    ], axis=1)
+    kern = functools.partial(_bt_sweep_kernel_rec, maxit=maxit,
+                             prox_kind=prox_kind, obj_kind=obj_kind,
+                             m_true=m_true)
+    at = a.T / (m if m_true is None else m_true) if obj_kind == "logreg" \
+        else a.T
+    outs = pl.pallas_call(
+        kern,
+        grid=(rcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(at.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ) + tuple(pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM) for _ in range(4)),
+        out_shape=(
+            jax.ShapeDtypeStruct((rcount, 1, n), dt),
+            jax.ShapeDtypeStruct((rcount, 5), jnp.float32),
+        ) + tuple(jax.ShapeDtypeStruct((rcount, 1, hl), dt)
+                  for _ in range(4)),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(scal, a, at, b.reshape(1, m), x0.reshape(1, n))
+    stats = outs[1]
+    return (outs[0][:, 0, :], stats[:, 0].astype(jnp.int32),
+            stats[:, 1].astype(dt), stats[:, 3] > 0, stats[:, 4] > 0,
+            tuple(o[:, 0, :maxit] for o in outs[2:6]))
 
 
 def resident_bt_records(numit, hg, hr, ho, ht, *, maxit, nesterov=False):

@@ -1253,3 +1253,61 @@ def test_resident_cv_dsvm_matches_engine():
                                   np.asarray(ref.records.f_evals))
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-8,
                                atol=1e-12)
+
+
+def test_resident_rule_sweep_bit_exact():
+    """The dynamic-rule sweep (lax.switch rule, lax.cond momentum, per-row
+    tol/cap) must be BIT-exact vs the static per-row kernels — same math,
+    one executable."""
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident import (resident_adapgm,
+                                          resident_rule_sweep, rule_rows)
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=3)
+    a = jnp.asarray(prob.a, jnp.float64)
+    b = jnp.asarray(prob.b, jnp.float64)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    x0 = jnp.zeros(128, jnp.float64)
+    gam = 1.0 / lf
+    specs = [(gam, "adapgm", False, 1e-9, 200), (gam, "fixed", False, 0.0, 100),
+             (gam, "mm", False, 0.0, 100), (gam, "fixed", True, 0.0, 100)]
+    xs, its, ress, convs, (hg, hr, ho) = resident_rule_sweep(
+        a, b, x0, rule_rows(specs), 0.0, 200, prox_kind="l1", p1=1.0,
+        interpret=True)
+    for i, (g0, rk, mom, t, cap) in enumerate(specs):
+        x1, it1, r1, c1, hg1, hr1, ho1 = resident_adapgm(
+            a, b, x0, g0, t, cap, prox_kind="l1", p1=1.0, rule_kind=rk,
+            momentum=mom, record=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(its[i]), np.asarray(it1))
+        np.testing.assert_array_equal(np.asarray(xs[i]), np.asarray(x1))
+        np.testing.assert_array_equal(np.asarray(hg[i][:cap]), np.asarray(hg1))
+        np.testing.assert_array_equal(np.asarray(hr[i][:cap]), np.asarray(hr1))
+        np.testing.assert_array_equal(np.asarray(ho[i][:cap]), np.asarray(ho1))
+
+
+def test_resident_bt_sweep_bit_exact():
+    """The dynamic-nesterov backtracking sweep must be BIT-exact vs the
+    static per-row kernels."""
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident_bt import (resident_backtracking,
+                                             resident_bt_sweep)
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=3)
+    a = jnp.asarray(prob.a, jnp.float64)
+    b = jnp.asarray(prob.b, jnp.float64)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    x0 = jnp.zeros(128, jnp.float64)
+    gam = 10.0 / lf
+    rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0], [gam, 2.0, 0.0],
+                       [gam, 1.0, 1.0]])
+    xs, its, ress, convs, lsfs, hists = resident_bt_sweep(
+        a, b, x0, rows, 0.0, 100, prox_kind="l1", p1=1.0, interpret=True)
+    for i, (g0, xi, nst) in enumerate(rows):
+        x1, it1, r1, c1, l1, hg1, hr1, ho1, ht1 = resident_backtracking(
+            a, b, x0, float(g0), 0.0, 100, xi=float(xi), nesterov=bool(nst),
+            prox_kind="l1", p1=1.0, record=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(its[i]), np.asarray(it1))
+        np.testing.assert_array_equal(np.asarray(xs[i]), np.asarray(x1))
+        for got, want in zip(hists, (hg1, hr1, ho1, ht1)):
+            np.testing.assert_array_equal(np.asarray(got[i]),
+                                          np.asarray(want))
