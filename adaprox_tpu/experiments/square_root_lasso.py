@@ -217,7 +217,7 @@ def run_composite_grid(datasets, outdir, inner_cls, lam=10.0, tol=1e-5,
     import adaprox_tpu as ap
     from adaprox_tpu.ops.resident import (
         _VMEM_BYTES, resident_adapdmp_grid, resident_adapdmp_records,
-        resident_condat_vu, resident_cv_records, resident_mp_records,
+        resident_cv_grid, resident_cv_records, resident_mp_records,
         resident_mpls_grid)
 
     h_kind = "l1" if inner_cls is ap.L1Norm else "l2"
@@ -257,14 +257,10 @@ def run_composite_grid(datasets, outdir, inner_cls, lam=10.0, tol=1e-5,
         float(jnp.asarray(out[1]).sum())  # forced sync (relay semantics)
         return out, _time.perf_counter() - t0
 
-    cv_results, cv_walls = [], []
-    for i in range(dcount):
-        (out, w) = timed(lambda i=i: resident_condat_vu(
-            a_stack[i], bv_stack[i], float(lam), 1.0 / norm_as[i],
-            0.99 / norm_as[i], tol, maxit, record=True, h_kind=h_kind,
-            interpret=interp))
-        cv_results.append(out)
-        cv_walls.append(w)
+    cv_out, cv_wall = timed(lambda: resident_cv_grid(
+        a_stack, bv_stack, lams, [1.0 / na for na in norm_as],
+        [0.99 / na for na in norm_as], tol, maxit, h_kind=h_kind,
+        interpret=interp))
 
     mp_out, mp_wall = timed(lambda: resident_mpls_grid(
         a_stack, bv_stack, lams, ts, jnp.ones((dcount,), dt),
@@ -276,11 +272,10 @@ def run_composite_grid(datasets, outdir, inner_cls, lam=10.0, tol=1e-5,
     for i, (name, _, _, source) in enumerate(loaded):
         path = os.path.join(outdir, f"{name}.jsonl")
         sink = Sink(path, keys=KEYS)
-        xcv, numit_cv, _, _, cv_hists = cv_results[i]
         sink.add(SimpleNamespace(
             records=resident_cv_records(
-                numit_cv, 1.0 / norm_as[i], 0.99 / norm_as[i], cv_hists,
-                maxit=maxit),
+                cv_out[1][i], 1.0 / norm_as[i], 0.99 / norm_as[i],
+                tuple(h[i] for h in cv_out[4]), maxit=maxit),
             name="Condat-Vu"), primal_dual=True)
         _, numits, _, _, _, mp_hists = mp_out
         for j, t in enumerate(T_VALUES):
@@ -297,11 +292,12 @@ def run_composite_grid(datasets, outdir, inner_cls, lam=10.0, tol=1e-5,
                     maxit=maxit),
                 name=f"AdaPDM+ (t={t})"), primal_dual=True)
         sink.emit_meta(
-            wall_s={"Condat-Vu": round(cv_walls[i], 4),
+            wall_s={"Condat-Vu": round(cv_wall / dcount, 4),
                     "Malitsky-Pock t-sweep": round(mp_wall / dcount, 4),
                     "AdaPDM+ t-sweep": round(pd_wall / dcount, 4)},
             fast_path="resident-grid",
-            grid_total_s={"Malitsky-Pock t-sweep": round(mp_wall, 4),
+            grid_total_s={"Condat-Vu": round(cv_wall, 4),
+                          "Malitsky-Pock t-sweep": round(mp_wall, 4),
                           "AdaPDM+ t-sweep": round(pd_wall, 4)},
             fast_methods=["Condat-Vu", "Malitsky-Pock t-sweep",
                           "AdaPDM+ t-sweep"])

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["resident_rule_sweep", "rule_rows", "resident_adapgm", "resident_adapgm_batch", "resident_adapgm_l1", "resident_logreg_l1", "resident_adapdm_dsvm", "resident_adapdm_dsvm_sweep", "resident_records", "resident_supported",
            "resident_condat_vu", "resident_mpls_sweep", "resident_cv_records",
            "resident_mpls_grid", "resident_adapdmp_grid",
-           "resident_mp_dsvm_sweep", "resident_cv_dsvm",
+           "resident_mp_dsvm_sweep", "resident_cv_dsvm", "resident_cv_grid",
            "resident_mp_records", "resident_adapdmp_sweep",
            "resident_adapdmp_records"]
 
@@ -1873,6 +1873,75 @@ def _f0_grid(core, a_stack, bv_stack, lams, ts, p2s, tol, maxit,
     if record:
         return base + (tuple(o[:, :, 0, :maxit] for o in outs[2:7]),)
     return base
+
+
+def _cv_grid_kernel_rec(scal_ref, a_ref, at_ref, bv_ref, x_ref, stats_ref,
+                        hr_ref, ho_ref, *, maxit, h_kind):
+    """One grid step per DATASET for Condat-Vu: scal (D, 4) SMEM rows of
+    [gamma, sigma, lam, tol] (per-dataset steps from its norm_a)."""
+    d = pl.program_id(0)
+    x, it_f, nres, conv, hists = _cv_core(
+        a_ref[0], at_ref[0], bv_ref[0], scal_ref[d, 2], scal_ref[d, 0],
+        scal_ref[d, 1], scal_ref[d, 3], maxit=maxit, h_kind=h_kind,
+        record=True)
+    x_ref[0] = x
+    stats_ref[d, 0] = it_f
+    stats_ref[d, 1] = nres.astype(jnp.float32)
+    stats_ref[d, 2] = conv
+    hr_ref[0], ho_ref[0] = hists
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "h_kind", "interpret"))
+def resident_cv_grid(a_stack, bv_stack, lams, gammas, sigmas, tol, maxit,
+                     h_kind="l2", interpret=False):
+    """Condat-Vu across ALL datasets as one record-mode launch (companion
+    to _f0_grid; the whole sqrt-lasso/LAD experiment is then 3 launches).
+    Returns (x (D, n), numit (D,), norm_res (D,), converged (D,),
+    (hr, ho) each (D, maxit))."""
+    dcount, m, n = a_stack.shape
+    dt = bv_stack.dtype
+    hl = _hist_len(maxit)
+    scal = jnp.stack([
+        jnp.asarray(gammas, dt), jnp.asarray(sigmas, dt),
+        jnp.asarray(lams, dt), jnp.full((dcount,), tol, dt),
+    ], axis=1)
+    at_stack = jnp.swapaxes(a_stack, 1, 2)
+    outs = pl.pallas_call(
+        functools.partial(_cv_grid_kernel_rec, maxit=maxit, h_kind=h_kind),
+        grid=(dcount,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m, n), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, m), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, hl), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hl), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((dcount, 1, n), dt),
+            jax.ShapeDtypeStruct((dcount, 3), jnp.float32),
+            jax.ShapeDtypeStruct((dcount, 1, hl), dt),
+            jax.ShapeDtypeStruct((dcount, 1, hl), dt),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(scal, a_stack, at_stack, bv_stack.reshape(dcount, 1, m))
+    stats = outs[1]
+    return (outs[0][:, 0, :], stats[:, 0].astype(jnp.int32),
+            stats[:, 1].astype(dt), stats[:, 2] > 0,
+            (outs[2][:, 0, :maxit], outs[3][:, 0, :maxit]))
 
 
 def resident_mpls_grid(a_stack, bv_stack, lams, ts, sigma0s, tol, maxit,
