@@ -5,7 +5,12 @@ Measures AdaPGM iterations/s on a row-sharded lasso across growing mesh
 sizes, in two regimes:
 
   * strong scaling — fixed global problem, more devices;
-  * weak scaling   — fixed per-device rows, problem grows with the mesh.
+  * weak scaling   — fixed per-device rows, problem grows with the mesh;
+  * sweep scaling  — the OTHER parallel axis: a fixed resident whole-solve
+    sweep (parallel/sweep.py) with its sweep dimension sharded over the
+    mesh. Zero collectives inside the solves, so this is the
+    embarrassingly-parallel ceiling the operand-sharded modes are
+    measured against.
 
 Emits one JSON line per mesh size with iterations/s and efficiency vs the
 single-device run. On a multi-chip TPU slice this is the real measurement;
@@ -59,12 +64,46 @@ def measure(mesh_devices, m, n, iters, dtype_name="float32"):
     return iters / secs
 
 
+def measure_sweep(mesh_devices, m, n, t_count, maxit):
+    """Sweep cells/s for a sweep-sharded resident MP t-sweep (each cell is
+    a full maxit-iteration solve; tol=0 pins the per-cell work)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from adaprox_tpu.ops.resident import resident_mpls_sweep
+    from adaprox_tpu.parallel.sweep import sharded_sweep, sweep_mesh
+    from adaprox_tpu.utils.profiling import timed
+
+    mesh = sweep_mesh(devices=mesh_devices)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    bv = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    ts = jnp.asarray(np.geomspace(0.1, 10.0, t_count), jnp.float32)
+    interpret = mesh_devices[0].platform != "tpu"
+    fn = functools.partial(resident_mpls_sweep, lam=0.1, sigma0=1.0,
+                           tol=0.0, maxit=maxit, interpret=interpret)
+
+    def run():
+        out = sharded_sweep(fn, mesh, {"a": a, "bv": bv, "ts": ts},
+                            {"ts"})[0]
+        # timed() syncs by float() on the first leaf — reduce to a scalar
+        return jnp.sum(out)
+
+    secs, _ = timed(run)
+    return t_count / secs
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--m", type=int, default=8192, help="global rows (strong) / per-device rows (weak)")
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--iters", type=int, default=200)
-    p.add_argument("--mode", choices=["strong", "weak"], default="strong")
+    p.add_argument("--mode", choices=["strong", "weak", "sweep"],
+                   default="strong")
+    p.add_argument("--tcount", type=int, default=32,
+                   help="sweep mode: number of sweep cells (fixed total work)")
     p.add_argument("--devices", type=int, default=0, help="0 = all available")
     p.add_argument("--cpu", type=int, default=0, help="N>0: use N virtual CPU devices")
     p.add_argument("--multihost", action="store_true")
@@ -93,23 +132,31 @@ def main(argv=None):
 
     base_ips = None
     for nd in sizes:
-        m = args.m if args.mode == "strong" else args.m * nd
-        ips = measure(devices[:nd], m, args.n, args.iters)
+        if args.mode == "sweep":
+            # strong scaling over the sweep axis: fixed t grid, more devices
+            m = args.m
+            ips = measure_sweep(devices[:nd], m, args.n, args.tcount,
+                                args.iters)
+            unit = "cells/s"
+        else:
+            m = args.m if args.mode == "strong" else args.m * nd
+            ips = measure(devices[:nd], m, args.n, args.iters)
+            unit = "iter/s"
         if base_ips is None:
             base_ips = ips
-        if args.mode == "strong":
-            # ideal: iterations/s scales with devices (each does m/nd rows)
-            eff = ips / (base_ips * nd)
-        else:
+        if args.mode == "weak":
             # ideal: iterations/s stays flat as the problem grows with mesh
             eff = ips / base_ips
+        else:
+            # ideal: throughput scales with devices
+            eff = ips / (base_ips * nd)
         print(json.dumps({
-            "metric": f"scaling_{args.mode}_iters_per_sec",
+            "metric": f"scaling_{args.mode}_{unit.replace('/', '_per_')}",
             "devices": nd,
             "rows": m,
             "cols": args.n,
             "value": round(ips, 2),
-            "unit": "iter/s",
+            "unit": unit,
             "efficiency": round(eff, 4),
         }), flush=True)
 

@@ -1,0 +1,114 @@
+"""Device-parallel resident sweeps: shard the SWEEP axis over a mesh.
+
+The resident whole-solve kernels (ops/resident.py, ops/resident_bt.py) run
+an entire experiment grid — the reference's coupling sweeps
+(dual_svm/runme.jl:61, square_root_lasso/runme.jl:80-95) and method menus —
+as ONE Pallas launch with the problem data VMEM-resident and a kernel grid
+over the sweep index. Every sweep cell is an independent solve, so the
+natural multi-chip layout is *work* parallelism:
+
+  * sweep table (``ts`` / ``rows``, shape (T, ...))  -> P("sweep")
+  * problem operands (Q / A / b, identical per cell) -> P()  (replicated)
+  * every output (x, numit, hists, ... all (T, ...)) -> P("sweep")
+
+Each device runs the SAME single-launch kernel on its T/N slice of the
+sweep — zero cross-device communication inside the solve, one all-gather
+of the (tiny) outputs at the end, so strong scaling is linear until
+T/N < 1. This composes with the operand-sharded paths (parallel/fused.py,
+solvers/pd_fused.py mesh mode) which split a single LARGE problem instead:
+shard the sweep when the grid is wide, shard the operand when the matrix
+is the thing that doesn't fit.
+
+No counterpart in the single-process reference (SURVEY.md §2.4 net-new).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["SWEEP", "sweep_mesh", "sharded_sweep", "maybe_sharded_sweep"]
+
+SWEEP = "sweep"
+
+
+def sweep_mesh(n_devices=None, devices=None) -> Mesh:
+    """A 1-D ("sweep",) mesh over ``n_devices`` (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (SWEEP,))
+
+
+def _pad_dim0(x, pad):
+    """Edge-repeat ``pad`` rows so dim0 divides the mesh; padded cells
+    recompute the last sweep entry (cheap — they ride the same kernel
+    grid) and are sliced away from every output."""
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+
+
+def sharded_sweep(fn, mesh, arrays, shard_keys):
+    """Run sweep launcher ``fn`` with its sweep axis sharded over ``mesh``.
+
+    ``fn``         — a sweep entry point (e.g. resident_adapdm_dsvm_sweep)
+                     with every NON-array parameter (maxit, tol, record,
+                     interpret, ...) already bound via functools.partial:
+                     inside shard_map they must stay compile-time constants
+                     (maxit sizes Pallas grids and history buffers).
+    ``arrays``     — dict name -> array: ALL array arguments, passed to
+                     ``fn`` by keyword. Never close over a large operand
+                     inside ``fn`` — a closure capture becomes a compile-
+                     time constant shipped to the compiler (see CLAUDE.md).
+    ``shard_keys`` — the names whose dim 0 is the sweep axis (the ts /
+                     rows table). Everything else is replicated.
+
+    The sweep length T is padded (edge-repeat) to a multiple of the mesh
+    size; every output leaf — which by the sweep contract has leading
+    dim T — is gathered along "sweep" and sliced back to T.
+    """
+    shard_keys = set(shard_keys)
+    unknown = shard_keys - set(arrays)
+    if unknown:
+        raise ValueError(f"shard_keys {sorted(unknown)} not in arrays")
+    nd = mesh.devices.size
+    tdims = {arrays[k].shape[0] for k in shard_keys}
+    if len(tdims) != 1:
+        raise ValueError(f"sharded arrays disagree on sweep length: {tdims}")
+    (t,) = tdims
+    pad = (-t) % nd
+    names = list(arrays)
+    vals = [
+        _pad_dim0(jnp.asarray(arrays[k]), pad) if k in shard_keys
+        else jnp.asarray(arrays[k])
+        for k in names
+    ]
+    in_specs = tuple(P(SWEEP) if k in shard_keys else P() for k in names)
+
+    def call(*chunked):
+        return fn(**dict(zip(names, chunked)))
+
+    out = jax.shard_map(
+        call, mesh=mesh, in_specs=in_specs, out_specs=P(SWEEP),
+        check_vma=False,
+    )(*vals)
+    if pad:
+        out = jax.tree.map(lambda o: o[:t], out)
+    return out
+
+
+def maybe_sharded_sweep(fn, arrays, shard_keys, devices=None):
+    """``sharded_sweep`` over all local devices when more than one is
+    available; on a single device (this image's one bench chip) calls
+    ``fn(**arrays)`` directly, zero overhead. This is how the experiment
+    drivers' resident sweeps scale over a pod slice with no code changes —
+    bit-equal to the single-device launch (tests/test_sweep_sharding.py)."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < 2:
+        return fn(**arrays)
+    return sharded_sweep(fn, sweep_mesh(devices=devices), arrays, shard_keys)
