@@ -71,10 +71,13 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
     # mask in ops.resident._pd_core; one kernel launch covers the entire
     # reference coupling grid (dual_svm/runme.jl:61-76)
     if resident:
+        import functools
+
         from adaprox_tpu.ops.resident import (
             _VMEM_BYTES, resident_adapdm_dsvm_sweep, resident_cv_dsvm,
             resident_cv_records, resident_mp_dsvm_sweep, resident_mp_records,
             resident_pd_records)
+        from adaprox_tpu.parallel.sweep import maybe_sharded_sweep
 
         n_pad = -(-n_pts // 128) * 128
         d_pad = -(-dyx.shape[1] // 128) * 128
@@ -96,12 +99,15 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
                 q_arg = jnp.pad(dyx, ((0, n_pad - n_pts),
                                       (0, d_pad - dyx.shape[1])))
 
+            # t axis sharded over the mesh when >1 device (parallel/sweep.py)
             def sweep():
-                return resident_adapdm_dsvm_sweep(
-                    q_arg, lab_pad, float(big_c),
-                    jnp.asarray(T_VALUES, dyx.dtype), norm_a, tol, maxit,
-                    n_true=n_pts, record=True, factored=not dense_ok,
-                    interpret=interp)
+                fn = functools.partial(
+                    resident_adapdm_dsvm_sweep, big_c=float(big_c),
+                    norm_a=norm_a, tol=tol, maxit=maxit, n_true=n_pts,
+                    record=True, factored=not dense_ok, interpret=interp)
+                return maybe_sharded_sweep(
+                    fn, {"q": q_arg, "labels": lab_pad,
+                         "ts": jnp.asarray(T_VALUES, dyx.dtype)}, {"ts"})
 
             xs, numits, nress, convs, hg, hr = run_timed(
                 times, "AdaPDM t-sweep (resident)", sweep)
@@ -114,11 +120,13 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             # MP t-sweep on-core: the general-f linesearch (Bregman term of
             # the resident quadratic) runs in-kernel, one launch for the grid
             def mp_sweep():
-                return resident_mp_dsvm_sweep(
-                    q_arg, lab_pad, float(big_c),
-                    jnp.asarray(T_VALUES, dyx.dtype), 1.0 / norm_a, tol,
-                    maxit, n_true=n_pts, record=True,
-                    factored=not dense_ok, interpret=interp)
+                fn = functools.partial(
+                    resident_mp_dsvm_sweep, big_c=float(big_c),
+                    sigma0=1.0 / norm_a, tol=tol, maxit=maxit, n_true=n_pts,
+                    record=True, factored=not dense_ok, interpret=interp)
+                return maybe_sharded_sweep(
+                    fn, {"q": q_arg, "labels": lab_pad,
+                         "ts": jnp.asarray(T_VALUES, dyx.dtype)}, {"ts"})
 
             _, numits_mp, _, _, _, mp_hists = run_timed(
                 times, "MP t-sweep (resident)", mp_sweep)

@@ -69,12 +69,14 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
     # dual/primal coordinates stay exactly 0, tests/test_kernels.py)
     use_resident = False
     if resident:
+        import functools
         from types import SimpleNamespace
 
         from adaprox_tpu.ops.resident import (
             _VMEM_BYTES, resident_adapdmp_records, resident_adapdmp_sweep,
             resident_condat_vu, resident_cv_records, resident_mp_records,
             resident_mpls_sweep)
+        from adaprox_tpu.parallel.sweep import maybe_sharded_sweep
 
         a_dev = jnp.asarray(a_mat)
         a_pad, bv_pad = pad_tiles(a_dev, jnp.asarray(y_np, a_dev.dtype),
@@ -99,11 +101,16 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
                     maxit=maxit),
                 name="Condat-Vu"), primal_dual=True)
 
+            # the t-sweeps shard their t axis over the mesh when >1 device
+            # is present (parallel/sweep.py) — single-chip: direct launch
             def mp_solve():
-                return resident_mpls_sweep(
-                    a_pad, bv_pad, float(lam),
-                    jnp.asarray(T_VALUES, a_dev.dtype), 1.0, tol, maxit,
-                    record=True, h_kind=h_kind, interpret=interp)
+                fn = functools.partial(
+                    resident_mpls_sweep, lam=float(lam), sigma0=1.0,
+                    tol=tol, maxit=maxit, record=True, h_kind=h_kind,
+                    interpret=interp)
+                return maybe_sharded_sweep(
+                    fn, {"a": a_pad, "bv": bv_pad,
+                         "ts": jnp.asarray(T_VALUES, a_dev.dtype)}, {"ts"})
 
             xs, numits, _, _, _, mp_hists = run_timed(
                 times, "Malitsky-Pock t-sweep", mp_solve)
@@ -115,10 +122,13 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
                     name=f"Malitsky-Pock (t={t})"), primal_dual=True)
 
             def pdmp_solve():
-                return resident_adapdmp_sweep(
-                    a_pad, bv_pad, float(lam),
-                    jnp.asarray(T_VALUES, a_dev.dtype), norm_a, tol, maxit,
-                    record=True, h_kind=h_kind, interpret=interp)
+                fn = functools.partial(
+                    resident_adapdmp_sweep, lam=float(lam), eta0=norm_a,
+                    tol=tol, maxit=maxit, record=True, h_kind=h_kind,
+                    interpret=interp)
+                return maybe_sharded_sweep(
+                    fn, {"a": a_pad, "bv": bv_pad,
+                         "ts": jnp.asarray(T_VALUES, a_dev.dtype)}, {"ts"})
 
             _, numits_p, _, _, _, pdmp_hists = run_timed(
                 times, "AdaPDM+ t-sweep", pdmp_solve)
