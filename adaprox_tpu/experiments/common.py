@@ -88,6 +88,22 @@ def pad_tiles(a, b, m_mult=8, n_mult=128):
     return a, b
 
 
+def route_menu_sweep(sweep_fn, a, b, x0, rows, tol, maxit, **kw):
+    """Route a method-menu resident sweep (ops.resident.resident_rule_sweep /
+    ops.resident_bt.resident_bt_sweep) through sweep-axis sharding: when more
+    than one device is visible the method rows are split over a ("sweep",)
+    mesh with the operands replicated (parallel/sweep.py — bit-equal to the
+    single launch); on the one bench chip this is the direct call. Same
+    routing the t-coupling sweeps already get in dual_svm/square_root_lasso."""
+    import functools
+
+    from adaprox_tpu.parallel.sweep import maybe_sharded_sweep
+
+    fn = functools.partial(sweep_fn, tol=tol, maxit=maxit, **kw)
+    return maybe_sharded_sweep(
+        fn, {"a": a, "b": b, "x0": x0, "rows": rows}, {"rows"})
+
+
 def run_timed(times, name, fn):
     """Run ``fn`` and record its forced-sync wall time under ``name``.
 

@@ -16,7 +16,8 @@ from types import SimpleNamespace
 
 import numpy as np
 
-from .common import Sink, group_rows, pick_platform, plot_lines, run_timed
+from .common import (Sink, group_rows, pick_platform, plot_lines,
+                     route_menu_sweep, run_timed)
 
 
 def logistic_loss_grad_hessian(x_np, y_np, w):
@@ -109,8 +110,9 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100,
         bt_rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0],
                               [gam, 2.0, 0.0], [gam, 1.0, 1.0]])
         t0 = _time.perf_counter()
-        xb, itb, _, _, _, bt_hists = resident_bt_sweep(
-            h_pad, q_pad, x0_pad, bt_rows, tol, maxit, **skw)
+        xb, itb, _, _, _, bt_hists = route_menu_sweep(
+            resident_bt_sweep, h_pad, q_pad, x0_pad, bt_rows, tol, maxit,
+            **skw)
         _sync((xb, itb))
         bt_wall = _time.perf_counter() - t0
 
@@ -119,8 +121,9 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100,
                  (gam, "adapgm", False, tol, maxit)]
         caps = [maxit * 10, maxit, maxit]
         t0 = _time.perf_counter()
-        xr, itr, _, _, rule_hists = resident_rule_sweep(
-            h_pad, q_pad, x0_pad, rule_rows(specs), tol, maxit * 10, **skw)
+        xr, itr, _, _, rule_hists = route_menu_sweep(
+            resident_rule_sweep, h_pad, q_pad, x0_pad, rule_rows(specs), tol,
+            maxit * 10, **skw)
         _sync((xr, itr))
         rule_wall = _time.perf_counter() - t0
 

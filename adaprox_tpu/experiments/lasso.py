@@ -30,7 +30,8 @@ from types import SimpleNamespace
 
 import numpy as np
 
-from .common import Sink, group_rows, pad_tiles, pick_platform, plot_lines, run_timed
+from .common import (Sink, group_rows, pad_tiles, pick_platform, plot_lines,
+                     route_menu_sweep, run_timed)
 
 
 def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=None,
@@ -98,9 +99,9 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
         bt_rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0],
                               [gam, 2.0, 0.0], [gam, 1.0, 1.0]])
         t0 = _time.perf_counter()
-        xb, itb, _, _, _, bt_hists = resident_bt_sweep(
-            a, b, x0, bt_rows, tol, maxit, prox_kind="l1", p1=float(lam),
-            interpret=interp)
+        xb, itb, _, _, _, bt_hists = route_menu_sweep(
+            resident_bt_sweep, a, b, x0, bt_rows, tol, maxit,
+            prox_kind="l1", p1=float(lam), interpret=interp)
         _sync((xb, itb))
         bt_wall = _time.perf_counter() - t0
 
@@ -109,8 +110,9 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
         specs = [(gam, "fixed", False), (gam, "fixed", True),
                  (gam, "mm", False), (gam, "adapgm", False)]
         t0 = _time.perf_counter()
-        xr, itr, _, _, rule_hists = resident_rule_sweep(
-            a, b, x0, rule_rows(specs, tol=tol, maxit=maxit), tol, maxit,
+        xr, itr, _, _, rule_hists = route_menu_sweep(
+            resident_rule_sweep, a, b, x0,
+            rule_rows(specs, tol=tol, maxit=maxit), tol, maxit,
             prox_kind="l1", p1=float(lam), interpret=interp)
         _sync((xr, itr))
         rule_wall = _time.perf_counter() - t0

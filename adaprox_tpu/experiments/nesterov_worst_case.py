@@ -12,7 +12,8 @@ from __future__ import annotations
 import argparse
 import os
 
-from .common import Sink, group_rows, pick_platform, plot_lines, run_timed
+from .common import (Sink, group_rows, pick_platform, plot_lines,
+                     route_menu_sweep, run_timed)
 
 
 def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6,
@@ -78,17 +79,18 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6,
                    interpret=interp)
         bt_rows = np.asarray([[1.0, 1.0, 0.0], [1.0, 1.0, 1.0]])
         t0 = _time.perf_counter()
-        xb, itb, _, _, _, bt_hists = resident_bt_sweep(
-            q_mat, q_vec, x0_pad, bt_rows, tol, maxit, **skw)
+        xb, itb, _, _, _, bt_hists = route_menu_sweep(
+            resident_bt_sweep, q_mat, q_vec, x0_pad, bt_rows, tol, maxit,
+            **skw)
         _sync((xb, itb))
         bt_wall = _time.perf_counter() - t0
 
         specs = [(1 / lip, "fixed", False), (1 / lip, "fixed", True),
                  (1 / lip, "mm", False), (1 / lip, "adapgm", False)]
         t0 = _time.perf_counter()
-        xr, itr, _, _, rule_hists = resident_rule_sweep(
-            q_mat, q_vec, x0_pad, rule_rows(specs, tol=tol, maxit=maxit),
-            tol, maxit, **skw)
+        xr, itr, _, _, rule_hists = route_menu_sweep(
+            resident_rule_sweep, q_mat, q_vec, x0_pad,
+            rule_rows(specs, tol=tol, maxit=maxit), tol, maxit, **skw)
         _sync((xr, itr))
         rule_wall = _time.perf_counter() - t0
 

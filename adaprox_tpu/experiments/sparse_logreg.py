@@ -16,7 +16,8 @@ import numpy as np
 
 from types import SimpleNamespace
 
-from .common import Sink, group_rows, pad_tiles, pick_platform, plot_lines, run_timed
+from .common import (Sink, group_rows, pad_tiles, pick_platform, plot_lines,
+                     route_menu_sweep, run_timed)
 
 
 def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype=None,
@@ -107,8 +108,8 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
         bt_rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0],
                               [gam, 2.0, 0.0], [gam, 1.0, 1.0]])
         t0 = _time.perf_counter()
-        xb, itb, _, _, _, bt_hists = resident_bt_sweep(
-            x1_pad, y_pad, x0p, bt_rows, tol, half, **lkw)
+        xb, itb, _, _, _, bt_hists = route_menu_sweep(
+            resident_bt_sweep, x1_pad, y_pad, x0p, bt_rows, tol, half, **lkw)
         _sync((xb, itb))
         bt_wall = _time.perf_counter() - t0
 
@@ -119,8 +120,9 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
                  (gam, "adapgm", False, tol, maxit)]
         caps = [maxit * 10, maxit, half, maxit, maxit]
         t0 = _time.perf_counter()
-        xr, itr, _, _, rule_hists = resident_rule_sweep(
-            x1_pad, y_pad, x0p, rule_rows(specs), tol, maxit * 10, **lkw)
+        xr, itr, _, _, rule_hists = route_menu_sweep(
+            resident_rule_sweep, x1_pad, y_pad, x0p, rule_rows(specs), tol,
+            maxit * 10, **lkw)
         _sync((xr, itr))
         rule_wall = _time.perf_counter() - t0
 

@@ -139,6 +139,34 @@ def test_driver_sweep_sharding_matches_direct(tmp_path, monkeypatch):
     assert records(tmp_path / "sharded") == records(tmp_path / "direct")
 
 
+def test_menu_driver_sweep_sharding_matches_direct(tmp_path, monkeypatch):
+    """The PG drivers route their method-menu resident sweeps (rule menu +
+    backtracking menu) through maybe_sharded_sweep too (common.py
+    route_menu_sweep); under the 8-virtual-device conftest that is the
+    SHARDED path. Forcing the direct path must give identical JSONL
+    records (wall-clock meta rows excluded)."""
+    import adaprox_tpu.parallel.sweep as sweep_mod
+    from adaprox_tpu.experiments import lasso
+    from adaprox_tpu.utils.logging import read_jsonl
+
+    argv = ["--sizes", "24x48x4", "--maxit", "40", "--resident", "--no-plot"]
+    lasso.main(argv + ["--outdir", str(tmp_path / "sharded")])
+
+    monkeypatch.setattr(
+        sweep_mod, "sharded_sweep",
+        lambda fn, mesh, arrays, keys: fn(**arrays))
+    lasso.main(argv + ["--outdir", str(tmp_path / "direct")])
+
+    def records(d):
+        rows = read_jsonl(d / "lasso_24_48_4.jsonl")
+        return [r for r in rows if "method" in r]
+
+    sharded = records(tmp_path / "sharded")
+    assert sharded == records(tmp_path / "direct")
+    # all nine menu rows (the method=None row is the optimum pseudo-record)
+    assert len({r["method"] for r in sharded} - {None}) == 9
+
+
 def test_output_shards_live_on_the_mesh(f0_problem, mesh):
     """The gathered outputs must actually be sweep-sharded device arrays
     (each device held its own cells), not a host-side concat."""
