@@ -267,17 +267,31 @@ def run_composite_grid(datasets, outdir, inner_cls, lam=10.0, tol=1e-5,
         float(jnp.asarray(out[1]).sum())  # forced sync (relay semantics)
         return out, _time.perf_counter() - t0
 
-    cv_out, cv_wall = timed(lambda: resident_cv_grid(
-        a_stack, bv_stack, lams, [1.0 / na for na in norm_as],
-        [0.99 / na for na in norm_as], tol, maxit, h_kind=h_kind,
-        interpret=interp))
+    # sweep-axis parallelism (parallel/sweep.py): the CV grid shards its
+    # dataset axis, the (dataset x t) grids shard the t axis (out_axis=1 —
+    # every output is (D, T, ...)); direct launches on a single device.
+    import functools
 
-    mp_out, mp_wall = timed(lambda: resident_mpls_grid(
-        a_stack, bv_stack, lams, ts, jnp.ones((dcount,), dt),
-        tol, maxit, record=True, h_kind=h_kind, interpret=interp))
-    pd_out, pd_wall = timed(lambda: resident_adapdmp_grid(
-        a_stack, bv_stack, lams, ts, jnp.asarray(norm_as, dt),
-        tol, maxit, record=True, h_kind=h_kind, interpret=interp))
+    from adaprox_tpu.parallel.sweep import maybe_sharded_sweep
+
+    cv_fn = functools.partial(resident_cv_grid, tol=tol, maxit=maxit,
+                              h_kind=h_kind, interpret=interp)
+    cv_arrays = dict(a_stack=a_stack, bv_stack=bv_stack, lams=lams,
+                     gammas=jnp.asarray([1.0 / na for na in norm_as], dt),
+                     sigmas=jnp.asarray([0.99 / na for na in norm_as], dt))
+    cv_out, cv_wall = timed(lambda: maybe_sharded_sweep(
+        cv_fn, cv_arrays, set(cv_arrays)))
+
+    mp_fn = functools.partial(resident_mpls_grid, tol=tol, maxit=maxit,
+                              record=True, h_kind=h_kind, interpret=interp)
+    mp_out, mp_wall = timed(lambda: maybe_sharded_sweep(
+        mp_fn, dict(a_stack=a_stack, bv_stack=bv_stack, lams=lams, ts=ts,
+                    sigma0s=jnp.ones((dcount,), dt)), {"ts"}, out_axis=1))
+    pd_fn = functools.partial(resident_adapdmp_grid, tol=tol, maxit=maxit,
+                              record=True, h_kind=h_kind, interpret=interp)
+    pd_out, pd_wall = timed(lambda: maybe_sharded_sweep(
+        pd_fn, dict(a_stack=a_stack, bv_stack=bv_stack, lams=lams, ts=ts,
+                    eta0s=jnp.asarray(norm_as, dt)), {"ts"}, out_axis=1))
 
     for i, (name, _, _, source) in enumerate(loaded):
         path = os.path.join(outdir, f"{name}.jsonl")

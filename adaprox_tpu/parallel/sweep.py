@@ -52,7 +52,7 @@ def _pad_dim0(x, pad):
     return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
 
 
-def sharded_sweep(fn, mesh, arrays, shard_keys):
+def sharded_sweep(fn, mesh, arrays, shard_keys, out_axis=0):
     """Run sweep launcher ``fn`` with its sweep axis sharded over ``mesh``.
 
     ``fn``         — a sweep entry point (e.g. resident_adapdm_dsvm_sweep)
@@ -66,10 +66,14 @@ def sharded_sweep(fn, mesh, arrays, shard_keys):
                      time constant shipped to the compiler (see CLAUDE.md).
     ``shard_keys`` — the names whose dim 0 is the sweep axis (the ts /
                      rows table). Everything else is replicated.
+    ``out_axis``   — which axis of every OUTPUT leaf carries the sweep
+                     dim. 0 for the plain sweeps; 1 for the dataset-batched
+                     (dataset x t) grid launchers (ops.resident._f0_grid),
+                     whose outputs are (D, T, ...) with the t axis sharded.
 
     The sweep length T is padded (edge-repeat) to a multiple of the mesh
-    size; every output leaf — which by the sweep contract has leading
-    dim T — is gathered along "sweep" and sliced back to T.
+    size; every output leaf is gathered along "sweep" at ``out_axis`` and
+    sliced back to T.
     """
     shard_keys = set(shard_keys)
     unknown = shard_keys - set(arrays)
@@ -92,16 +96,18 @@ def sharded_sweep(fn, mesh, arrays, shard_keys):
     def call(*chunked):
         return fn(**dict(zip(names, chunked)))
 
+    out_spec = P(*((None,) * out_axis), SWEEP)
     out = jax.shard_map(
-        call, mesh=mesh, in_specs=in_specs, out_specs=P(SWEEP),
+        call, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
         check_vma=False,
     )(*vals)
     if pad:
-        out = jax.tree.map(lambda o: o[:t], out)
+        out = jax.tree.map(
+            lambda o: jax.lax.slice_in_dim(o, 0, t, axis=out_axis), out)
     return out
 
 
-def maybe_sharded_sweep(fn, arrays, shard_keys, devices=None):
+def maybe_sharded_sweep(fn, arrays, shard_keys, devices=None, out_axis=0):
     """``sharded_sweep`` over all local devices when more than one is
     available; on a single device (this image's one bench chip) calls
     ``fn(**arrays)`` directly, zero overhead. This is how the experiment
@@ -111,4 +117,5 @@ def maybe_sharded_sweep(fn, arrays, shard_keys, devices=None):
         devices = jax.devices()
     if len(devices) < 2:
         return fn(**arrays)
-    return sharded_sweep(fn, sweep_mesh(devices=devices), arrays, shard_keys)
+    return sharded_sweep(fn, sweep_mesh(devices=devices), arrays, shard_keys,
+                         out_axis=out_axis)

@@ -114,6 +114,50 @@ def test_sharded_sweep_validates(f0_problem, mesh):
                       {"ts", "bv"})
 
 
+def test_f0_grid_t_axis_sharded_matches_single(mesh):
+    """The dataset-batched (dataset x t) grid launchers shard the t axis
+    (out_axis=1: every output leaf is (D, T, ...)); t=11 on 8 devices
+    exercises the pad path on the non-leading output axis."""
+    from adaprox_tpu.ops.resident import resident_adapdmp_grid, resident_mpls_grid
+
+    rng = np.random.default_rng(9)
+    dcount, m, n = 2, 32, 16
+    a_stack = jnp.asarray(rng.standard_normal((dcount, m, n)))
+    bv_stack = jnp.asarray(rng.standard_normal((dcount, m)))
+    lams = jnp.full((dcount,), 0.1)
+    ts = jnp.asarray(np.geomspace(0.1, 10.0, 11))
+    for grid_fn, p2name in ((resident_mpls_grid, "sigma0s"),
+                            (resident_adapdmp_grid, "eta0s")):
+        fn = functools.partial(grid_fn, tol=1e-9, maxit=40, record=True,
+                               interpret=True)
+        arrays = {"a_stack": a_stack, "bv_stack": bv_stack, "lams": lams,
+                  "ts": ts, p2name: jnp.ones((dcount,))}
+        ref = fn(**arrays)
+        out = sharded_sweep(fn, mesh, arrays, {"ts"}, out_axis=1)
+        _assert_tree_equal(ref, out)
+
+
+def test_cv_grid_dataset_axis_sharded_matches_single(mesh):
+    """Condat-Vu grid shards its dataset axis: D=3 on 8 devices — idle
+    devices recompute the padded edge dataset and the slice drops it."""
+    from adaprox_tpu.ops.resident import resident_cv_grid
+
+    rng = np.random.default_rng(11)
+    dcount, m, n = 3, 32, 16
+    arrays = {
+        "a_stack": jnp.asarray(rng.standard_normal((dcount, m, n))),
+        "bv_stack": jnp.asarray(rng.standard_normal((dcount, m))),
+        "lams": jnp.full((dcount,), 0.1),
+        "gammas": jnp.full((dcount,), 0.05),
+        "sigmas": jnp.full((dcount,), 0.04),
+    }
+    fn = functools.partial(resident_cv_grid, tol=1e-9, maxit=40,
+                           interpret=True)
+    ref = fn(**arrays)
+    out = sharded_sweep(fn, mesh, arrays, set(arrays))
+    _assert_tree_equal(ref, out)
+
+
 def test_driver_sweep_sharding_matches_direct(tmp_path, monkeypatch):
     """The sqrt-lasso --resident driver routes its t-sweeps through
     maybe_sharded_sweep; under the 8-virtual-device conftest that is the
@@ -129,7 +173,7 @@ def test_driver_sweep_sharding_matches_direct(tmp_path, monkeypatch):
 
     monkeypatch.setattr(
         sweep_mod, "sharded_sweep",
-        lambda fn, mesh, arrays, keys: fn(**arrays))
+        lambda fn, mesh, arrays, keys, out_axis=0: fn(**arrays))
     square_root_lasso.main(argv + ["--outdir", str(tmp_path / "direct")])
 
     def records(d):
@@ -154,7 +198,7 @@ def test_menu_driver_sweep_sharding_matches_direct(tmp_path, monkeypatch):
 
     monkeypatch.setattr(
         sweep_mod, "sharded_sweep",
-        lambda fn, mesh, arrays, keys: fn(**arrays))
+        lambda fn, mesh, arrays, keys, out_axis=0: fn(**arrays))
     lasso.main(argv + ["--outdir", str(tmp_path / "direct")])
 
     def records(d):
