@@ -113,10 +113,51 @@ def time_interleaved(runners, rounds=4, dispatch_s=0.0):
     return {name: (min(ts), statistics.median(ts)) for name, ts in times.items()}
 
 
+def _probe_backend(timeout_s, retries=2, wait_s=120):
+    """Bounded TPU-availability probe. Backend init on this image blocks
+    INSIDE the C++ PJRT client when the axon relay is down (observed: a
+    plain ``jax.devices()`` hung ~27 min before raising UNAVAILABLE), so
+    the probe runs in a subprocess that can be killed on timeout. Returns
+    (ok, message). Retries with a pause: relay outages are transient."""
+    import subprocess
+
+    msg = ""
+    for attempt in range(retries + 1):
+        if attempt:
+            time.sleep(wait_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].device_kind)"],
+                timeout=timeout_s, capture_output=True, text=True)
+            if r.returncode == 0:
+                return True, r.stdout.strip()
+            msg = (r.stderr or "").strip()[-300:]
+        except subprocess.TimeoutExpired:
+            msg = f"backend init exceeded {timeout_s}s (relay down?)"
+    return False, msg
+
+
 def main():
     m = int(os.environ.get("BENCH_M", 16384))
     n = int(os.environ.get("BENCH_N", 16384))
     iters = int(os.environ.get("BENCH_ITERS", 200))
+
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", 900))
+    if probe_timeout > 0:
+        ok, probe_msg = _probe_backend(probe_timeout)
+        if not ok:
+            # still ONE well-formed JSON line so the round artifact records
+            # the outage instead of a 30-min hang with no output
+            print(json.dumps({
+                "metric": f"lasso_adapgm_iters_per_sec_{m}x{n}_f32",
+                "value": 0.0,
+                "unit": "iter/s",
+                "vs_baseline": 0.0,
+                "error": "tpu_backend_unavailable",
+                "detail": {"probe": probe_msg},
+            }))
+            return 0  # the JSON line IS the artifact; rc 0 so it's recorded
 
     import jax
 

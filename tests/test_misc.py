@@ -191,6 +191,9 @@ def test_bench_script_runs_small(monkeypatch, capsys):
     monkeypatch.setenv("BENCH_M", "64")
     monkeypatch.setenv("BENCH_N", "128")
     monkeypatch.setenv("BENCH_ITERS", "5")
+    # skip the TPU-availability subprocess probe: this process is pinned to
+    # CPU by conftest, but a child would try the axon backend
+    monkeypatch.setenv("BENCH_PROBE_TIMEOUT", "0")
     sys.path.insert(0, ".")
     import bench
 
@@ -201,6 +204,26 @@ def test_bench_script_runs_small(monkeypatch, capsys):
     assert payload["unit"] == "iter/s"
     assert payload["value"] > 0
     assert "vs_baseline" in payload and "detail" in payload
+
+
+def test_bench_emits_json_when_tpu_unavailable(monkeypatch, capsys):
+    """If the remote TPU relay is down (observed: backend init blocks ~27
+    min before raising UNAVAILABLE), bench.py must still print one valid
+    JSON line recording the outage instead of hanging with no artifact."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+
+    monkeypatch.setenv("BENCH_PROBE_TIMEOUT", "5")
+    monkeypatch.setattr(bench, "_probe_backend",
+                        lambda t: (False, "backend init exceeded 5s"))
+    rc = bench.main()
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert payload["error"] == "tpu_backend_unavailable"
+    assert payload["value"] == 0.0 and "vs_baseline" in payload
 
 
 def test_factored_quadratic_matches_gram():
