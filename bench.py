@@ -113,29 +113,25 @@ def time_interleaved(runners, rounds=4, dispatch_s=0.0):
     return {name: (min(ts), statistics.median(ts)) for name, ts in times.items()}
 
 
-def _probe_backend(timeout_s, retries=2, wait_s=120):
-    """Bounded TPU-availability probe. Backend init on this image blocks
-    INSIDE the C++ PJRT client when the axon relay is down (observed: a
-    plain ``jax.devices()`` hung ~27 min before raising UNAVAILABLE), so
-    the probe runs in a subprocess that can be killed on timeout. Returns
-    (ok, message). Retries with a pause: relay outages are transient."""
-    import subprocess
+def _arm_outage_watchdog(budget_s, payload):
+    """Backend init on this image blocks INSIDE the C++ PJRT client when
+    the axon relay is down (observed: a plain ``jax.devices()`` hung ~27
+    min before raising UNAVAILABLE), so a Python-level timeout around it
+    cannot fire. This daemon timer bounds the whole init+warmup phase: if
+    it expires, one well-formed JSON line records the outage and the
+    process exits 0 — the artifact is the point. Cancel it once the first
+    device round-trip succeeds."""
+    import threading
 
-    msg = ""
-    for attempt in range(retries + 1):
-        if attempt:
-            time.sleep(wait_s)
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0].device_kind)"],
-                timeout=timeout_s, capture_output=True, text=True)
-            if r.returncode == 0:
-                return True, r.stdout.strip()
-            msg = (r.stderr or "").strip()[-300:]
-        except subprocess.TimeoutExpired:
-            msg = f"backend init exceeded {timeout_s}s (relay down?)"
-    return False, msg
+    def _bail():
+        print(json.dumps(payload))
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Timer(budget_s, _bail)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def main():
@@ -143,21 +139,22 @@ def main():
     n = int(os.environ.get("BENCH_N", 16384))
     iters = int(os.environ.get("BENCH_ITERS", 200))
 
-    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", 900))
-    if probe_timeout > 0:
-        ok, probe_msg = _probe_backend(probe_timeout)
-        if not ok:
-            # still ONE well-formed JSON line so the round artifact records
-            # the outage instead of a 30-min hang with no output
-            print(json.dumps({
-                "metric": f"lasso_adapgm_iters_per_sec_{m}x{n}_f32",
-                "value": 0.0,
-                "unit": "iter/s",
-                "vs_baseline": 0.0,
-                "error": "tpu_backend_unavailable",
-                "detail": {"probe": probe_msg},
-            }))
-            return 0  # the JSON line IS the artifact; rc 0 so it's recorded
+    # metric name matches the healthy headline (BENCH_r02: ..._f32_fused)
+    # so outage rows land in the same time series, visibly degraded
+    outage_payload = {
+        "metric": f"lasso_adapgm_iters_per_sec_{m}x{n}_f32_fused",
+        "value": 0.0,
+        "unit": "iter/s",
+        "vs_baseline": 0.0,
+        "error": "tpu_backend_unavailable",
+        "detail": {},
+    }
+    budget_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", 900))
+    watchdog = None
+    if budget_s > 0:
+        outage_payload["detail"]["probe"] = (
+            f"backend init/warmup exceeded {budget_s:g}s (relay down?)")
+        watchdog = _arm_outage_watchdog(budget_s, dict(outage_payload))
 
     import jax
 
@@ -177,7 +174,32 @@ def main():
     from adaprox_tpu.models.synthetic import random_lasso
 
     dtype = jnp.float32
-    dev = jax.devices()[0]
+
+    # first device round-trip: proves the backend is live (cancels the
+    # watchdog), absorbs the 60-100 s first-dispatch relay stall outside
+    # every timed row (CLAUDE.md), and retries fast-erroring init a couple
+    # of times — transient relay blips recover within the budget
+    dev = None
+    err = ""
+    wait_s = max(1.0, min(120.0, budget_s / 5)) if budget_s > 0 else 1.0
+    for attempt in range(3):
+        if attempt:
+            time.sleep(wait_s)
+        try:
+            dev = jax.devices()[0]
+            float(jnp.zeros(()) + 1.0)
+            break
+        except Exception as e:  # init raised (fast outage path)
+            dev = None
+            err = str(e)[:300]
+    if dev is None:
+        if watchdog is not None:
+            watchdog.cancel()
+        outage_payload["detail"]["probe"] = err
+        print(json.dumps(outage_payload))
+        return 0  # the JSON line IS the artifact; rc 0 so it's recorded
+    if watchdog is not None:
+        watchdog.cancel()
 
     # large on-device problem for throughput (no host transfer of A)
     a = jax.random.normal(jax.random.PRNGKey(0), (m, n), dtype) * float(1.0 / np.sqrt(n))

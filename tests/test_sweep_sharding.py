@@ -114,7 +114,8 @@ def test_sharded_sweep_validates(f0_problem, mesh):
                       {"ts", "bv"})
 
 
-def test_f0_grid_t_axis_sharded_matches_single(mesh):
+@pytest.mark.parametrize("h_kind", ["l2", "l1"])  # sqrt-lasso / LAD families
+def test_f0_grid_t_axis_sharded_matches_single(mesh, h_kind):
     """The dataset-batched (dataset x t) grid launchers shard the t axis
     (out_axis=1: every output leaf is (D, T, ...)); t=11 on 8 devices
     exercises the pad path on the non-leading output axis."""
@@ -129,7 +130,7 @@ def test_f0_grid_t_axis_sharded_matches_single(mesh):
     for grid_fn, p2name in ((resident_mpls_grid, "sigma0s"),
                             (resident_adapdmp_grid, "eta0s")):
         fn = functools.partial(grid_fn, tol=1e-9, maxit=40, record=True,
-                               interpret=True)
+                               h_kind=h_kind, interpret=True)
         arrays = {"a_stack": a_stack, "bv_stack": bv_stack, "lams": lams,
                   "ts": ts, p2name: jnp.ones((dcount,))}
         ref = fn(**arrays)
