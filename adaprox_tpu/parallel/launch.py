@@ -50,6 +50,71 @@ def _free_port():
     return port
 
 
+def _worker_sweep(args) -> int:
+    """Sweep-axis (work) parallelism across the PROCESS boundary: a
+    resident whole-solve t-sweep (ops.resident.resident_mpls_sweep) with
+    its sweep dim sharded over the global multi-process mesh
+    (parallel/sweep.py). No collectives inside the solves; the final
+    replicating gather of the outputs is the only cross-process traffic.
+    T must divide the global device count here (the edge-repeat pad path
+    is covered by the single-process tests)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from adaprox_tpu.ops.resident import resident_mpls_sweep
+    from adaprox_tpu.parallel.sweep import SWEEP, sharded_sweep, sweep_mesh
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    devices = jax.devices()
+    mesh = sweep_mesh(devices=devices)
+    dtype = jnp.float64 if args.x64 else jnp.float32
+
+    rng = np.random.default_rng(3)
+    a_np = rng.standard_normal((args.m, args.n)).astype(dtype)
+    bv_np = rng.standard_normal(args.m).astype(dtype)
+    t_count = len(devices)
+    ts_np = np.geomspace(0.1, 10.0, t_count).astype(dtype)
+
+    def make(np_arr, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            np_arr.shape, sh, lambda idx: np_arr[idx])
+
+    arrays = {"a": make(a_np, P()), "bv": make(bv_np, P()),
+              "ts": make(ts_np, P(SWEEP))}
+    fn = functools.partial(
+        resident_mpls_sweep, lam=0.1, sigma0=1.0, tol=args.tol,
+        maxit=args.maxit, record=True,
+        interpret=devices[0].platform != "tpu")
+    out = sharded_sweep(fn, mesh, arrays, {"ts"})
+
+    # replicate the sweep-sharded outputs so every process can read them
+    # whole — the compiled all-gather IS the cross-process (DCN-path) hop
+    def rep(v):
+        return np.asarray(
+            jax.jit(lambda u: u, out_shardings=NamedSharding(mesh, P()))(v))
+
+    x_full, numit_full = rep(out[0]), rep(out[1])
+    if pid == 0:
+        payload = {
+            "processes": nproc,
+            "global_devices": len(devices),
+            "t_count": t_count,
+            "numit": [int(v) for v in numit_full],
+            "x_norms": [float(v) for v in np.linalg.norm(x_full, axis=1)],
+        }
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(payload, fh)
+            np.save(args.out + ".x.npy", x_full)
+        print(json.dumps(payload), flush=True)
+    return 0
+
+
 def worker(args) -> int:
     import jax
 
@@ -63,6 +128,9 @@ def worker(args) -> int:
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
+
+    if args.mode == "sweep":
+        return _worker_sweep(args)
 
     import jax.numpy as jnp
     import numpy as np
@@ -141,6 +209,7 @@ def spawn(args) -> int:
             "--backend", args.backend,
             "--m", str(args.m), "--n", str(args.n),
             "--maxit", str(args.maxit), "--tol", str(args.tol),
+            "--mode", args.mode,
         ]
         if args.x64:
             cmd.append("--x64")
@@ -162,6 +231,9 @@ def main(argv=None) -> int:
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--backend", choices=("cpu", "tpu"), default="cpu")
+    p.add_argument("--mode", choices=("lasso", "sweep"), default="lasso",
+                   help="lasso: operand-sharded AdaPGM; sweep: sweep-axis-"
+                        "sharded resident t-sweep (work parallelism)")
     p.add_argument("--x64", action="store_true")
     p.add_argument("--m", type=int, default=512)
     p.add_argument("--n", type=int, default=128)
