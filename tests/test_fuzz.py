@@ -103,6 +103,39 @@ def test_ell_operator_fuzz(seed):
                                rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("scale", [1e-2, 1.0, 1e2])
+def test_resident_f0_family_fuzz(seed, scale):
+    """Badly scaled random instances through the f = 0 resident PD family
+    (Condat-Vu, MP t-sweep, AdaPDM+ t-sweep — the in-kernel linesearch
+    paths) for both h kinds: finite outputs, linesearch caps latched in
+    ls_failed rather than poisoning x."""
+    from adaprox_tpu.ops.resident import (
+        resident_adapdmp_sweep, resident_condat_vu, resident_mpls_sweep)
+
+    rng = np.random.default_rng(500 + seed)
+    m_, n_ = 32, 16
+    a = jnp.asarray(rng.standard_normal((m_, n_)) * scale)
+    bv = jnp.asarray(rng.standard_normal(m_) * scale)
+    ts = jnp.asarray(np.geomspace(0.1, 10.0, 5))
+    na = float(np.linalg.norm(np.asarray(a)))
+    lam = 0.1 * scale
+    for h_kind in ("l2", "l1"):
+        x, _, nres, _, _ = resident_mpls_sweep(
+            a, bv, lam, ts, 1.0, 0.0, 60, h_kind=h_kind, interpret=True)
+        assert np.isfinite(np.asarray(x)).all(), (seed, scale, h_kind)
+        assert np.isfinite(np.asarray(nres)).all()
+        x, _, nres, _, _ = resident_adapdmp_sweep(
+            a, bv, lam, ts, na, 0.0, 60, h_kind=h_kind, interpret=True)
+        assert np.isfinite(np.asarray(x)).all(), (seed, scale, h_kind)
+        assert np.isfinite(np.asarray(nres)).all()
+        x, _, nres, _ = resident_condat_vu(
+            a, bv, lam, 1.0 / na, 0.99 / na, 0.0, 60, h_kind=h_kind,
+            interpret=True)
+        assert np.isfinite(np.asarray(x)).all(), (seed, scale, h_kind)
+        assert np.isfinite(float(nres))
+
+
 @pytest.mark.parametrize("seed", range(4))
 @pytest.mark.parametrize("scale", [1e-2, 1.0, 1e2])
 def test_resident_bt_fuzz(seed, scale):
