@@ -21,8 +21,25 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: recompiles across pytest runs are pure cache
-# hits (important in this image where cold compiles can be slow)
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# hits (important in this image where cold compiles can be slow).
+# CPU entries are kept in a SEPARATE per-host-arch dir: XLA:CPU caches AOT
+# machine code keyed without the host's CPU features, and loading entries
+# compiled on a previous round's (different) host logs
+# "machine type ... doesn't match ... could lead to SIGILL". TPU
+# executables in .jax_cache are host-feature-independent and stay shared.
+import zlib
+
+try:
+    with open("/proc/cpuinfo") as _fh:
+        _src = "".join(ln for ln in _fh if ln.startswith("flags"))[:10000]
+except OSError:
+    import platform
+
+    _src = platform.processor() or "cpu"
+_arch = zlib.crc32(_src.encode()) & 0xFFFFFFFF
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", f".jax_cache_cpu_{_arch:08x}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
