@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["SWEEP", "sweep_mesh", "sharded_sweep", "maybe_sharded_sweep"]
+__all__ = ["SWEEP", "sweep_mesh", "sharded_sweep", "maybe_sharded_sweep",
+           "composed_mesh"]
 
 SWEEP = "sweep"
 
@@ -105,6 +106,27 @@ def sharded_sweep(fn, mesh, arrays, shard_keys, out_axis=0):
         out = jax.tree.map(
             lambda o: jax.lax.slice_in_dim(o, 0, t, axis=out_axis), out)
     return out
+
+
+def composed_mesh(n_sweep, n_rows, devices=None) -> Mesh:
+    """2-D ("sweep", "rows") mesh composing the two parallel axes: the
+    batch dimension of a vmapped grid over "sweep" and the data-matrix
+    rows over "rows". This is the layout for grids whose single instance
+    is too large to replicate per device (the VMEM-resident sweep
+    precondition) but that still sweep many cells: place the batched rule
+    params with P(SWEEP), the operands with P(ROWS, ...) as in
+    parallel/mesh.py, jit the vmapped solve, and GSPMD partitions both
+    axes — the row-reduction psums stay within each sweep group. See
+    tests/test_sweep_sharding.py::test_composed_sweep_rows_regpath."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_sweep * n_rows
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    from .mesh import ROWS  # the operand axis name shared with mesh.py
+
+    return Mesh(np.asarray(devices[:need]).reshape(n_sweep, n_rows),
+                (SWEEP, ROWS))
 
 
 def maybe_sharded_sweep(fn, arrays, shard_keys, devices=None, out_axis=0):

@@ -212,6 +212,38 @@ def test_menu_driver_sweep_sharding_matches_direct(tmp_path, monkeypatch):
     assert len({r["method"] for r in sharded} - {None}) == 9
 
 
+def test_composed_sweep_rows_regpath(f0_problem):
+    """Composed 2-D (sweep x rows) parallelism: a vmapped regularization
+    path with the lambda/batch axis placed on "sweep" and the data matrix
+    row-sharded on "rows" (GSPMD keeps the row psums within each sweep
+    group). Must match the unsharded vmapped solve to reduction-
+    reassociation noise."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from adaprox_tpu.models.objectives import LeastSquares
+    from adaprox_tpu.parallel.mesh import ROWS
+    from adaprox_tpu.parallel.sweep import composed_mesh
+    from adaprox_tpu.solvers.batch import regularization_path
+
+    a, bv = f0_problem
+    n = a.shape[1]
+    x0 = jnp.zeros(n)
+    lams = jnp.asarray(np.geomspace(0.05, 1.0, 8))
+    gamma = 1.0 / float(jnp.linalg.norm(a, 2)) ** 2
+
+    ref = regularization_path(x0, f=LeastSquares(a=a, b=bv), lams=lams,
+                              gamma=gamma, tol=0.0, maxit=60)
+
+    cmesh = composed_mesh(2, 4)
+    sh = lambda v, spec: jax.device_put(v, NamedSharding(cmesh, spec))
+    res = regularization_path(
+        sh(x0, P()), f=LeastSquares(a=sh(a, P(ROWS)), b=sh(bv, P(ROWS))),
+        lams=sh(lams, P(SWEEP)), gamma=gamma, tol=0.0, maxit=60)
+    assert np.array_equal(np.asarray(res.numit), np.asarray(ref.numit))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_output_shards_live_on_the_mesh(f0_problem, mesh):
     """The gathered outputs must actually be sweep-sharded device arrays
     (each device held its own cells), not a host-side concat."""
