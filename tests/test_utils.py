@@ -19,6 +19,21 @@ from adaprox_tpu.models.objectives import LeastSquares
 from tests.test_solvers import Simple2DObjective, Simple2DBox
 
 
+def test_migration_doc_symbols_exist():
+    """Every `ap.X` symbol named in MIGRATION.md must exist on the public
+    facade — the migration map is a contract, not prose."""
+    import os
+    import re
+
+    import adaprox_tpu as ap
+
+    path = os.path.join(os.path.dirname(__file__), "..", "MIGRATION.md")
+    names = set(re.findall(r"\bap\.([A-Za-z_][A-Za-z0-9_]*)", open(path).read()))
+    assert names, "MIGRATION.md should reference ap.* symbols"
+    missing = sorted(n for n in names if not hasattr(ap, n))
+    assert not missing, f"MIGRATION.md references absent symbols: {missing}"
+
+
 def test_counting_semantics():
     """Mirror of test/runtests.jl:53-90: evals metered eagerly, pullback
     metered lazily, adjoint metered separately, without_counting suppresses."""
