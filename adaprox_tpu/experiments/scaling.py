@@ -81,7 +81,7 @@ def measure_sweep(mesh_devices, m, n, t_count, maxit):
     a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
     bv = jnp.asarray(rng.standard_normal(m), jnp.float32)
     ts = jnp.asarray(np.geomspace(0.1, 10.0, t_count), jnp.float32)
-    interpret = mesh_devices[0].platform != "tpu"
+    interpret = mesh_devices[0].platform not in ("tpu", "axon")
     fn = functools.partial(resident_mpls_sweep, lam=0.1, sigma0=1.0,
                            tol=0.0, maxit=maxit, interpret=interpret)
 
@@ -127,7 +127,9 @@ def main(argv=None):
         distributed_init()
 
     devices = jax.devices()
-    n_max = args.devices or len(devices)
+    # clamp to what exists: devices[:nd] on a short list would silently run
+    # a smaller mesh while the JSON row claims nd devices
+    n_max = min(args.devices or len(devices), len(devices))
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_max]
 
     base_ips = None

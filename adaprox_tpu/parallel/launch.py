@@ -50,6 +50,17 @@ def _free_port():
     return port
 
 
+def _make_global(np_arr, mesh, spec):
+    """Materialize a global array on a (possibly multi-process) mesh: each
+    process fills only its addressable shards from the deterministic host
+    copy."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    return jax.make_array_from_callback(
+        np_arr.shape, NamedSharding(mesh, spec), lambda idx: np_arr[idx])
+
+
 def _worker_sweep(args) -> int:
     """Sweep-axis (work) parallelism across the PROCESS boundary: a
     resident whole-solve t-sweep (ops.resident.resident_mpls_sweep) with
@@ -79,17 +90,13 @@ def _worker_sweep(args) -> int:
     t_count = len(devices)
     ts_np = np.geomspace(0.1, 10.0, t_count).astype(dtype)
 
-    def make(np_arr, spec):
-        sh = NamedSharding(mesh, spec)
-        return jax.make_array_from_callback(
-            np_arr.shape, sh, lambda idx: np_arr[idx])
-
-    arrays = {"a": make(a_np, P()), "bv": make(bv_np, P()),
-              "ts": make(ts_np, P(SWEEP))}
+    arrays = {"a": _make_global(a_np, mesh, P()),
+              "bv": _make_global(bv_np, mesh, P()),
+              "ts": _make_global(ts_np, mesh, P(SWEEP))}
     fn = functools.partial(
         resident_mpls_sweep, lam=0.1, sigma0=1.0, tol=args.tol,
         maxit=args.maxit, record=True,
-        interpret=devices[0].platform != "tpu")
+        interpret=devices[0].platform not in ("tpu", "axon"))
     out = sharded_sweep(fn, mesh, arrays, {"ts"})
 
     # replicate the sweep-sharded outputs so every process can read them
@@ -134,7 +141,7 @@ def worker(args) -> int:
 
     import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     import adaprox_tpu as ap
     from adaprox_tpu.models.objectives import LeastSquares
@@ -150,15 +157,9 @@ def worker(args) -> int:
     a_np = np.asarray(prob.a, dtype)
     b_np = np.asarray(prob.b, dtype)
 
-    def make(np_arr, spec):
-        sh = NamedSharding(mesh, spec)
-        return jax.make_array_from_callback(
-            np_arr.shape, sh, lambda idx: np_arr[idx]
-        )
-
-    a = make(a_np, P(ROWS, COLS))
-    b = make(b_np, P(ROWS))
-    x0 = make(np.zeros(args.n, dtype), P(COLS))
+    a = _make_global(a_np, mesh, P(ROWS, COLS))
+    b = _make_global(b_np, mesh, P(ROWS))
+    x0 = _make_global(np.zeros(args.n, dtype), mesh, P(COLS))
 
     f = LeastSquares(a=a, b=b)
     g = ap.L1Norm(lam=1.0)

@@ -75,6 +75,11 @@ def distributed_init(**kwargs):
     no-op; on a pod slice call it before building the mesh."""
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Only the idempotence case may be swallowed. XlaRuntimeError
+        # (coordinator unreachable, timeouts) subclasses RuntimeError —
+        # swallowing it would silently degrade a multi-host launch to
+        # independent single-process runs reporting fabricated numbers.
+        if "already initialized" not in str(e).lower():
+            raise
     return jax.process_index(), jax.process_count()

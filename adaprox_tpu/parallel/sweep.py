@@ -12,12 +12,22 @@ natural multi-chip layout is *work* parallelism:
   * every output (x, numit, hists, ... all (T, ...)) -> P("sweep")
 
 Each device runs the SAME single-launch kernel on its T/N slice of the
-sweep — zero cross-device communication inside the solve, one all-gather
-of the (tiny) outputs at the end, so strong scaling is linear until
-T/N < 1. This composes with the operand-sharded paths (parallel/fused.py,
-solvers/pd_fused.py mesh mode) which split a single LARGE problem instead:
-shard the sweep when the grid is wide, shard the operand when the matrix
-is the thing that doesn't fit.
+sweep — zero cross-device communication inside the solve; the outputs
+come back as sweep-sharded device arrays on the mesh (read them whole
+from a single-process mesh, or re-shard to replicated for multi-process
+reads — see parallel/launch.py::_worker_sweep), so strong scaling is
+linear until T/N < 1. This composes with the operand-sharded paths
+(parallel/fused.py, solvers/pd_fused.py mesh mode) which split a single
+LARGE problem instead: shard the sweep when the grid is wide, shard the
+operand when the matrix is the thing that doesn't fit — or both at once
+over a 2-D mesh (``composed_mesh``).
+
+``sharded_sweep`` takes host-local arrays and is meant for SINGLE-PROCESS
+meshes (one host's chips, or the virtual CPU mesh). On a multi-process
+pod slice, build global arrays with ``jax.make_array_from_callback`` and
+keep T divisible by the global device count (the edge-repeat pad path
+concatenates eagerly, which requires fully-addressable arrays) —
+``parallel/launch.py --mode sweep`` is the worked multi-process example.
 
 No counterpart in the single-process reference (SURVEY.md §2.4 net-new).
 """
@@ -40,6 +50,10 @@ def sweep_mesh(n_devices=None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # silent truncation would mislabel scaling rows (a "16-device"
+            # measurement that actually ran on 8)
+            raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (SWEEP,))
 
@@ -73,8 +87,9 @@ def sharded_sweep(fn, mesh, arrays, shard_keys, out_axis=0):
                      whose outputs are (D, T, ...) with the t axis sharded.
 
     The sweep length T is padded (edge-repeat) to a multiple of the mesh
-    size; every output leaf is gathered along "sweep" at ``out_axis`` and
-    sliced back to T.
+    size; every output leaf stays SHARDED along "sweep" at ``out_axis``
+    (no gather — see the module docstring) and is sliced back to T.
+    The pad path requires a single-process mesh (eager concatenate).
     """
     shard_keys = set(shard_keys)
     unknown = shard_keys - set(arrays)
@@ -86,6 +101,11 @@ def sharded_sweep(fn, mesh, arrays, shard_keys, out_axis=0):
         raise ValueError(f"sharded arrays disagree on sweep length: {tdims}")
     (t,) = tdims
     pad = (-t) % nd
+    if pad and jax.process_count() > 1:
+        raise ValueError(
+            f"sweep length {t} must divide the mesh size {nd} on a "
+            "multi-process mesh (the edge-repeat pad concatenates eagerly, "
+            "which needs fully-addressable arrays)")
     names = list(arrays)
     vals = [
         _pad_dim0(jnp.asarray(arrays[k]), pad) if k in shard_keys
