@@ -104,6 +104,26 @@ def route_menu_sweep(sweep_fn, a, b, x0, rows, tol, maxit, **kw):
         fn, {"a": a, "b": b, "x0": x0, "rows": rows}, {"rows"})
 
 
+def sync_wall(fn):
+    """Run ``fn`` and return ``(out, wall_seconds)`` with forced
+    device->host sync: block_until_ready on every leaf plus one element
+    transfer (block_until_ready alone under-syncs through the axon relay —
+    utils/profiling.timed rationale). The shared timing primitive for the
+    resident/grid fast-path walls."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    t0 = _time.perf_counter()
+    out = fn()
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        jax.block_until_ready(leaf)
+    float(jnp.asarray(leaves[0]).ravel()[0])  # forced round-trip
+    return out, _time.perf_counter() - t0
+
+
 def run_timed(times, name, fn):
     """Run ``fn`` and record its forced-sync wall time under ``name``.
 

@@ -89,53 +89,41 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100,
             jnp.asarray(q_mat, dt))
         q_pad = jnp.zeros(n_pad, dt).at[:n].set(jnp.asarray(q_vec, dt))
         x0_pad = jnp.zeros(n_pad, dt)
-        ckw = dict(prox_kind="zero", obj_kind="cubic", cube_c=float(lam),
-                   record=True, interpret=interp)
 
         # THREE launches for all eight rows (cf. lasso.py): rule menu
         # (incl. the tol/10 maxit*10 ground truth via per-row caps), the
         # four backtracking rows, aGRAAL
-        import time as _time
-
         from adaprox_tpu.ops.resident import resident_rule_sweep, rule_rows
         from adaprox_tpu.ops.resident_bt import resident_bt_sweep
 
-        def _sync(tree):
-            for leaf in jax.tree_util.tree_leaves(tree):
-                jax.block_until_ready(leaf)
-            return float(jnp.asarray(tree[1]).sum())
+        from .common import sync_wall
 
         skw = dict(prox_kind="zero", obj_kind="cubic", cube_c=float(lam),
                    interpret=interp)
         bt_rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0],
                               [gam, 2.0, 0.0], [gam, 1.0, 1.0]])
-        t0 = _time.perf_counter()
-        xb, itb, _, _, _, bt_hists = route_menu_sweep(
-            resident_bt_sweep, h_pad, q_pad, x0_pad, bt_rows, tol, maxit,
-            **skw)
-        _sync((xb, itb))
-        bt_wall = _time.perf_counter() - t0
+        (xb, itb, _, _, _, bt_hists), bt_wall = sync_wall(
+            lambda: route_menu_sweep(
+                resident_bt_sweep, h_pad, q_pad, x0_pad, bt_rows, tol,
+                maxit, **skw))
 
         specs = [(gam, "adapgm", False, tol / 10, maxit * 10),
                  (gam, "mm", False, tol, maxit),
                  (gam, "adapgm", False, tol, maxit)]
         caps = [maxit * 10, maxit, maxit]
-        t0 = _time.perf_counter()
-        xr, itr, _, _, rule_hists = route_menu_sweep(
-            resident_rule_sweep, h_pad, q_pad, x0_pad, rule_rows(specs), tol,
-            maxit * 10, **skw)
-        _sync((xr, itr))
-        rule_wall = _time.perf_counter() - t0
+        (xr, itr, _, _, rule_hists), rule_wall = sync_wall(
+            lambda: route_menu_sweep(
+                resident_rule_sweep, h_pad, q_pad, x0_pad, rule_rows(specs),
+                tol, maxit * 10, **skw))
 
         from adaprox_tpu.ops.resident_bt import (resident_agraal,
                                                  resident_agraal_records)
         noise = jax.random.normal(jax.random.PRNGKey(0), (n,), dt)
         x0p = x0_pad.at[:n].add(noise)
-        t0 = _time.perf_counter()
-        xa, ita, nra, conva, hga, hra, hoa = resident_agraal(
-            h_pad, q_pad, x0_pad, x0p, gam, tol, maxit, record=True, **skw)
-        _sync((xa, ita))
-        ag_wall = _time.perf_counter() - t0
+        (xa, ita, nra, conva, hga, hra, hoa), ag_wall = sync_wall(
+            lambda: resident_agraal(
+                h_pad, q_pad, x0_pad, x0p, gam, tol, maxit, record=True,
+                **skw))
 
         rule_names = [None, "AdaPGM (MM)", "AdaPGM (Ours)"]
 

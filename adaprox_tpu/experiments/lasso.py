@@ -85,46 +85,35 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
         # executable loads, so collapsing the menu into shared executables
         # is the win. wall_s carries per-row amortized shares + the grid
         # totals in grid_total_s.
-        import time as _time
-
         from adaprox_tpu.ops.resident import resident_rule_sweep, rule_rows
         from adaprox_tpu.ops.resident_bt import resident_bt_sweep
 
-        def _sync(tree):
-            for leaf in jax.tree_util.tree_leaves(tree):
-                jax.block_until_ready(leaf)
-            return float(jnp.asarray(tree[1]).sum())  # forced round-trip
+        from .common import sync_wall
 
         bt_names = [f"PGM (backtracking)-(xi={xi})" for xi in (1.0, 1.5, 2.0)]
         bt_rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0],
                               [gam, 2.0, 0.0], [gam, 1.0, 1.0]])
-        t0 = _time.perf_counter()
-        xb, itb, _, _, _, bt_hists = route_menu_sweep(
-            resident_bt_sweep, a, b, x0, bt_rows, tol, maxit,
-            prox_kind="l1", p1=float(lam), interpret=interp)
-        _sync((xb, itb))
-        bt_wall = _time.perf_counter() - t0
+        (xb, itb, _, _, _, bt_hists), bt_wall = sync_wall(
+            lambda: route_menu_sweep(
+                resident_bt_sweep, a, b, x0, bt_rows, tol, maxit,
+                prox_kind="l1", p1=float(lam), interpret=interp))
 
         rule_names = ["PGM (fixed)", "Nesterov (fixed)", "AdaPGM (MM)",
                       "AdaPGM (Ours)"]
         specs = [(gam, "fixed", False), (gam, "fixed", True),
                  (gam, "mm", False), (gam, "adapgm", False)]
-        t0 = _time.perf_counter()
-        xr, itr, _, _, rule_hists = route_menu_sweep(
-            resident_rule_sweep, a, b, x0,
-            rule_rows(specs, tol=tol, maxit=maxit), tol, maxit,
-            prox_kind="l1", p1=float(lam), interpret=interp)
-        _sync((xr, itr))
-        rule_wall = _time.perf_counter() - t0
+        (xr, itr, _, _, rule_hists), rule_wall = sync_wall(
+            lambda: route_menu_sweep(
+                resident_rule_sweep, a, b, x0,
+                rule_rows(specs, tol=tol, maxit=maxit), tol, maxit,
+                prox_kind="l1", p1=float(lam), interpret=interp))
 
         noise = jax.random.normal(jax.random.PRNGKey(0), (n,), x0.dtype)
         x0p = x0.at[:n].add(noise)
-        t0 = _time.perf_counter()
-        xa, ita, nra, conva, hga, hra, hoa = resident_agraal(
-            a, b, x0, x0p, gam, tol, maxit, prox_kind="l1", p1=float(lam),
-            record=True, interpret=interp)
-        _sync((xa, ita))
-        ag_wall = _time.perf_counter() - t0
+        (xa, ita, nra, conva, hga, hra, hoa), ag_wall = sync_wall(
+            lambda: resident_agraal(
+                a, b, x0, x0p, gam, tol, maxit, prox_kind="l1",
+                p1=float(lam), record=True, interpret=interp))
 
         # emit rows in the reference order
         sink.add(SimpleNamespace(records=resident_records(
@@ -161,7 +150,14 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
             x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
         add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
             x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
-        add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+        # companion point noise only on the first n coordinates: under
+        # --fused x0 is padded (n_run > n) and agraal's internal draw would
+        # perturb the zero-padded coords (breaking pad-exactness AND the
+        # default-path trajectory, whose draw is normal(key, (n,)))
+        noise = jax.random.normal(jax.random.PRNGKey(0), (n,), x0.dtype)
+        x0_ag = x0.at[:n].add(noise)
+        add("aGRAAL", lambda: ap.agraal(x0, x0=x0_ag, gamma0=gam,
+                                        name="aGRAAL", **kw))
     # which timed methods actually took a fast path (the summarizer pairs
     # only these — engine-vs-engine rows are compile/co-tenancy noise)
     if fused:  # the fused oracle feeds EVERY engine method

@@ -60,39 +60,28 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6,
         q_mat = jnp.asarray(lip / 4 * t_np, dt)
         q_vec = jnp.zeros(n_pad, dt).at[0].set(-lip / 4)
         x0_pad = jnp.zeros(n_pad, dt)
-        ckw = dict(prox_kind="zero", obj_kind="cubic", cube_c=0.0,
-                   record=True, interpret=interp)
 
         # TWO launches for all six rows: the rule menu as one dynamic-rule
         # sweep, the two backtracking rows as one dynamic-nesterov sweep
-        import time as _time
-
         from adaprox_tpu.ops.resident import resident_rule_sweep, rule_rows
         from adaprox_tpu.ops.resident_bt import resident_bt_sweep
 
-        def _sync(tree):
-            for leaf in jax.tree_util.tree_leaves(tree):
-                jax.block_until_ready(leaf)
-            return float(jnp.asarray(tree[1]).sum())
+        from .common import sync_wall
 
         skw = dict(prox_kind="zero", obj_kind="cubic", cube_c=0.0,
                    interpret=interp)
         bt_rows = np.asarray([[1.0, 1.0, 0.0], [1.0, 1.0, 1.0]])
-        t0 = _time.perf_counter()
-        xb, itb, _, _, _, bt_hists = route_menu_sweep(
-            resident_bt_sweep, q_mat, q_vec, x0_pad, bt_rows, tol, maxit,
-            **skw)
-        _sync((xb, itb))
-        bt_wall = _time.perf_counter() - t0
+        (xb, itb, _, _, _, bt_hists), bt_wall = sync_wall(
+            lambda: route_menu_sweep(
+                resident_bt_sweep, q_mat, q_vec, x0_pad, bt_rows, tol,
+                maxit, **skw))
 
         specs = [(1 / lip, "fixed", False), (1 / lip, "fixed", True),
                  (1 / lip, "mm", False), (1 / lip, "adapgm", False)]
-        t0 = _time.perf_counter()
-        xr, itr, _, _, rule_hists = route_menu_sweep(
-            resident_rule_sweep, q_mat, q_vec, x0_pad,
-            rule_rows(specs, tol=tol, maxit=maxit), tol, maxit, **skw)
-        _sync((xr, itr))
-        rule_wall = _time.perf_counter() - t0
+        (xr, itr, _, _, rule_hists), rule_wall = sync_wall(
+            lambda: route_menu_sweep(
+                resident_rule_sweep, q_mat, q_vec, x0_pad,
+                rule_rows(specs, tol=tol, maxit=maxit), tol, maxit, **skw))
 
         rule_names = ["Fixed stepsize PGM", "Fixed Nesterov", "AdaPGM (MM)",
                       "AdaPGM"]

@@ -34,7 +34,6 @@ def main(argv=None):
         square_root_lasso,
     )
 
-    common = ["--outdir"]
     plot = ["--no-plot"] if args.no_plot else []
     cpu = ["--cpu"] if args.cpu else []
     if args.f64:
@@ -67,7 +66,6 @@ def main(argv=None):
             "--outdir", f"{args.outdir}/nesterov_worst_case", "--maxit", budget(10_000, 1000),
         ]),
     ]
-    del common
     fast_flags = {
         "lasso": ["--resident"],
         "sparse_logreg": ["--resident"],

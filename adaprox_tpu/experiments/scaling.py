@@ -65,8 +65,12 @@ def measure(mesh_devices, m, n, iters, dtype_name="float32"):
 
 
 def measure_sweep(mesh_devices, m, n, t_count, maxit):
-    """Sweep cells/s for a sweep-sharded resident MP t-sweep (each cell is
-    a full maxit-iteration solve; tol=0 pins the per-cell work)."""
+    """Executed sweep cells/s for a sweep-sharded resident MP t-sweep (each
+    cell is a full maxit-iteration solve; tol=0 pins the per-cell work).
+    Counts the PADDED cell total: when t_count does not divide the mesh,
+    the edge-repeat pad cells are full extra solves — dividing by the
+    unpadded count would bias throughput (and efficiency vs the unpadded
+    1-device baseline) low."""
     import functools
 
     import jax
@@ -76,6 +80,14 @@ def measure_sweep(mesh_devices, m, n, t_count, maxit):
     from adaprox_tpu.parallel.sweep import sharded_sweep, sweep_mesh
     from adaprox_tpu.utils.profiling import timed
 
+    # the resident kernel places A and A' in VMEM: reject sizes the launch
+    # cannot compile instead of crashing mid-harness (110 MB scoped limit,
+    # ops.resident CompilerParams)
+    if 2 * m * n * 4 > 100 * 1024 * 1024:
+        raise ValueError(
+            f"({m}, {n}) exceeds the VMEM-resident sweep budget; "
+            "pass --m/--n sweep-scale sizes (operand-sharded modes handle "
+            "large single instances)")
     mesh = sweep_mesh(devices=mesh_devices)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
@@ -92,13 +104,18 @@ def measure_sweep(mesh_devices, m, n, t_count, maxit):
         return jnp.sum(out)
 
     secs, _ = timed(run)
-    return t_count / secs
+    nd = len(mesh_devices)
+    executed = -(-t_count // nd) * nd  # edge-repeat pad cells are real work
+    return executed / secs
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--m", type=int, default=8192, help="global rows (strong) / per-device rows (weak)")
-    p.add_argument("--n", type=int, default=4096)
+    p.add_argument("--m", type=int, default=None,
+                   help="global rows (strong) / per-device rows (weak); "
+                        "defaults: 8192 operand modes, 1024 sweep mode "
+                        "(the sweep kernel keeps A and A' VMEM-resident)")
+    p.add_argument("--n", type=int, default=None)
     p.add_argument("--iters", type=int, default=200)
     p.add_argument("--mode", choices=["strong", "weak", "sweep"],
                    default="strong")
@@ -108,6 +125,10 @@ def main(argv=None):
     p.add_argument("--cpu", type=int, default=0, help="N>0: use N virtual CPU devices")
     p.add_argument("--multihost", action="store_true")
     args = p.parse_args(argv)
+    if args.m is None:
+        args.m = 1024 if args.mode == "sweep" else 8192
+    if args.n is None:
+        args.n = 512 if args.mode == "sweep" else 4096
 
     if args.cpu:
         import os

@@ -90,49 +90,40 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
         # incl. the tol/10 maxit*10 ground truth and the half-budget fixed
         # Nesterov via per-row caps — as one dynamic-rule sweep, the four
         # backtracking rows (half budget) as one sweep, and aGRAAL
-        import time as _time
-
         from adaprox_tpu.ops.resident import resident_rule_sweep, rule_rows
         from adaprox_tpu.ops.resident_bt import resident_bt_sweep
 
-        def _sync(tree):
-            for leaf in jax.tree_util.tree_leaves(tree):
-                jax.block_until_ready(leaf)
-            return float(jnp.asarray(tree[1]).sum())
+        from .common import sync_wall
 
         x0p = jnp.zeros(x1_pad.shape[1], x_mat.dtype)
         lkw = dict(prox_kind="l1", p1=float(lam), obj_kind="logreg",
                    m_true=float(m), interpret=interp)
 
-        half = maxit // 2
+        half_it = maxit // 2
         bt_rows = np.asarray([[gam, 1.0, 0.0], [gam, 1.5, 0.0],
                               [gam, 2.0, 0.0], [gam, 1.0, 1.0]])
-        t0 = _time.perf_counter()
-        xb, itb, _, _, _, bt_hists = route_menu_sweep(
-            resident_bt_sweep, x1_pad, y_pad, x0p, bt_rows, tol, half, **lkw)
-        _sync((xb, itb))
-        bt_wall = _time.perf_counter() - t0
+        (xb, itb, _, _, _, bt_hists), bt_wall = sync_wall(
+            lambda: route_menu_sweep(
+                resident_bt_sweep, x1_pad, y_pad, x0p, bt_rows, tol,
+                half_it, **lkw))
 
         specs = [(gam, "adapgm", False, tol / 10, maxit * 10),
                  (gam, "fixed", False, tol, maxit),
-                 (gam, "fixed", True, tol, half),
+                 (gam, "fixed", True, tol, half_it),
                  (gam, "mm", False, tol, maxit),
                  (gam, "adapgm", False, tol, maxit)]
-        caps = [maxit * 10, maxit, half, maxit, maxit]
-        t0 = _time.perf_counter()
-        xr, itr, _, _, rule_hists = route_menu_sweep(
-            resident_rule_sweep, x1_pad, y_pad, x0p, rule_rows(specs), tol,
-            maxit * 10, **lkw)
-        _sync((xr, itr))
-        rule_wall = _time.perf_counter() - t0
+        caps = [maxit * 10, maxit, half_it, maxit, maxit]
+        (xr, itr, _, _, rule_hists), rule_wall = sync_wall(
+            lambda: route_menu_sweep(
+                resident_rule_sweep, x1_pad, y_pad, x0p, rule_rows(specs),
+                tol, maxit * 10, **lkw))
 
         noise = jax.random.normal(jax.random.PRNGKey(0), (n,), x_mat.dtype)
         x0n = x0p.at[:n].add(noise)
-        t0 = _time.perf_counter()
-        xa, ita, nra, conva, hga, hra, hoa = resident_agraal(
-            x1_pad, y_pad, x0p, x0n, gam, tol, maxit, record=True, **lkw)
-        _sync((xa, ita))
-        ag_wall = _time.perf_counter() - t0
+        (xa, ita, nra, conva, hga, hra, hoa), ag_wall = sync_wall(
+            lambda: resident_agraal(
+                x1_pad, y_pad, x0p, x0n, gam, tol, maxit, record=True,
+                **lkw))
 
         rule_names = [None, "PGM (1/Lf)", "Nesterov (fixed)", "AdaPGM (MM)",
                       "AdaPGM (Ours)"]
@@ -150,7 +141,7 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
             + ["Nesterov (backtracking)"]
         for j, name in enumerate(bt_names):
             sink.add(SimpleNamespace(records=resident_bt_records(
-                itb[j], *(h[j] for h in bt_hists), maxit=half,
+                itb[j], *(h[j] for h in bt_hists), maxit=half_it,
                 nesterov=(j == 3)), name=name, x=xb[j]))
         for j in (2, 3, 4):
             add_rule_row(j)

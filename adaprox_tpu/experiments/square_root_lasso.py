@@ -218,7 +218,6 @@ def run_composite_grid(datasets, outdir, inner_cls, lam=10.0, tol=1e-5,
     launch per dataset (a single solve each). Per-file ``wall_s`` carries
     the amortized share (total/D) plus the grid total in
     ``grid_total_s``."""
-    import time as _time
     from types import SimpleNamespace
 
     import jax
@@ -259,13 +258,7 @@ def run_composite_grid(datasets, outdir, inner_cls, lam=10.0, tol=1e-5,
     lams = jnp.full((dcount,), float(lam), dt)
     ts = jnp.asarray(T_VALUES, dt)
 
-    def timed(fn):
-        t0 = _time.perf_counter()
-        out = fn()
-        for leaf in jax.tree_util.tree_leaves(out):
-            jax.block_until_ready(leaf)
-        float(jnp.asarray(out[1]).sum())  # forced sync (relay semantics)
-        return out, _time.perf_counter() - t0
+    from .common import sync_wall as timed
 
     # sweep-axis parallelism (parallel/sweep.py): the CV grid shards its
     # dataset axis, the (dataset x t) grids shard the t axis (out_axis=1 —
