@@ -39,7 +39,7 @@ __all__ = ["resident_rule_sweep", "rule_rows", "resident_adapgm", "resident_adap
            "resident_mpls_grid", "resident_adapdmp_grid",
            "resident_mp_dsvm_sweep", "resident_cv_dsvm", "resident_cv_grid",
            "resident_mp_records", "resident_adapdmp_sweep",
-           "resident_adapdmp_records"]
+           "resident_adapdmp_records", "resident_pd_records"]
 
 # static prox menu: kind -> (v, gamma, p1, p2) -> prox point
 _PROX = {
@@ -221,6 +221,7 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
         theta: jnp.ndarray
         norm_res: jnp.ndarray
         hists: object  # (hg, hr, ho) when record else None
+        ck_x: jnp.ndarray  # x at the convergence check (engine ck_x)
 
     if rule_kind == "dynamic":
         # traced rule selection (0 = fixed, 1 = mm, 2 = adapgm): ONE
@@ -261,8 +262,9 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
             else:
                 objective = jnp.zeros((), dt)
             hists = write_hist(c.hists, c.it, c.gamma, norm_res, objective)
+            # the Nesterov residual is checked AT x_new (engine nesterov.py)
             return C(c.it + 1, x_new, z, c.x, grad_z, c.gamma, c.g1, c.g0,
-                     theta, norm_res, hists)
+                     theta, norm_res, hists, x_new)
     if (not momentum) or dynamic_mom:
         def body_rule(c):
             f_x, grad = val_grad_of(c.x)
@@ -283,8 +285,10 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
             hists = write_hist(c.hists, c.it, gamma, norm_res, objective)
             v = c.x - gamma * grad
             x_new = prox(v, gamma)
+            # the PG residual is checked AT c.x: on convergence the engine
+            # returns that iterate, not the extra prox step (ck_x)
             return C(c.it + 1, x_new, v, c.x, grad, gamma, g1_new, g0_new,
-                     c.theta, norm_res, hists)
+                     c.theta, norm_res, hists, c.x)
 
     if dynamic_mom:
         def body(c):
@@ -318,13 +322,13 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
         init_m = C(
             jnp.zeros((), jnp.int32), x0, x0, x0, grad0,
             gamma0, gamma0, g0_init, jnp.zeros((), x.dtype),
-            jnp.asarray(jnp.inf, x.dtype), hists0,
+            jnp.asarray(jnp.inf, x.dtype), hists0, x0,
         )
     if (not momentum) or dynamic_mom:
         init_r = C(
             jnp.zeros((), jnp.int32), x, v, x0, grad0,
             gamma0, gamma0, g0_init, jnp.ones((), x.dtype),
-            jnp.asarray(jnp.inf, x.dtype), hists0,
+            jnp.asarray(jnp.inf, x.dtype), hists0, x,
         )
     if dynamic_mom:
         init = jax.tree_util.tree_map(
@@ -334,9 +338,12 @@ def _solve_core(a, at, b, x0, gamma0, tol, p1, p2, *, maxit, prox_kind,
     else:
         init = init_r
     final = jax.lax.while_loop(cond, body, init)
-    converged = (final.norm_res <= tol).astype(jnp.float32)
-    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
-           final.gamma, converged)
+    conv = final.norm_res <= tol
+    # engine return semantics (primal_dual.py:260-261): the iterate AT the
+    # convergence check, not the extra prox step the body already took
+    x_out = jnp.where(conv, final.ck_x, final.x)
+    out = (x_out, final.it.astype(jnp.float32), final.norm_res,
+           final.gamma, conv.astype(jnp.float32))
     if record:
         return out + (final.hists,)
     return out
@@ -822,6 +829,7 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
         g0: jnp.ndarray
         norm_res: jnp.ndarray
         hists: object
+        ck_x: jnp.ndarray  # x at the convergence check (engine ck_x)
 
     def body(c):
         a_x = a_mv(c.x)
@@ -861,7 +869,7 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
         v = c.x - gamma * (grad + at_y)
         x_new = clamp(v)
         return C(c.it + 1, x_new, v, y, at_y, c.x, a_x, grad, gamma, gamma,
-                 c.g1, norm_res, hists)
+                 c.g1, norm_res, hists, c.x)
 
     def cond(c):
         return jnp.logical_and(c.it < maxit, c.norm_res > tol)
@@ -871,11 +879,15 @@ def _pd_core(q, lab, t, norm_a, big_c, tol, theta_big, n_true, *, maxit,
     init = C(
         jnp.zeros((), jnp.int32), x, v, jnp.zeros((), dt),
         jnp.zeros((1, n), dt), x0, a_x0, grad0,
-        gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, dt), hists0,
+        gamma0, gamma0, gamma0, jnp.asarray(jnp.inf, dt), hists0, x,
     )
     final = jax.lax.while_loop(cond, body, init)
-    out = (final.x, final.it.astype(jnp.float32), final.norm_res,
-           final.gamma, (final.norm_res <= tol).astype(jnp.float32))
+    conv = final.norm_res <= tol
+    # engine return semantics (primal_dual.py:260-261): the iterate AT the
+    # convergence check, not the extra box-prox step (cf. _dsvm_cv_core)
+    x_out = jnp.where(conv, final.ck_x, final.x)
+    out = (x_out, final.it.astype(jnp.float32), final.norm_res,
+           final.gamma, conv.astype(jnp.float32))
     if record:
         return out + (final.hists,)
     return out
@@ -936,6 +948,8 @@ def _dsvm_mp_core(q, lab, t, sigma0, big_c, tol, n_true, *, maxit,
         y: jnp.ndarray       # scalar dual
         a_x: jnp.ndarray     # scalar
         at_y: jnp.ndarray    # (1, N)
+        qx: jnp.ndarray      # (1, N) Q x at c.x — the accepted trial's
+        f_x: jnp.ndarray     # f at c.x   (saves one Q-matvec per iteration)
         sigma: jnp.ndarray
         ls_failed: jnp.ndarray
         norm_res: jnp.ndarray
@@ -950,9 +964,9 @@ def _dsvm_mp_core(q, lab, t, sigma0, big_c, tol, n_true, *, maxit,
         sigma_prev = c.sigma
         sigma_try = c.sigma * sqrt2
         x_prev, a_x_prev = c.x, c.a_x
-        qx_prev = qx_of(c.x)
+        qx_prev = c.qx  # the accepting trial already computed Q c.x
         grad_prev = qx_prev - ones
-        f_x_prev = 0.5 * jnp.sum(c.x * qx_prev) - jnp.sum(ones * c.x)
+        f_x_prev = c.f_x
 
         def trial(sigma, trials):
             theta = sigma / sigma_prev
@@ -999,7 +1013,7 @@ def _dsvm_mp_core(q, lab, t, sigma0, big_c, tol, n_true, *, maxit,
                      jnp.where(mask, f_x, ho))
         else:
             hists = c.hists
-        return C(c.it + 1, x, y, a_x, at_y, sigma,
+        return C(c.it + 1, x, y, a_x, at_y, qx, f_x, sigma,
                  jnp.logical_or(c.ls_failed, ls_failed), norm_res, hists)
 
     def cond(c):
@@ -1008,6 +1022,7 @@ def _dsvm_mp_core(q, lab, t, sigma0, big_c, tol, n_true, *, maxit,
     hists0 = ((jnp.zeros((1, hl), dt),) * 5 if record else None)
     init = C(jnp.zeros((), jnp.int32), x0, jnp.zeros((), dt),
              jnp.zeros((), dt), jnp.zeros((1, n), dt),
+             jnp.zeros((1, n), dt), jnp.zeros((), dt),  # Q x0 = 0, f(0) = 0
              jnp.asarray(sigma0, dt), jnp.zeros((), jnp.bool_),
              jnp.asarray(jnp.inf, dt), hists0)
     final = jax.lax.while_loop(cond, body, init)
@@ -2071,7 +2086,7 @@ def _adapdmp_core(a, at, bv, lam, t, eta0, tol, *, maxit, h_kind="l2",
     inner linesearch inflating eta by r with a fresh per-trial prox/A'
     matvec, gamma from the cancellation-free curvature form (identically 0
     for f = 0), capped at the engine's 100 trials."""
-    dt = a.dtype
+    dt = bv.dtype  # iterates follow the data VECTOR: a may be bf16 storage
     m, n = a.shape
     a_mv, at_mv, soft, prox_hconj, obj_of = _f0_ops(a, at, bv, lam, h_kind)
 

@@ -818,6 +818,83 @@ def test_resident_cv_converged_returns_ck_x():
                                atol=1e-12)
 
 
+def test_resident_adapgm_converged_returns_ck_x():
+    """_solve_core must also return the engine's ck_x on convergence (the
+    iterate AT the residual check), not the extra prox step the loop body
+    already took — f64 comparison at machine precision."""
+    from adaprox_tpu.models.synthetic import random_lasso
+    from adaprox_tpu.ops.resident import resident_adapgm_l1
+
+    prob = random_lasso(m=64, n=128, pfactor=8, seed=1)
+    a = jnp.asarray(prob.a, jnp.float64)
+    b = jnp.asarray(prob.b, jnp.float64)
+    lf = float(np.linalg.norm(prob.a, 2) ** 2)
+    tol = 1e-6
+    x, numit, nres, conv = resident_adapgm_l1(
+        a, b, jnp.zeros(128, jnp.float64), 1 / lf, 1.0, tol, 5000,
+        interpret=True)
+    ref = ap.adaptive_proxgrad(
+        jnp.zeros(128, jnp.float64), f=LeastSquares(a=a, b=b),
+        g=ap.L1Norm(lam=1.0), rule=ap.AdaPGMRule(gamma=1 / lf),
+        tol=tol, maxit=5000)
+    assert bool(conv)
+    assert int(numit) == int(ref.numit)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_resident_dsvm_converged_returns_ck_x():
+    """_pd_core (resident dual-SVM AdaPDM) ck_x semantics vs the engine."""
+    from adaprox_tpu.ops.resident import resident_adapdm_dsvm
+    from adaprox_tpu.models.objectives import Quadratic
+
+    rng_ = np.random.default_rng(7)
+    N, d = 48, 12
+    x_mat = rng_.standard_normal((N, d))
+    yv = np.sign(rng_.standard_normal(N))
+    b_fac = yv[:, None] * x_mat
+    q = jnp.asarray(b_fac @ b_fac.T, jnp.float64)
+    lab = jnp.asarray(yv, jnp.float64)
+    na = float(np.linalg.norm(np.asarray(q), 2))
+    tol, t = 1e-3, 0.1
+    x, numit, nres, conv = resident_adapdm_dsvm(
+        q, lab, 1.0, t, na, tol, 10000, interpret=True)
+    ref = ap.adaptive_primal_dual(
+        jnp.zeros(N, jnp.float64), jnp.zeros(1, jnp.float64),
+        f=Quadratic(q_mat=q, q_vec=-jnp.ones(N, jnp.float64)),
+        g=ap.IndBox(lo=0.0, hi=1.0), h=ap.IndZero(),
+        A=ap.DenseOperator(a=lab[None, :]),
+        rule=ap.AdaPGMRule.make(t=t, norm_a=na), tol=tol, maxit=10000)
+    assert bool(conv)
+    assert int(numit) == int(ref.numit)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_resident_adapdmp_sweep_bf16_storage():
+    """AdaPDM+ sweep with bf16 matrix storage: iterates must follow the
+    f32 data vector (the advertised _f0_sweep bf16 contract — regression
+    for the dt = a.dtype bug)."""
+    from adaprox_tpu.ops.resident import resident_adapdmp_sweep
+
+    rng_ = np.random.default_rng(4)
+    m, n = 32, 16
+    a32 = jnp.asarray(rng_.standard_normal((m, n)), jnp.float32)
+    bv = jnp.asarray(rng_.standard_normal(m), jnp.float32)
+    ts = jnp.asarray(np.geomspace(0.1, 10.0, 4), jnp.float32)
+    na = float(jnp.linalg.norm(a32))
+    x, numit, nres, conv, lsf = resident_adapdmp_sweep(
+        a32.astype(jnp.bfloat16), bv, 0.1, ts, na, 1e-9, 40,
+        interpret=True)
+    assert x.dtype == jnp.float32
+    assert np.isfinite(np.asarray(x)).all()
+    # bf16 storage tracks the f32 sweep to storage resolution
+    x32, *_ = resident_adapdmp_sweep(a32, bv, 0.1, ts, na, 1e-9, 40,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x32),
+                               rtol=0.15, atol=0.05)
+
+
 def test_resident_dsvm_factored_matches_dense():
     """factored=True (B resident, grad = B(B'x) - 1) must reproduce the
     dense-Gram resident sweep trajectory exactly — the gram-free form that
