@@ -129,19 +129,19 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
 
         # inner linesearch on eta (src/AdaProx.jl:516-533)
         def trial(eta, counters, trials):
+            # D + sqrt(D^2 + ...) is mathematically >= 0 but can round one
+            # ulp negative when D < 0 and the xi-term underflows next to
+            # D^2 (AdaPGMRule.update has the same clamp for the identical
+            # expression) — unclamped it NaN-poisons gamma_next
+            denom_ls = jnp.maximum(
+                big_delta
+                + jnp.sqrt(big_delta**2 + m4xim1 * (t * eta * c.gamma) ** 2),
+                0.0)
             gamma_next = jnp.minimum(
                 c.gamma * jnp.sqrt(1 + c.gamma / c.gamma_prev),
                 jnp.minimum(
                     1 / (2 * big_theta * t * eta),
-                    c.gamma
-                    * jnp.sqrt(
-                        m4xim1
-                        / (
-                            2
-                            * delta1
-                            * (big_delta + jnp.sqrt(big_delta**2 + m4xim1 * (t * eta * c.gamma) ** 2))
-                        )
-                    ),
+                    c.gamma * jnp.sqrt(m4xim1 / (2 * delta1 * denom_ls)),
                 ),
             )
             rho = gamma_next / c.gamma
@@ -286,7 +286,7 @@ def adaptive_linesearch_primal_dual(
     x0 = jnp.asarray(x0)
     res = _solve(
         (f, g, h, A), x0, jnp.asarray(y0), gamma, eta, t, delta, Theta, r, R,
-        jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
+        tol, int(maxit), bool(history),
         resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)

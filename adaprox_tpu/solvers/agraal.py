@@ -193,7 +193,7 @@ def agraal(
         gamma0 = 0.0  # sentinel: computed from the secant estimate in _solve
     res = _solve(
         (f, g), x1, jnp.asarray(x0), gamma0, gamma_max, phi,
-        jnp.asarray(tol, jnp.result_type(x1)), int(maxit), bool(history),
+        tol, int(maxit), bool(history),
         resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)

@@ -81,7 +81,6 @@ class _PGCarry(NamedTuple):
     f_x: jnp.ndarray
     grad_x: jnp.ndarray
     theta: jnp.ndarray  # momentum (nesterov only; 1.0 otherwise)
-    z_prev: jnp.ndarray
     counters: Counters
     ck_counters: Counters
     norm_res: jnp.ndarray
@@ -130,7 +129,6 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
             f_x=f_x0,
             grad_x=grad0,
             theta=jnp.ones((), sdt),
-            z_prev=x0,
             counters=counters,
             ck_counters=counters,
             norm_res=jnp.asarray(jnp.inf, sdt),
@@ -172,7 +170,6 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
             f_x=f_x,
             grad_x=grad_x,
             theta=theta,
-            z_prev=c.z,
             counters=counters,
             ck_counters=ck,
             norm_res=norm_res,
@@ -234,7 +231,7 @@ def backtracking_proxgrad(
     the same hybrid as adaptive_primal_dual's ``scalar_dtype``."""
     x0 = jnp.asarray(x0)
     res = _solve_bt(
-        (f, g), x0, gamma0, xi, shrink, jnp.asarray(tol, jnp.result_type(x0)),
+        (f, g), x0, gamma0, xi, shrink, tol,
         int(maxit), bool(history), False, resume_state=resume_state,
         scalar_dtype=scalar_dtype,
     )
@@ -259,7 +256,7 @@ def backtracking_nesterov(
     ``(1 + sqrt(1 + 4 theta^2))/2`` (reference src/AdaProx.jl:66-84)."""
     x0 = jnp.asarray(x0)
     res = _solve_bt(
-        (f, g), x0, gamma0, 1.0, shrink, jnp.asarray(tol, jnp.result_type(x0)),
+        (f, g), x0, gamma0, 1.0, shrink, tol,
         int(maxit), bool(history), True, resume_state=resume_state,
         scalar_dtype=scalar_dtype,
     )

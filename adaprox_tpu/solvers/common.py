@@ -88,6 +88,8 @@ class SolveResult(NamedTuple):
 
 
 def l2sq(v):
+    """||v||^2 for REAL dtypes (the supported domain — for complex this
+    would need vdot(v, v).real, cf. Curvature.of's .real)."""
     return jnp.sum(v * v)
 
 
@@ -97,7 +99,6 @@ def cast_floats(tree, dtype):
     Solvers call this on rules/scalar parameters so the loop carry has one
     consistent float dtype regardless of how the caller's python floats were
     committed (e.g. f64 under jax_enable_x64 with f32 iterates)."""
-    import jax
 
     def cast(v):
         v = jnp.asarray(v)
@@ -150,15 +151,19 @@ def run_loop(carry0, step, maxit, history):
 
     Returns ``(final_carry, records_or_None)``.
     """
-    import jax
-
     if history:
 
         def scan_body(c, _):
+            # ``maxit`` is the CUMULATIVE iteration cap (resume semantics,
+            # same as the while_loop cond below): a resumed carry with
+            # it0 > 0 gets maxit - it0 live trips, the rest frozen. For a
+            # fresh solve c.it < maxit on every trip — no behavior change.
+            gate = jnp.logical_or(c.done, c.it >= maxit)
             new, rec = step(c)
             frozen = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(c.done, a, b), c, new
+                lambda a, b: jnp.where(gate, a, b), c, new
             )
+            rec = rec._replace(valid=jnp.logical_and(rec.valid, c.it < maxit))
             return frozen, rec
 
         return jax.lax.scan(scan_body, carry0, None, length=maxit)

@@ -225,7 +225,7 @@ def malitsky_pock(
     x0 = jnp.asarray(x0)
     res = _solve(
         (f, g, h, A), x0, jnp.asarray(y0), sigma, t,
-        jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
+        tol, int(maxit), bool(history),
         resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)

@@ -158,7 +158,7 @@ def fixed_nesterov(
     x0 = jnp.asarray(x0)
     res = _solve(
         (f, g), x0, gamma, muf, mug, theta,
-        jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
+        tol, int(maxit), bool(history),
         bool(mu != 0), resume_state=resume_state, scalar_dtype=scalar_dtype,
     )
     return res.with_name(name)

@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..ops import oracles, pd_kernels, prox as prox_ops
@@ -288,10 +289,11 @@ def fused_adaptive_primal_dual(
     # (column tiles of row-major A cost ~25% bandwidth in strided DMA)
     if at is not None:
         at_mat = jnp.asarray(at)
-        if at_mat.shape != jnp.asarray(a_mat).shape[::-1]:
+        # np.shape: validating against a HOST a_mat must not upload it
+        if at_mat.shape != np.shape(a_mat)[::-1]:
             raise ValueError(
                 f"at shape {at_mat.shape} is not the transpose of A shape "
-                f"{jnp.asarray(a_mat).shape}")
+                f"{np.shape(a_mat)}")
     else:
         at_mat = jnp.asarray(a_mat).T
     y0 = jnp.asarray(y0)
@@ -327,7 +329,7 @@ def fused_adaptive_primal_dual(
             "(parallel.mesh) before sharding")
     res = _solve(
         (f, g, h, at_mat), rule, x0, y0, p1, p2,
-        jnp.asarray(tol, jnp.result_type(x0)), int(maxit), bool(history),
+        tol, int(maxit), bool(history),
         kind, bool(interpret), resume_state=resume_state, mesh=mesh,
     )
     if res.x.shape[0] != n_true or res.y.shape[0] != m_true:
@@ -345,16 +347,20 @@ def fused_condat_vu(x0, y0, *, f, g, h, A, Lf, norm_A=None, tol=1e-5,
 
     from ..solvers.rules import FixedStepsize
 
+    from ..solvers.primal_dual import condat_vu_steps
+
     a_mat = getattr(A, "a", A)
     if norm_A is None:
         # Frobenius, matching DenseOperator.norm() / Julia norm(A) — the
-        # engine condat_vu's default (src/AdaProx.jl:403)
-        norm_A = float(np.linalg.norm(np.asarray(a_mat)))
-    par, par2 = 5.0, 100.0
-    lf = float(Lf)
-    alpha = 1.0 if norm_A > par * lf else par2 * norm_A / lf
-    gamma = 1.0 / (lf / 2 + norm_A / alpha)
-    sigma = 0.99 / (norm_A * alpha)
+        # engine condat_vu's default (src/AdaProx.jl:403). Computed ON
+        # DEVICE from whichever matrix the solve will upload anyway (`at`
+        # when given — a host->device pull of the full untransposed A just
+        # for the norm cost a 1 GB relay transfer per call)
+        norm_A = float(jnp.linalg.norm(jnp.asarray(
+            at if at is not None else a_mat)))
+    gamma, sigma = condat_vu_steps(jnp.asarray(float(Lf)),
+                                   jnp.asarray(float(norm_A)))
+    gamma, sigma = float(gamma), float(sigma)
     rule = FixedStepsize(gamma=gamma, t=float(np.sqrt(sigma / gamma)))
     return fused_adaptive_primal_dual(
         x0, y0, f=f, g=g, h=h, A=A, rule=rule, tol=tol, maxit=maxit,

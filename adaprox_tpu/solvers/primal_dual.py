@@ -128,7 +128,6 @@ def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective, sdt):
     counters = c.counters
     vdt = jnp.result_type(c.x)
     upcast = sdt != vdt
-    gamma_v = c.gamma.astype(vdt)
 
     # -- first half: evaluate, adapt steps, dual update, residuals ----------
     a_x = None
@@ -309,12 +308,20 @@ def adaptive_primal_dual(
     if A is not None and y0 is None:
         raise ValueError("y0 is required when A is given")
     if A is None:
-        y0 = None
+        # the dual term is h(Ax): silently dropping a user-supplied h/y0
+        # would solve a different problem with no diagnostic
+        if h is not None and not isinstance(h, prox_ops.Zero):
+            raise ValueError(
+                "h was given without A; pass A (use ScaledIdentity for "
+                "h(x)) or drop h")
+        if y0 is not None:
+            raise ValueError("y0 was given without A")
         h = None
     elif h is None:
         h = prox_ops.Zero()  # h omitted with a real A: h(Ax) = 0
     x0 = jnp.asarray(x0)
-    tol = jnp.asarray(tol, dtype=jnp.result_type(x0))
+    # tol is cast ONCE in _solve_pd (to the scalar dtype): a pre-cast to the
+    # iterate dtype would f32-quantize the stopping threshold in hybrid mode
     res = _solve_pd(
         (f, g, h, A), rule, x0, y0, tol, int(maxit), bool(history),
         resume_state=resume_state, scalar_dtype=scalar_dtype,
@@ -341,6 +348,18 @@ def fixed_proxgrad(x0, *, f, g, gamma, tol=1e-5, maxit=100_000, name="Fixed step
     )
 
 
+def condat_vu_steps(lf, norm_a):
+    """(gamma, sigma) from the reference's scaling heuristics
+    (src/AdaProx.jl:396-412, par=5, par2=100) — shared by ``condat_vu``
+    and ``pd_fused.fused_condat_vu``. jnp.where keeps lf == 0 (the f = 0
+    experiments) finite: alpha = 1 whenever norm_a > par*lf."""
+    par, par2 = 5.0, 100.0
+    alpha = jnp.where(norm_a > par * lf, 1.0, par2 * norm_a / lf)
+    gamma = 1.0 / (lf / 2 + norm_a / alpha)
+    sigma = 0.99 / (norm_a * alpha)
+    return gamma, sigma
+
+
 def condat_vu(
     x0,
     y0,
@@ -365,14 +384,11 @@ def condat_vu(
     par=5, par2=100), then runs the generic engine with a FixedStepsize rule.
     """
     if gamma is None and sigma is None:
-        par, par2 = 5.0, 100.0
         if norm_A is None:
             norm_A = A.norm()
         norm_A = jnp.asarray(norm_A, dtype=jnp.result_type(jnp.asarray(x0)))
-        lf = jnp.asarray(Lf, dtype=norm_A.dtype)
-        alpha = jnp.where(norm_A > par * lf, 1.0, par2 * norm_A / lf)
-        gamma = 1.0 / (lf / 2 + norm_A / alpha)
-        sigma = 0.99 / (norm_A * alpha)
+        gamma, sigma = condat_vu_steps(
+            jnp.asarray(Lf, dtype=norm_A.dtype), norm_A)
     if gamma is None or sigma is None:
         raise ValueError("provide both gamma and sigma, or neither")
     rule = rules_mod.FixedStepsize(gamma=gamma, t=jnp.sqrt(sigma / gamma))

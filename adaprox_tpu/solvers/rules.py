@@ -215,10 +215,14 @@ class AdaPGMPlusRule:
     def update(self, state, curv):
         gamma1, gamma0 = state
         # cancellation-free form of 1 - 2r + gamma1*L*(gamma1*C + 2(r-1))
-        # (src/AdaProx.jl:300-302); see AdaPGMRule.update for why
-        dd = nan_to_zero(
-            1 - 2 * self.r
-            + gamma1 * (gamma1 * curv.ndg2 + 2 * (self.r - 1) * curv.dgdx) / curv.ndx2
+        # (src/AdaProx.jl:300-302); see AdaPGMRule.update for why. The nan
+        # guard wraps ONLY the 0/0 fraction: on identical iterates the
+        # reference's per-ratio nan_to_zero gives C = L = 0, so D = 1 - 2r
+        # (a live constant when r != 0.5) — guarding the whole expression
+        # would erase it
+        dd = 1 - 2 * self.r + nan_to_zero(
+            gamma1 * (gamma1 * curv.ndg2 + 2 * (self.r - 1) * curv.dgdx)
+            / curv.ndx2
         )
         gamma = gamma1 * jnp.minimum(
             jnp.sqrt(1 / (self.r * (self.nu + self.xi)) + gamma1 / gamma0),

@@ -45,6 +45,40 @@ def _dsvm_check(res, f, labels, big_c, tol):
     return float(f.value(res.x))
 
 
+def test_h_without_a_raises():
+    """Silently dropping a user-supplied h (or y0) when A is omitted would
+    solve a different problem — it must raise (review finding)."""
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((8, 4)))
+    f = ap.FromFunction(fn=lambda x: 0.5 * jnp.sum((a @ x) ** 2))
+    with pytest.raises(ValueError, match="h was given without A"):
+        ap.adaptive_primal_dual(
+            jnp.zeros(4), f=f, g=ap.Zero(), h=ap.L1Norm(lam=1.0),
+            rule=ap.AdaPGMRule(gamma=1e-2))
+    with pytest.raises(ValueError, match="y0 was given without A"):
+        ap.adaptive_primal_dual(
+            jnp.zeros(4), jnp.zeros(8), f=f, g=ap.Zero(),
+            rule=ap.AdaPGMRule(gamma=1e-2))
+
+
+def test_resume_history_respects_cumulative_maxit(rng):
+    """maxit is the CUMULATIVE cap on resume in BOTH loop modes: the scan
+    (history=True) used to run maxit additional trips (review finding)."""
+    from adaprox_tpu.models.objectives import LeastSquares
+
+    a = jnp.asarray(rng.standard_normal((24, 12)))
+    b = jnp.asarray(rng.standard_normal(24))
+    kw = dict(f=LeastSquares(a=a, b=b), g=ap.L1Norm(lam=0.1),
+              rule=ap.AdaPGMRule(gamma=1e-2), tol=0.0)
+    r1 = ap.adaptive_proxgrad(jnp.zeros(12), maxit=30, history=True, **kw)
+    r2 = ap.adaptive_proxgrad(jnp.zeros(12), maxit=50, history=True,
+                              resume_state=r1.extra, **kw)
+    assert int(r2.numit) == 50  # not 30 + 50
+    assert int(np.sum(np.asarray(r2.records.valid))) == 20
+    direct = ap.adaptive_proxgrad(jnp.zeros(12), maxit=50, history=True, **kw)
+    np.testing.assert_array_equal(np.asarray(r2.x), np.asarray(direct.x))
+
+
 def test_adapdm_dual_svm(dsvm):
     f, g, h, a_op, norm_a, lf, n, labels, big_c = dsvm
     tol = 1e-6

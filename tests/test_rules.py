@@ -110,6 +110,25 @@ def test_adapgm_make_resolves_gamma():
         ap.AdaPGMRule.make(t=1.0, norm_a=0.0)
 
 
+def test_adapgm_plus_identical_iterates_keeps_constant_term():
+    """On identical iterates (0/0 curvature fractions) the reference's
+    per-ratio nan guards give C = L = 0, so D = 1 - 2r — a LIVE constant
+    when r != 0.5 that a whole-expression nan_to_zero would erase
+    (review finding): the second bound must stay finite."""
+    nu, xi, r_par = 1.0, 1.0, 0.25
+    rule = ap.AdaPGMPlusRule(gamma=0.04, xi=xi, nu=nu, r=r_par)
+    (_, _), st = rule.init()
+    curv = ap.Curvature(ndg2=jnp.zeros(()), dgdx=jnp.zeros(()),
+                        ndx2=jnp.zeros(()))
+    (g, _), _ = rule.update(st, curv)
+    d = 1 - 2 * r_par
+    expect = 0.04 * min(
+        np.sqrt(1 / (r_par * (nu + xi)) + 1.0),
+        np.sqrt((nu * (1 + xi) - 1) / (nu * (nu + xi))) / np.sqrt(d),
+    )
+    assert float(g) == pytest.approx(expect, rel=1e-12)
+
+
 def test_adapgm_plus_golden(rng):
     nu, xi, r_par = 1.0, 1.0, 0.5
     rule = ap.AdaPGMPlusRule(gamma=0.04, xi=xi, nu=nu, r=r_par)

@@ -86,6 +86,31 @@ def test_auto_adaptive_proxgrad_simple2d():
     _check_simple2d(res)
 
 
+def test_auto_counters_include_estimation():
+    """The estimation phase's oracle calls hit the caller's Counting
+    wrappers in the reference (src/AdaProx.jl:424-449), so its records
+    include them — the result counters must carry the same offsets
+    (review finding). With gamma given and no re-estimate the offsets are
+    exactly (+2 f/grad, +1 prox) over the engine run from x_prev."""
+    res = ap.auto_adaptive_proxgrad(
+        jnp.ones(2), f=Simple2DObjective(), g=Simple2DBox(), gamma=1e-2,
+        history=True, maxit=50, tol=1e-7,
+    )
+    # engine row 0 reports f/grad = 2 (warm-up + first step) and
+    # prox_g = 1 (warm-up; the check snapshot precedes the second half);
+    # auto adds the estimation's +2/+2/+1
+    assert int(res.records.f_evals[0]) == 4
+    assert int(res.records.grad_f_evals[0]) == 4
+    assert int(res.records.prox_g_evals[0]) == 2
+    # history and production modes carry the same offsets
+    base = ap.auto_adaptive_proxgrad(
+        jnp.ones(2), f=Simple2DObjective(), g=Simple2DBox(), gamma=1e-2,
+        maxit=50, tol=1e-7,
+    )
+    assert int(base.counters.f_evals) == int(res.counters.f_evals)
+    assert int(base.counters.prox_g_evals) == int(res.counters.prox_g_evals)
+
+
 # --- known-optimum lasso (experiments/lasso/runme.jl:45-77) ----------------
 
 
