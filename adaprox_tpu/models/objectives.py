@@ -26,9 +26,7 @@ from ..ops.oracles import SmoothOracle
 __all__ = ["LeastSquares", "GramLeastSquares", "LogisticLoss", "Quadratic", "Cubic", "WorstQuadratic"]
 
 
-def _acc_dtype(a, v):
-    """Accumulate in the iterate dtype (f32 even when the matrix is bf16)."""
-    return v.dtype if a.dtype == jnp.bfloat16 else jnp.result_type(a, v)
+from ..ops.linops import acc_dtype as _acc_dtype  # single-sourced policy
 
 
 def _mv(a, v, precision):

@@ -50,12 +50,16 @@ _VMEM_TILE_BUDGET = 4 * 1024 * 1024  # per in-flight A tile (double buffered)
 
 
 def pick_block_rows(m: int, n: int, itemsize: int) -> int:
-    """Largest row-tile (multiple of 8, <= 1024) whose A-tile fits the VMEM
-    budget; must divide m."""
-    tm = max(_SUBLANE, min(1024, _VMEM_TILE_BUDGET // max(1, n * itemsize)))
-    tm = (tm // _SUBLANE) * _SUBLANE
-    while tm > _SUBLANE and m % tm:
-        tm -= _SUBLANE
+    """Largest row-tile (<= 1024) whose A-tile fits the VMEM budget; must
+    divide m. The sublane quantum follows the dtype: bf16 register tiles
+    are (16, 128), so 2-byte storage needs 16-row multiples (same rule as
+    pd_kernels._pick_block_rows_t) — an 8-mod-16 bf16 tile fails Mosaic's
+    native tiling at compile time."""
+    q = _SUBLANE * (2 if itemsize == 2 else 1)
+    tm = max(q, min(1024, _VMEM_TILE_BUDGET // max(1, n * itemsize)))
+    tm = (tm // q) * q
+    while tm > q and m % tm:
+        tm -= q
     return tm
 
 
@@ -101,6 +105,10 @@ def fused_ls_value_grad(a, b, x, interpret=False, block_rows=None):
     m, n = a.shape
     acc = x.dtype
     tm = block_rows or pick_block_rows(m, n, a.dtype.itemsize)
+    if m % tm:
+        # grid=(m // tm,) would silently skip the tail rows (same guard as
+        # hbm_read_reduce / fused_pd_primal_update)
+        raise ValueError(f"m={m} not a multiple of the row tile {tm}")
     x2 = x.reshape(1, n)
     b2 = b.reshape(m, 1).astype(acc)
 
@@ -246,6 +254,10 @@ def fused_logistic_value_grad(x_mat, y, w, w_bias, interpret=False):
     m, n = x_mat.shape
     acc = w.dtype
     tm = pick_block_rows(m, n, x_mat.dtype.itemsize)
+    if m % tm:
+        # grid=(m // tm,) would silently skip tail rows AND the kernel
+        # rescales by n_rows=m — a biased loss/grad, not just a wrong one
+        raise ValueError(f"m={m} not a multiple of the row tile {tm}")
     w2 = w.reshape(1, n)
     y2 = y.reshape(m, 1).astype(acc)
     wb2 = w_bias.reshape(1, 1).astype(acc)

@@ -38,7 +38,7 @@ class DenseOperator:
         return self.a.shape
 
     def _acc(self, v):
-        return v.dtype if self.a.dtype == jnp.bfloat16 else jnp.result_type(self.a, v)
+        return acc_dtype(self.a, v)
 
     def matvec(self, x):
         return jax.lax.dot_general(
@@ -97,7 +97,7 @@ class SparseOperator:
         return self.a.T @ y
 
     def norm(self):
-        return jnp.sqrt(jnp.sum(self.a.data * self.a.data))
+        return frobenius_norm(self.a.data)
 
     def opnorm(self, iters: int = 100, key=None):
         return opnorm2(self, iters=iters, key=key, n=self.shape[1])
@@ -149,7 +149,18 @@ class ScaledIdentity:
         return jnp.abs(self.alpha)
 
 
+def acc_dtype(a, v):
+    """The accumulation-dtype policy, single-sourced: accumulate in the
+    iterate/vector dtype when storage is bf16 (f32 accumulation for bf16
+    matrices), otherwise the promoted type. Shared by DenseOperator and
+    models.objectives."""
+    return v.dtype if a.dtype == jnp.bfloat16 else jnp.result_type(a, v)
+
+
 def frobenius_norm(a):
+    """sqrt(sum(a^2)) accumulated in >= f32 (bf16 storage upcasts: an
+    8-mantissa-bit sum over millions of squares is meaningless)."""
+    a = a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
     return jnp.sqrt(jnp.sum(a * a))
 
 
@@ -160,6 +171,10 @@ def opnorm2(op, iters: int = 100, key=None, n: int | None = None,
     Sharding-friendly replacement for the reference's exact ``opnorm(A)``
     (experiments/lasso/runme.jl:81): each step is one matvec + one rmatvec,
     both of which ride whatever sharding the operator's storage has.
+
+    The iteration dtype defaults to the storage dtype widened to at least
+    f32 — a bf16 power iteration would hand the stepsize bounds a
+    ~0.5-1% wrong sigma_max with zero safety margin.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -169,12 +184,17 @@ def opnorm2(op, iters: int = 100, key=None, n: int | None = None,
         raise ValueError("pass n= for operators without a .shape")
     if dtype is None:
         dtype = op.a.dtype if hasattr(op, "a") else jnp.float32
+        if dtype == jnp.bfloat16:
+            dtype = jnp.float32
     v = jax.random.normal(key, (n,), dtype=dtype)
     v = v / jnp.sqrt(jnp.sum(v * v))
 
     def body(_, v):
         w = op.rmatvec(op.matvec(v))
-        return w / jnp.sqrt(jnp.sum(w * w))
+        nrm = jnp.sqrt(jnp.sum(w * w))
+        # zero (or numerically null) operator: keep v instead of 0/0 NaN;
+        # the final norm then reports 0 correctly
+        return jnp.where(nrm > 0, w / jnp.where(nrm > 0, nrm, 1.0), v)
 
     v = jax.lax.fori_loop(0, iters, body, v)
     return jnp.sqrt(jnp.sum(op.matvec(v) ** 2))

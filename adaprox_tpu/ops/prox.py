@@ -145,11 +145,15 @@ class IndBall2:
     r: jnp.ndarray = 1.0
 
     def __call__(self, x):
-        zero = jnp.zeros((), dtype=jnp.result_type(x))
+        dt = jnp.result_type(x)
+        zero = jnp.zeros((), dtype=dt)
         nrm = jnp.sqrt(jnp.sum(x * x))
-        # small tolerance: projections land exactly on the boundary in exact
-        # arithmetic but may overshoot by one ulp in floating point
-        ok = nrm <= self.r * (1 + 1e-12) + 1e-30
+        # dtype-relative tolerance: the radial projection lands exactly on
+        # the boundary in exact arithmetic but its recomputed norm can
+        # overshoot by a few ulp (a fixed 1e-12 is BELOW f32 eps, so the
+        # indicator of the prox's own output read inf in f32)
+        eps = jnp.finfo(dt).eps
+        ok = nrm <= self.r * (1 + 8 * eps) + jnp.finfo(dt).tiny
         return jnp.where(ok, zero, jnp.inf)
 
     def prox(self, v, gamma):

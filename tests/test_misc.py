@@ -272,3 +272,37 @@ def test_factored_quadratic_matches_gram():
     np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
                                rtol=2e-2, atol=2e-3)
     np.testing.assert_allclose(float(f_f(r2.x)), float(f_g(r1.x)), rtol=1e-4)
+
+
+def test_opnorm_zero_operator_and_bf16_dtype(rng):
+    """Review findings: power iteration must not NaN on a null operator,
+    and bf16 storage must iterate in f32."""
+    op0 = ap.DenseOperator(a=jnp.zeros((8, 6)))
+    assert float(ap.opnorm2(op0, iters=5)) == 0.0
+    a = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+    op16 = ap.DenseOperator(a=a.astype(jnp.bfloat16))
+    est = float(ap.opnorm2(op16, iters=50))
+    exact = float(jnp.linalg.norm(a, 2))
+    assert abs(est - exact) / exact < 0.02  # bf16 storage, f32 iteration
+
+
+def test_fused_kernels_reject_misaligned_rows(rng):
+    """grid=(m // tm,) must raise on a non-dividing tile instead of
+    silently dropping the tail rows (review finding)."""
+    from adaprox_tpu.ops.kernels import fused_ls_value_grad, pick_block_rows
+
+    a = jnp.asarray(rng.standard_normal((100, 128)), jnp.float32)  # m%8 != 0
+    with pytest.raises(ValueError, match="not a multiple"):
+        fused_ls_value_grad(a, jnp.zeros(128, jnp.float32),
+                            jnp.zeros(100, jnp.float32), interpret=True)
+    # bf16 storage quantizes the row tile to 16 (native (16,128) tiles)
+    assert pick_block_rows(1024, 128, 2) % 16 == 0
+
+
+def test_indball2_accepts_own_prox_output(rng):
+    """The indicator evaluated at the radial projection's own output must
+    read 0, not inf, in f32 (dtype-relative boundary tolerance)."""
+    g = ap.IndBall2(r=1.0)
+    v = jnp.asarray(rng.standard_normal(64), jnp.float32) * 10.0
+    y, _ = g.prox(v, 1.0)
+    assert float(g(y)) == 0.0
