@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from .._pytree import pytree_dataclass
 from ..ops.oracles import SmoothOracle
 
-__all__ = ["LeastSquares", "GramLeastSquares", "LogisticLoss", "Quadratic", "Cubic", "WorstQuadratic"]
+__all__ = ["LeastSquares", "GramLeastSquares", "LogisticLoss", "Quadratic",
+           "FactoredQuadratic", "Cubic", "WorstQuadratic"]
 
 
 from ..ops.linops import acc_dtype as _acc_dtype  # single-sourced policy
@@ -230,11 +231,19 @@ class FactoredQuadratic(SmoothOracle):
         return qx + self.q_vec
 
     def norm_q(self):
+        from ..ops.linops import frobenius_norm
+
+        # accumulate the (d, d) Gram in the policy dtype (f32 for bf16
+        # storage — a bf16 sum over m~8k terms is percent-level wrong and
+        # this seeds every solver's Lf)
+        acc = _acc_dtype(self.b_mat, self.b_mat)
+        if acc == jnp.bfloat16:
+            acc = jnp.float32
         bt_b = jax.lax.dot_general(
             self.b_mat, self.b_mat, (((0,), (0,)), ((), ())),
             precision=self.precision,
-            preferred_element_type=self.b_mat.dtype)
-        return jnp.sqrt(jnp.sum(bt_b * bt_b))
+            preferred_element_type=acc)
+        return frobenius_norm(bt_b)
 
 
 @pytree_dataclass(meta=("precision",))

@@ -24,22 +24,25 @@ _lib = None
 _build_error: str | None = None
 
 
-def _build() -> str | None:
-    """Compile the shared object if stale. Returns an error string or None."""
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+def _build_so(src, so, extra_flags=()) -> str | None:
+    """Compile ``src`` -> ``so`` if stale (atomic tmp+rename). Returns an
+    error string or None. Shared by every native component."""
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return None
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-        _SRC, "-o", _SO + ".tmp",
-    ]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           *extra_flags, src, "-o", so + ".tmp"]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:
         return f"g++ unavailable: {e}"
     if proc.returncode != 0:
         return f"g++ failed: {proc.stderr[:500]}"
-    os.replace(_SO + ".tmp", _SO)
+    os.replace(so + ".tmp", so)
     return None
+
+
+def _build() -> str | None:
+    return _build_so(_SRC, _SO, extra_flags=("-pthread",))
 
 
 def get_lib():
@@ -53,21 +56,6 @@ def get_lib():
             _build_error = err
             return None
         lib = ctypes.CDLL(_SO)
-        lib.adaprox_libsvm_dims.restype = ctypes.c_int
-        lib.adaprox_libsvm_dims.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.adaprox_libsvm_parse_dense.restype = ctypes.c_int
-        lib.adaprox_libsvm_parse_dense.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
-            ctypes.c_int64,
-        ]
         lib.adaprox_libsvm_parse_coo.restype = ctypes.c_void_p
         lib.adaprox_libsvm_parse_coo.argtypes = [
             ctypes.c_char_p,
@@ -107,19 +95,10 @@ def get_sink_lib():
     with _lock:
         if _sink_lib is not None or _sink_error is not None:
             return _sink_lib
-        if not (os.path.exists(_SINK_SO)
-                and os.path.getmtime(_SINK_SO) >= os.path.getmtime(_SINK_SRC)):
-            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                   _SINK_SRC, "-o", _SINK_SO + ".tmp"]
-            try:
-                proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-            except (OSError, subprocess.TimeoutExpired) as e:
-                _sink_error = f"g++ unavailable: {e}"
-                return None
-            if proc.returncode != 0:
-                _sink_error = f"g++ failed: {proc.stderr[:500]}"
-                return None
-            os.replace(_SINK_SO + ".tmp", _SINK_SO)
+        err = _build_so(_SINK_SRC, _SINK_SO)
+        if err is not None:
+            _sink_error = err
+            return None
         lib = ctypes.CDLL(_SINK_SO)
         lib.adaprox_write_jsonl.restype = ctypes.c_int
         lib.adaprox_write_jsonl.argtypes = [

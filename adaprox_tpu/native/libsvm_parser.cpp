@@ -26,6 +26,7 @@ struct Mapped {
   const char* data = nullptr;
   size_t size = 0;
   int fd = -1;
+  char* owned = nullptr;  // heap copy when the file needs NUL termination
   bool ok() const { return data != nullptr; }
 };
 
@@ -47,14 +48,34 @@ Mapped map_file(const char* path) {
   }
   m.data = static_cast<const char*>(p);
   m.size = st.st_size;
+  if (m.data[m.size - 1] != '\n') {
+    // strtod/strtol run to the terminator: a file that ends mid-token at
+    // an exact page boundary would read one byte past the mapping
+    // (SIGSEGV). Rare case (no trailing newline): parse a NUL-terminated
+    // heap copy instead.
+    m.owned = static_cast<char*>(::malloc(m.size + 1));
+    if (m.owned == nullptr) {
+      ::munmap(p, m.size);
+      ::close(m.fd);
+      m = Mapped{};
+      return m;
+    }
+    memcpy(m.owned, m.data, m.size);
+    m.owned[m.size] = '\0';
+    ::munmap(p, m.size);
+    m.data = m.owned;
+  }
   return m;
 }
 
 void unmap(Mapped& m) {
-  if (m.data) ::munmap(const_cast<char*>(m.data), m.size);
+  if (m.owned) {
+    ::free(m.owned);
+  } else if (m.data) {
+    ::munmap(const_cast<char*>(m.data), m.size);
+  }
   if (m.fd >= 0) ::close(m.fd);
-  m.data = nullptr;
-  m.fd = -1;
+  m = Mapped{};
 }
 
 // Offsets of the first character of every non-empty line.
@@ -144,6 +165,13 @@ void* adaprox_libsvm_parse_coo(const char* path, int64_t* out_rows,
           }
           p = next + 1;
           double v = strtod(p, &next);
+          if (next == p || next > end) {
+            // truncated token like "3:" at end of line: strtod skips the
+            // newline and consumes the NEXT line's label as this value —
+            // next lands past the line end, which must be an error
+            ck.err = 5;
+            return;
+          }
           p = next;
           if (col < 1) {
             ck.err = 4;
@@ -191,105 +219,6 @@ int adaprox_libsvm_coo_fill_dense(void* handle, double* x, double* y,
 
 void adaprox_libsvm_coo_free(void* handle) {
   delete static_cast<AdaproxCoo*>(handle);
-}
-
-// Pass 1: rows, max feature index (1-based), and total nnz.
-// Returns 0 on success, nonzero errno-style code on failure.
-int adaprox_libsvm_dims(const char* path, int64_t* out_rows, int64_t* out_cols,
-                        int64_t* out_nnz) {
-  Mapped m = map_file(path);
-  if (!m.ok()) return 1;
-  std::vector<size_t> starts = line_starts(m);
-  int64_t rows = static_cast<int64_t>(starts.size());
-
-  int nt = n_threads();
-  std::vector<int64_t> max_col(nt, 0), nnz(nt, 0);
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nt; t++) {
-    threads.emplace_back([&, t]() {
-      for (size_t r = t; r < starts.size(); r += nt) {
-        const char* p = m.data + starts[r];
-        const char* end = line_end(m, starts[r]);
-        char* next;
-        strtod(p, &next);  // label
-        p = next;
-        while (p < end) {
-          while (p < end && (*p == ' ' || *p == '\t')) p++;
-          if (p >= end || *p == '\n' || *p == '\r') break;
-          long col = strtol(p, &next, 10);
-          if (next == p || *next != ':') return;  // malformed; bail this line
-          p = next + 1;
-          strtod(p, &next);
-          p = next;
-          if (col > max_col[t]) max_col[t] = col;
-          nnz[t]++;
-        }
-      }
-    });
-  }
-  for (auto& th : threads) th.join();
-  int64_t cols = 0, total = 0;
-  for (int t = 0; t < nt; t++) {
-    if (max_col[t] > cols) cols = max_col[t];
-    total += nnz[t];
-  }
-  unmap(m);
-  *out_rows = rows;
-  *out_cols = cols;
-  *out_nnz = total;
-  return 0;
-}
-
-// Pass 2: fill a caller-allocated dense row-major (rows x ld) float64 matrix
-// (zero-initialized by the caller) and the labels vector. ld >= cols allows
-// padded layouts. Rows beyond `rows` are untouched.
-int adaprox_libsvm_parse_dense(const char* path, double* x, double* y,
-                               int64_t rows, int64_t ld) {
-  Mapped m = map_file(path);
-  if (!m.ok()) return 1;
-  std::vector<size_t> starts = line_starts(m);
-  if (static_cast<int64_t>(starts.size()) != rows) {
-    unmap(m);
-    return 2;
-  }
-
-  int nt = n_threads();
-  std::vector<int> err(nt, 0);
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nt; t++) {
-    threads.emplace_back([&, t]() {
-      for (size_t r = t; r < starts.size(); r += nt) {
-        const char* p = m.data + starts[r];
-        const char* end = line_end(m, starts[r]);
-        char* next;
-        y[r] = strtod(p, &next);
-        p = next;
-        double* row = x + static_cast<int64_t>(r) * ld;
-        while (p < end) {
-          while (p < end && (*p == ' ' || *p == '\t')) p++;
-          if (p >= end || *p == '\n' || *p == '\r') break;
-          long col = strtol(p, &next, 10);
-          if (next == p || *next != ':') {
-            err[t] = 3;
-            return;
-          }
-          p = next + 1;
-          double v = strtod(p, &next);
-          p = next;
-          if (col < 1 || col > ld) {
-            err[t] = 4;
-            return;
-          }
-          row[col - 1] = v;
-        }
-      }
-    });
-  }
-  for (auto& th : threads) th.join();
-  unmap(m);
-  for (int t = 0; t < nt; t++)
-    if (err[t]) return err[t];
-  return 0;
 }
 
 }  // extern "C"

@@ -20,12 +20,22 @@ __all__ = ["save_pytree", "load_pytree"]
 _NONE = "__none__"
 
 
+def _npz_path(path):
+    """np.savez silently appends '.npz' when the extension is missing;
+    normalize so save/load round-trip for any path the caller chose."""
+    path = str(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_pytree(path, tree):
-    """Serialize a pytree of arrays/scalars to an .npz file."""
+    """Serialize a pytree of arrays/scalars to an .npz file. Returns the
+    actual path written ('.npz' appended when missing)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(str(treedef).encode(), dtype=np.uint8)
+    path = _npz_path(path)
     np.savez(path, **arrays)
+    return path
 
 
 def load_pytree(path, like):
@@ -34,7 +44,7 @@ def load_pytree(path, like):
     comes from ``like``, which must match leaf-for-leaf in count, shape,
     and dtype; a same-count checkpoint from a different solver is rejected
     instead of silently loading garbage)."""
-    data = np.load(path)
+    data = np.load(_npz_path(path))
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = len([k for k in data.files if k.startswith("leaf_")])
     if n != len(leaves_like):

@@ -100,7 +100,13 @@ def load_or_synthesize(name: str, dtype=np.float64, labels=None, local_dir=None)
         path = fetch(name, local_dir)
         x, y = load_libsvm_dataset(path, dtype=dtype, labels=labels)
         return x, y, "libsvm"
-    except Exception:
+    except Exception as e:
+        # the fallback is by design (zero-egress environments), but a
+        # swallowed PARSE error on an existing file means a corrupt cached
+        # download silently forces synthetic data forever — say why
+        if not isinstance(e, (FileNotFoundError, OSError)):
+            print(f"  [datasets] {name}: real-data load failed "
+                  f"({type(e).__name__}: {str(e)[:120]}); using synthetic")
         # stable cross-process seed: python's str hash is salted per process,
         # which silently made every run synthesize DIFFERENT data
         seed = zlib.crc32(name.encode()) % 2**31

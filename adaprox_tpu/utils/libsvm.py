@@ -72,8 +72,16 @@ def load_libsvm_dataset(
                 ys.append(dtype(tokens[0]))
                 for tok in tokens[1:]:
                     c, v = tok.split(":")
+                    idx = int(c)
+                    if idx < 1:
+                        # LIBSVM is 1-indexed; idx-1 = -1 would silently
+                        # write into the LAST column (the native parser
+                        # rejects the same file with err=4)
+                        raise ValueError(
+                            f"line {i + 1}: feature index {idx} < 1 "
+                            "(LIBSVM indices are 1-based)")
                     rows.append(len(ys) - 1)
-                    cols.append(int(c) - 1)  # LIBSVM is 1-indexed
+                    cols.append(idx - 1)
                     vals.append(dtype(v))
 
         m = len(ys)
@@ -85,7 +93,10 @@ def load_libsvm_dataset(
         else:
             m_pad, n_pad = m, n
         x = np.zeros((m_pad, n_pad), dtype=dtype)
-        x[np.asarray(rows), np.asarray(cols)] = np.asarray(vals, dtype=dtype)
+        # explicit int dtype: empty lists become float64 index arrays,
+        # which raise an obscure IndexError for labels-only files
+        x[np.asarray(rows, dtype=np.intp),
+          np.asarray(cols, dtype=np.intp)] = np.asarray(vals, dtype=dtype)
         y = np.asarray(ys, dtype=dtype)
 
     if labels is not None:

@@ -207,3 +207,37 @@ def test_native_jsonl_sink_inf_and_echo_projection(tmp_path):
         path2, recs, "m", keys=["method", "norm_res"])
     assert "it" not in tlog.read_jsonl(path2)[0]
     assert last["it"] == n  # echo predicate has what it needs
+
+
+def test_native_no_trailing_newline(tmp_path, native_available):
+    """A file ending mid-token at EOF must parse (NUL-terminated heap-copy
+    path) and match the Python parser — an unbounded strtod on the mmap
+    could read past the mapping (review finding)."""
+    p = tmp_path / "notrail.libsvm"
+    p.write_bytes(b"+1 1:0.5 3:2.25\n-1 2:1.5")  # no trailing '\n'
+    xp, yp = load_libsvm_dataset(p, engine="python")
+    xn, yn = load_libsvm_dataset(p, engine="native")
+    np.testing.assert_allclose(xn, xp)
+    np.testing.assert_allclose(yn, yp)
+
+
+def test_native_truncated_value_rejected(tmp_path, native_available):
+    """'3:' at end of line must be a parse ERROR, not silently consume the
+    next line's label as the value (review finding). The native parser
+    returns None -> engine='auto' falls back -> Python raises too."""
+    p = tmp_path / "trunc.libsvm"
+    p.write_text("+1 3:\n-1 2:5\n")
+    assert native.parse_libsvm_dense(p) is None
+    with pytest.raises(ValueError):
+        load_libsvm_dataset(p, engine="python")
+
+
+def test_zero_index_rejected_both_engines(tmp_path, native_available):
+    """LIBSVM indices are 1-based: index 0 must raise in the Python parser
+    (it used to write column -1 = the LAST column) and be rejected by the
+    native one."""
+    p = tmp_path / "zeroidx.libsvm"
+    p.write_text("+1 0:2.5 2:1.0\n")
+    assert native.parse_libsvm_dense(p) is None
+    with pytest.raises(ValueError, match="1-based"):
+        load_libsvm_dataset(p, engine="python")

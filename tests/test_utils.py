@@ -246,3 +246,28 @@ class TestFindBestReferenceSemantics:
         # run only replaces it with a strictly better final value
         g = self._groups({"a": (0.3, 10), "b": (0.3, 5)})
         assert find_best(g, ["a", "b"], "norm_res", 1e-5, "f_evals") == "a"
+
+
+def test_checkpoint_extension_roundtrip(tmp_path):
+    """save_pytree/load_pytree must round-trip for any path: np.savez
+    silently appends '.npz' which np.load did not (review finding)."""
+    from adaprox_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    tree = {"a": np.arange(5), "b": (np.float64(2.5), np.int32(7))}
+    written = save_pytree(str(tmp_path / "run1.ckpt"), tree)
+    assert written.endswith(".npz")
+    out = load_pytree(str(tmp_path / "run1.ckpt"), tree)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+    assert float(out["b"][0]) == 2.5 and int(out["b"][1]) == 7
+
+
+def test_libsvm_labels_only_file(tmp_path):
+    """A file with labels but zero features must load as an (m, 0)-ish
+    matrix, not crash with a float64-index IndexError (review finding)."""
+    from adaprox_tpu.utils.libsvm import load_libsvm_dataset
+
+    p = tmp_path / "labels_only.libsvm"
+    p.write_text("+1\n-1\n+1\n")
+    x, y = load_libsvm_dataset(p, engine="python", n_features=4)
+    assert x.shape == (3, 4) and not x.any()
+    np.testing.assert_allclose(y, [1.0, -1.0, 1.0])
