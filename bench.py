@@ -210,13 +210,14 @@ def main():
 
     a_bf16 = a.astype(jnp.bfloat16)
 
-    def make_run(fused, bf16=False):
+    def make_run(fused, bf16=False, n_it=None):
         f = LeastSquares(a=a_bf16 if bf16 else a, b=b, fused=fused)
+        n_it = iters if n_it is None else n_it
 
         def run():
             res = ap.adaptive_proxgrad(
                 x0, f=f, g=g, rule=ap.AdaPGMRule(gamma=gamma0),
-                tol=0.0, maxit=iters, history=False,
+                tol=0.0, maxit=n_it, history=False,
             )
             return res.norm_res, res.numit
 
@@ -276,7 +277,7 @@ def main():
         "stream": (run_stream, 1, 4, stream_reps),
         "xla": (make_run(False), 2, 4, iters),
         "fused": (make_run(True), 1, 4, iters),
-        "fused_bf16": (make_run(True, bf16=True), 1, 2, iters),
+        "fused_bf16": (make_run(True, bf16=True, n_it=2 * iters), 1, 2, 2 * iters),
         "pd_xla": (make_run_pd(a, None, iters_pd, False), 2, 4, iters_pd),
         "pd_fused": (make_run_pd(a, at_f32, iters_pd, True), 1, 4, iters_pd),
         "pd_fused_bf16": (make_run_pd(a_bf16, at_bf16, 2 * iters_pd, True),
@@ -335,7 +336,11 @@ def main():
         results["pd_fused_bf16"]["speedup_vs_xla"] = round(
             _s_per_iter("pd_xla") / _s_per_iter("pd_fused_bf16"), 2)
 
-    # headline metric: best FULL-f32 variant; bf16 storage stays in detail
+    # headline metric: best FULL-f32 variant; bf16 storage stays in detail.
+    # The metric NAME is pinned to the fused series regardless of which
+    # variant won — a transient fused build failure must degrade the same
+    # time series (like the outage payload does), not fork a new one;
+    # detail.variant records what actually ran.
     best_name = max(("xla", "fused"), key=lambda k: results[k].get("iters_per_sec", 0.0))
     best = results[best_name]
 
@@ -355,6 +360,10 @@ def main():
             return nres, numit
 
         dt_r, out_r = time_solve(run_resident)
+        # subtract the measured relay dispatch latency like every
+        # interleaved row above — at this ~10 ms solve scale an
+        # uncorrected ~25 ms launch would understate the kernel 3x
+        dt_r = max(dt_r - dispatch_s, 1e-9)
         results["resident_reference_size"] = {
             "solve_ms": round(dt_r * 1e3, 2),
             "numit": int(out_r[1]),
@@ -396,6 +405,10 @@ def main():
 
         dt_bat, _ = time_solve(run_batched)
         dt_seq, _ = time_solve(run_sequential)
+        # one launch each (the sequential loop's dispatches pipeline behind
+        # the first); subtract the same measured latency as the other rows
+        dt_bat = max(dt_bat - dispatch_s, 1e-9)
+        dt_seq = max(dt_seq - dispatch_s, 1e-9)
         results["batched_regpath_16x4000x1000"] = {
             "batched_s": round(dt_bat, 4),
             "sequential_s": round(dt_seq, 4),
@@ -416,10 +429,11 @@ def main():
     gap = float(f_small.value(res.x) + g1(res.x)) - prob.optimum
 
     payload = {
-        "metric": f"lasso_adapgm_iters_per_sec_{m}x{n}_f32_{best_name}",
-        "value": best["iters_per_sec"],
+        "metric": f"lasso_adapgm_iters_per_sec_{m}x{n}_f32_fused",
+        "value": best.get("iters_per_sec", 0.0),
         "unit": "iter/s",
-        "vs_baseline": best["frac_roofline"],
+        "vs_baseline": best.get("frac_roofline", 0.0),
+        "variant": best_name,
         "roofline_gbps": roofline,
         "device": getattr(dev, "device_kind", str(dev)),
         "detail": results,

@@ -29,7 +29,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,13 +43,23 @@ def main():
     p.add_argument("--reps", type=int, default=30)
     p.add_argument("--rounds", type=int, default=4)
     args = p.parse_args()
+    if args.bm % 8 or args.bn % 128 or args.m % args.bm or args.n % args.bn:
+        p.error("--bm must be a multiple of 8 dividing --m; --bn a multiple "
+                "of 128 dividing --n (Mosaic tile quanta)")
+    # the tinyblocks control scales bytes by (bm/8)*(bn/128) at matched
+    # block count; with no real reduction its time ratio is an equal-bytes
+    # control and the traversal-vs-bytes diagnosis below would be inverted
+    byte_factor = (args.bm // 8) * (args.bn // 128)
+    if byte_factor < 8:
+        p.error(f"--bm/--bn give a tinyblocks byte reduction of only "
+                f"1/{byte_factor}; need >= 8x for the diagnosis to separate "
+                "traversal-bound from bytes-bound")
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from tools._probe_common import make_timed_loop, setup_jax_cache
+
+    setup_jax_cache(jax)
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl
@@ -77,8 +86,9 @@ def main():
                 dense, int(mask.sum()))
 
     (vals, cols, rowptr, rows, max_bpr), dense_np, nblk = build(m, n, bm, bn)
-    # 1/64-bytes structure: 8x128 blocks on an (m/8, n/8) matrix keeps the
-    # block-grid (and thus traversal steps) the same scale as full's
+    # 1/byte_factor-bytes structure: 8x128 blocks on a scaled-down matrix
+    # keeps the block-grid (and thus traversal steps) the same scale as
+    # full's (byte_factor >= 8 validated at arg parse)
     m2, n2 = m // (bm // 8), n // (bn // 128)
     (vals2, cols2, rowptr2, rows2, max_bpr2), _, nblk2 = build(m2, n2, 8, 128)
 
@@ -106,19 +116,7 @@ def main():
             out_shape=jax.ShapeDtypeStruct((m, 128), jnp.float32),
         )(jnp.broadcast_to(xx[:128], (m, 128)))
 
-    def timed_loop(step, *arrs):
-        """step(c, *arrs) -> scalar; K iterations in ONE jit, carry-fed."""
-
-        @jax.jit
-        def loop(*arrs):
-            return jax.lax.fori_loop(
-                0, K, lambda i, c: c * 1e-30 + step(c, *arrs),
-                jnp.float32(0.0))
-
-        float(loop(*arrs))  # compile + settle
-        t0 = time.perf_counter()
-        float(loop(*arrs))
-        return (time.perf_counter() - t0) / K
+    timed_loop = make_timed_loop(jax, jnp, K)
 
     stored = nblk * bm * bn * 4
     stored2 = nblk2 * 8 * 128 * 4
@@ -149,7 +147,8 @@ def main():
         out[name] = {"ms_per_inv": round(ms, 4), "eff_gbs": round(gbs, 1)}
         print(f"{name:12s} best {ms:8.3f} ms/inv   {gbs:8.1f} GB/s stored")
     ratio = out["tinyblocks"]["ms_per_inv"] / out["full"]["ms_per_inv"]
-    print(f"\nblock-count-matched 1/64-bytes time ratio: {ratio:.2f} "
+    print(f"\nblock-count-matched 1/{byte_factor}-bytes time ratio: "
+          f"{ratio:.2f} "
           f"({'traversal/launch-bound' if ratio > 0.6 else 'bytes-scaled'})")
     print(f"noop grid launch: {out['noop']['ms_per_inv']:.3f} ms "
           f"({out['noop']['ms_per_inv']/out['full']['ms_per_inv']:.2f} of full)")

@@ -25,7 +25,6 @@ import functools
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -43,10 +42,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from tools._probe_common import make_timed_loop, setup_jax_cache
+
+    setup_jax_cache(jax)
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl
@@ -146,17 +144,7 @@ def main():
         err = float(np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-30))
         print(json.dumps({"check": mode, "rel_err": f"{err:.2e}"}), flush=True)
 
-    def timed_loop(step, *arrs):
-        @jax.jit
-        def loop(*arrs):
-            return jax.lax.fori_loop(
-                0, K, lambda i, c: c * 1e-30 + step(c, *arrs),
-                jnp.float32(0.0))
-
-        float(loop(*arrs))
-        t0 = time.perf_counter()
-        float(loop(*arrs))
-        return (time.perf_counter() - t0) / K
+    timed_loop = make_timed_loop(jax, jnp, K)
 
     runners = {"stream_1gb": (
         lambda c, a: kernels.hbm_read_reduce(a, scale=1.0 + 1e-30 * c,

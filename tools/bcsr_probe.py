@@ -26,7 +26,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,10 +43,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from tools._probe_common import make_timed_loop, setup_jax_cache
+
+    setup_jax_cache(jax)
     import jax.numpy as jnp
     import numpy as np
 
@@ -81,19 +79,7 @@ def main():
     rows_d = jnp.asarray(rows)
     x = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 1e-3)
 
-    def timed_loop(step, *arrs):
-        """step(c, *arrs) -> scalar; K iterations inside ONE jit, carry-fed."""
-
-        @jax.jit
-        def loop(*arrs):
-            return jax.lax.fori_loop(
-                0, K, lambda i, c: c * 1e-30 + step(c, *arrs),
-                jnp.float32(0.0))
-
-        float(loop(*arrs))  # compile + settle
-        t0 = time.perf_counter()
-        float(loop(*arrs))
-        return (time.perf_counter() - t0) / K
+    timed_loop = make_timed_loop(jax, jnp, K)
 
     runners = {}
     runners["stream_1gb"] = (
@@ -118,15 +104,21 @@ def main():
         (vals_d, cols_d, rows_d, x), stored_bytes)
 
     best = {k: float("inf") for k in runners}
+    failed = set()
     for r in range(args.rounds):
         for name, (step, arrs, _) in runners.items():
+            if name in failed:
+                continue
             try:
                 secs = timed_loop(step, *arrs)
             except Exception as e:  # noqa: BLE001 - report and continue
+                # skip only THIS runner's future rounds: a transient error
+                # must not cost the other runners their round samples, and
+                # any best already measured stays in the summary
                 print(json.dumps({"probe": name, "error": str(e)[:200]}),
                       flush=True)
-                del runners[name]
-                break
+                failed.add(name)
+                continue
             best[name] = min(best[name], secs)
         print(json.dumps({"round": r, **{
             k: round(v * 1e3, 3) for k, v in best.items()
@@ -135,18 +127,21 @@ def main():
     out = {}
     for name, (_, _, nbytes) in runners.items():
         secs = best[name]
+        if secs == float("inf"):
+            continue  # never measured successfully
         out[name] = {"ms": round(secs * 1e3, 3),
                      "gbps": round(nbytes / secs / 1e9, 1)}
     dense_ms = out.get("dense_matvec", {}).get("ms")
-    slab_best = min((v["ms"], k) for k, v in out.items() if "slab" in k)
+    slab_rows = [(v["ms"], k) for k, v in out.items() if "slab" in k]
+    slab_best = min(slab_rows) if slab_rows else None
     # crossover: density where slab wall == dense wall (wall scales ~ bytes)
     crossover = None
-    if dense_ms:
+    if dense_ms and slab_best:
         crossover = round(args.density * dense_ms / slab_best[0], 4)
     print(json.dumps({"probe": "summary", **out,
-                      "best_slab": slab_best[1],
+                      "best_slab": slab_best[1] if slab_best else None,
                       "speedup_vs_dense": round(dense_ms / slab_best[0], 2)
-                      if dense_ms else None,
+                      if dense_ms and slab_best else None,
                       "crossover_density": crossover}), flush=True)
 
 

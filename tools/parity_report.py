@@ -52,6 +52,10 @@ def main():
     from adaprox_tpu.models.synthetic import random_lasso
 
     dev = jax.devices()[0]
+    # absorb the 60-100 s first-dispatch relay session stall outside every
+    # timed row (experiments.common.pick_platform pre-warms the same way;
+    # without this the stall lands in the first lasso row's secs column)
+    float(jnp.zeros(()) + 1.0)
     backend_desc = (
         "CPU backend — the reference's numeric regime" if args.backend == "cpu"
         else f"{dev.device_kind} hardware, XLA:TPU f64 — reference criteria met ON TPU"

@@ -37,10 +37,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from tools._probe_common import setup_jax_cache
+
+    setup_jax_cache(jax)
 
     import jax.numpy as jnp
 
@@ -68,6 +67,13 @@ def main():
     errs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
             for a, b in zip(ref, got)]
     print(f"resident_mxu max-abs err vs XLA-highest (512^2): {errs}")
+    # the gate must GATE: the docstring promises the winner gets folded into
+    # ops/pd_kernels.py, and wrong math is often faster — abort rather than
+    # post a promotion-candidate number for a numerically broken variant
+    if max(errs) > 1e-4:
+        raise SystemExit(
+            f"fused_pd_resident_mxu fails the correctness gate (max err "
+            f"{max(errs):.3e} > 1e-4) — not benchmarking a wrong kernel")
 
     # ---- looped runners: carry dependence through x (and y)
     def loop_pd(kernel_fn, **kw):

@@ -36,10 +36,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from tools._probe_common import setup_jax_cache
+
+    setup_jax_cache(jax)
 
     import jax.numpy as jnp
 

@@ -41,9 +41,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from tools._probe_common import setup_jax_cache
+
+    setup_jax_cache(jax)
     import jax.numpy as jnp
 
     from adaprox_tpu.ops import kernels, pd_kernels
@@ -59,23 +59,26 @@ def main():
     b = jax.random.normal(jax.random.PRNGKey(2), (m,), jnp.float32)
     y = jax.random.normal(jax.random.PRNGKey(3), (m,), jnp.float32)
 
-    def timed_loop(step, timeit_reps=3):
-        """step: (a, carry_scalar) -> scalar; K iterations inside ONE jit.
-        The carry MUST feed a (cheap) input of the kernel each iteration —
-        otherwise XLA hoists the loop-invariant call out of the fori_loop
-        and the "measurement" is one execution amortized K times (this
-        probe's second version read 2.6x the chip's roofline that way)."""
+    def timed_loop(step, timeit_reps=3, operand=None):
+        """step: (operand, carry_scalar) -> scalar; K iterations inside ONE
+        jit. The carry MUST feed a (cheap) input of the kernel each
+        iteration — otherwise XLA hoists the loop-invariant call out of the
+        fori_loop and the "measurement" is one execution amortized K times
+        (this probe's second version read 2.6x the chip's roofline that
+        way). ``operand`` is passed as the jit ARGUMENT (closure capture of
+        a 1 GB array ships it to the remote compiler; CLAUDE.md)."""
+        operand = a if operand is None else operand
 
         @jax.jit
-        def loop(a):
+        def loop(op):
             return jax.lax.fori_loop(
-                0, K, lambda i, c: c * 1e-30 + step(a, c), jnp.float32(0.0))
+                0, K, lambda i, c: c * 1e-30 + step(op, c), jnp.float32(0.0))
 
-        float(loop(a))  # compile + settle
+        float(loop(operand))  # compile + settle
         best = float("inf")
         for _ in range(timeit_reps):
             t0 = time.perf_counter()
-            out = loop(a)
+            out = loop(operand)
             float(out)
             best = min(best, time.perf_counter() - t0)
         return best / K
@@ -149,24 +152,28 @@ def main():
     secs = timed_loop(xla_ls)
     emit("ls_xla_two_pass", secs, passes=2)
 
-    # 4. fused PD kernel vs XLA two-pass
+    # 4. fused PD kernel vs XLA two-pass. Both kernels take the TRANSPOSED
+    # coupling matrix at (n, m) — materialized once, outside the timing
+    # (the engine hoists it the same way via its at= argument).
     # NB: y must be loop-variant too, else XLA hoists the A'y dot out of
     # the loop and the "two-pass" comparison is really one pass
-    def pd_fused_step(a, c):
+    at_mat = jax.block_until_ready(jnp.asarray(a.T))
+
+    def pd_fused_step(at_op, c):
         out = pd_kernels.fused_pd_primal_update(
-            a, y * (1.0 + 1e-30 * c), x, jnp.zeros_like(x), 1e-3, 0.01, 0.0,
-            prox_kind="l1")
+            at_op, y * (1.0 + 1e-30 * c), x, jnp.zeros_like(x), 1e-3, 0.01,
+            0.0, prox_kind="l1")
         return out[0][0] + out[3][0]
 
-    def pd_xla_step(a, c):
+    def pd_xla_step(at_op, c):
         out = pd_kernels.pd_primal_update_xla(
-            a, y * (1.0 + 1e-30 * c), x, jnp.zeros_like(x), 1e-3, 0.01, 0.0,
-            prox_kind="l1")
+            at_op, y * (1.0 + 1e-30 * c), x, jnp.zeros_like(x), 1e-3, 0.01,
+            0.0, prox_kind="l1")
         return out[0][0] + out[3][0]
 
-    secs_f = timed_loop(pd_fused_step)
+    secs_f = timed_loop(pd_fused_step, operand=at_mat)
     emit("fused_pd_primal_update", secs_f)
-    secs_x = timed_loop(pd_xla_step)
+    secs_x = timed_loop(pd_xla_step, operand=at_mat)
     emit("pd_xla_two_pass", secs_x, passes=2,
          extra={"fused_speedup": round(secs_x / secs_f, 3)})
 
