@@ -34,6 +34,13 @@ from .ops.prox import (
     IndZero,
     ElasticNet,
     GroupL2,
+    IndSimplex,
+    IndBall1,
+    LInfNorm,
+    Huber,
+    NuclearNorm,
+    IndPSD,
+    Scale,
     Translate,
     conjugate,
 )
@@ -70,7 +77,8 @@ __version__ = "0.1.0"
 __all__ = [
     # ops
     "Zero", "L1Norm", "L2Norm", "SqrL2Norm", "IndBox", "IndBall2", "IndZero",
-    "ElasticNet", "GroupL2", "Translate", "conjugate",
+    "ElasticNet", "GroupL2", "IndSimplex", "IndBall1", "LInfNorm", "Huber",
+    "NuclearNorm", "IndPSD", "Scale", "Translate", "conjugate",
     "SmoothOracle", "FromFunction", "ZeroSmooth", "value_and_grad",
     "DenseOperator", "SparseOperator", "DifferenceOperator", "ScaledIdentity", "opnorm2",
     # rules

@@ -37,6 +37,13 @@ __all__ = [
     "IndZero",
     "ElasticNet",
     "GroupL2",
+    "IndSimplex",
+    "IndBall1",
+    "LInfNorm",
+    "Huber",
+    "NuclearNorm",
+    "IndPSD",
+    "Scale",
     "Translate",
     "PadTail",
     "MoreauConjugate",
@@ -206,6 +213,168 @@ class GroupL2:
         return y, self(y)
 
 
+def _project_simplex(v, r):
+    """Euclidean projection of ``v`` onto {x >= 0, sum(x) = r} (Held et al.
+    1974 / Duchi et al. 2008 sort-based algorithm). Static shapes, one
+    XLA sort — jit/vmap friendly."""
+    n = v.shape[0]
+    u = jnp.sort(v)[::-1]
+    css = jnp.cumsum(u) - r
+    k = jnp.arange(1, n + 1, dtype=v.dtype)
+    rho = jnp.sum(u - css / k > 0)  # >= 1 whenever r > 0
+    # r == 0 (e.g. a lam=0 point in a vmapped sweep) gives rho == 0; clamp
+    # to 1 so tau = max(v) and the projection is exactly 0 everywhere
+    rho = jnp.maximum(rho, 1)
+    tau = jnp.take(css, rho - 1) / rho.astype(v.dtype)
+    return jnp.maximum(v - tau, 0)
+
+
+@pytree_dataclass
+class IndSimplex:
+    """Indicator of the scaled probability simplex {x >= 0, sum(x) = r};
+    prox = sort-based Euclidean projection. Beyond the reference's operator
+    set (ProximalOperators.IndSimplex equivalent)."""
+
+    r: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        dt = jnp.result_type(x)
+        eps = jnp.finfo(dt).eps
+        tol = x.size * eps * jnp.maximum(1.0, jnp.abs(self.r))
+        ok = jnp.all(x >= -tol) & (jnp.abs(jnp.sum(x) - self.r) <= tol)
+        return jnp.where(ok, jnp.zeros((), dt), jnp.inf)
+
+    def prox(self, v, gamma):
+        del gamma
+        y = _project_simplex(v, self.r)
+        return y, jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class IndBall1:
+    """Indicator of the L1 ball of radius r; prox = L1-ball projection
+    (sign-split simplex projection). Arises as the conjugate of LInfNorm."""
+
+    r: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        dt = jnp.result_type(x)
+        eps = jnp.finfo(dt).eps
+        nrm = jnp.sum(jnp.abs(x))
+        ok = nrm <= self.r * (1 + 8 * x.size * eps) + jnp.finfo(dt).tiny
+        return jnp.where(ok, jnp.zeros((), dt), jnp.inf)
+
+    def prox(self, v, gamma):
+        del gamma
+        a = jnp.abs(v)
+        w = _project_simplex(a, self.r)
+        y = jnp.where(jnp.sum(a) <= self.r, v, jnp.sign(v) * w)
+        return y, jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class LInfNorm:
+    """g(x) = lam * ||x||_inf; prox via the Moreau decomposition against the
+    L1 ball: prox_{gamma g}(v) = v - P_{B1(gamma*lam)}(v)."""
+
+    lam: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        return self.lam * jnp.max(jnp.abs(x))
+
+    def prox(self, v, gamma):
+        y = v - IndBall1(r=gamma * self.lam).prox(v, 1.0)[0]
+        return y, self(y)
+
+
+@pytree_dataclass
+class Huber:
+    """g(x) = lam * sum_i huber_delta(x_i) with huber_delta(t) = t^2/2 for
+    |t| <= delta, delta*|t| - delta^2/2 beyond; prox is the elementwise
+    closed form (shrink inside the quadratic zone, constant step outside)."""
+
+    delta: jnp.ndarray = 1.0
+    lam: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        a = jnp.abs(x)
+        per = jnp.where(a <= self.delta, 0.5 * x * x,
+                        self.delta * a - 0.5 * self.delta * self.delta)
+        return self.lam * jnp.sum(per)
+
+    def prox(self, v, gamma):
+        ge = gamma * self.lam  # effective stepsize of the unit-scale huber
+        y = jnp.where(jnp.abs(v) <= self.delta * (1 + ge),
+                      v / (1 + ge),
+                      v - ge * self.delta * jnp.sign(v))
+        return y, self(y)
+
+
+@pytree_dataclass(meta=("p", "q"))
+class NuclearNorm:
+    """g(X) = lam * sum of singular values of the (p, q) matrix stored in
+    the flat iterate; prox = singular-value soft-thresholding. Gives the
+    solver family low-rank matrix problems (matrix completion / RPCA-style
+    g) beyond the reference's vector-only operator set."""
+
+    p: int
+    q: int
+    lam: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        s = jnp.linalg.svd(x.reshape(self.p, self.q), compute_uv=False)
+        return self.lam * jnp.sum(s)
+
+    def prox(self, v, gamma):
+        u, s, vt = jnp.linalg.svd(v.reshape(self.p, self.q),
+                                  full_matrices=False)
+        s2 = jnp.maximum(s - gamma * self.lam, 0)
+        y = (u * s2[None, :]) @ vt
+        return y.reshape(v.shape), self.lam * jnp.sum(s2)
+
+
+@pytree_dataclass(meta=("p",))
+class IndPSD:
+    """Indicator of the positive-semidefinite cone over (p, p) symmetric
+    matrices stored flat; prox = eigenvalue clamping (the Frobenius-nearest
+    PSD matrix of the symmetrized input)."""
+
+    p: int
+
+    def __call__(self, x):
+        m = x.reshape(self.p, self.p)
+        m = 0.5 * (m + m.T)
+        w = jnp.linalg.eigvalsh(m)
+        dt = jnp.result_type(x)
+        tol = 8 * self.p * jnp.finfo(dt).eps * jnp.maximum(
+            1.0, jnp.max(jnp.abs(w)))
+        return jnp.where(jnp.min(w) >= -tol, jnp.zeros((), dt), jnp.inf)
+
+    def prox(self, v, gamma):
+        del gamma
+        m = v.reshape(self.p, self.p)
+        m = 0.5 * (m + m.T)
+        w, q = jnp.linalg.eigh(m)
+        y = (q * jnp.maximum(w, 0)[None, :]) @ q.T
+        return y.reshape(v.shape), jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class Scale:
+    """g(x) = a * inner(x) for a > 0 (ProximalOperators.Postcompose):
+    prox_{gamma g} = prox_{(a gamma) inner}."""
+
+    inner: object
+    a: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        return self.a * self.inner(x)
+
+    def prox(self, v, gamma):
+        y, val = self.inner.prox(v, self.a * gamma)
+        return y, self.a * val
+
+
 @pytree_dataclass
 class Translate:
     """g(x) = inner(x + b)  (ProximalOperators.Translate; used as
@@ -305,6 +474,14 @@ def conjugate(g):
         return IndBox(-g.lam, g.lam)
     if isinstance(g, L2Norm):
         return IndBall2(g.lam)
+    if isinstance(g, IndBall2):
+        return L2Norm(lam=g.r)
+    if isinstance(g, LInfNorm):
+        return IndBall1(r=g.lam)
+    if isinstance(g, IndBall1):
+        return LInfNorm(lam=g.r)
+    if isinstance(g, SqrL2Norm):
+        return SqrL2Norm(lam=1.0 / g.lam)
     if isinstance(g, PadTail):
         return _PadTailConjugate(conjugate(g.inner), g.m_true)
     return MoreauConjugate(g)

@@ -22,6 +22,12 @@ OPS = [
     ap.IndBox(lo=-0.5, hi=1.5),
     ap.IndBall2(r=0.8),
     ap.IndZero(),
+    ap.IndSimplex(r=1.3),
+    ap.IndBall1(r=0.9),
+    ap.LInfNorm(lam=0.8),
+    ap.Huber(delta=0.6, lam=1.2),
+    ap.NuclearNorm(p=4, q=5, lam=0.5),  # the 20-vector is a 4x5 matrix
+    ap.Scale(inner=ap.L1Norm(lam=0.5), a=2.0),
 ]
 
 
@@ -84,7 +90,9 @@ def test_translate(rng):
 
 
 @pytest.mark.parametrize(
-    "g", [ap.L1Norm(lam=0.7), ap.L2Norm(lam=1.1), ap.IndBox(lo=-1.0, hi=1.0), ap.Zero()],
+    "g", [ap.L1Norm(lam=0.7), ap.L2Norm(lam=1.1), ap.IndBox(lo=-1.0, hi=1.0),
+          ap.Zero(), ap.SqrL2Norm(lam=1.7), ap.LInfNorm(lam=0.8),
+          ap.IndBall1(r=1.1), ap.IndBall2(r=0.8)],
     ids=lambda g: type(g).__name__,
 )
 def test_moreau_identity(g, rng):
@@ -104,6 +112,136 @@ def test_conjugate_pairs():
     assert isinstance(ap.conjugate(ap.IndZero()), ap.Zero)
     assert isinstance(ap.conjugate(ap.L1Norm(lam=2.0)), ap.IndBox)
     assert isinstance(ap.conjugate(ap.L2Norm(lam=2.0)), ap.IndBall2)
+    assert isinstance(ap.conjugate(ap.IndBall2(r=2.0)), ap.L2Norm)
+    assert float(ap.conjugate(ap.IndBall2(r=2.0)).lam) == 2.0
+    assert isinstance(ap.conjugate(ap.LInfNorm(lam=0.5)), ap.IndBall1)
+    assert float(ap.conjugate(ap.LInfNorm(lam=0.5)).r) == 0.5
+    assert isinstance(ap.conjugate(ap.IndBall1(r=3.0)), ap.LInfNorm)
+    assert isinstance(ap.conjugate(ap.SqrL2Norm(lam=4.0)), ap.SqrL2Norm)
+    assert float(ap.conjugate(ap.SqrL2Norm(lam=4.0)).lam) == 0.25
+
+
+def test_simplex_projection(rng):
+    """Projection sums to r, is nonnegative, and matches a NumPy reference
+    implementation of the sort-based algorithm."""
+    v = rng.standard_normal(40)
+    r = 1.3
+    y, val = ap.IndSimplex(r=r).prox(jnp.asarray(v), 0.7)
+    y = np.asarray(y)
+    assert float(val) == 0.0
+    assert (y >= 0).all()
+    np.testing.assert_allclose(y.sum(), r, rtol=1e-12)
+    # reference: find tau s.t. sum(max(v - tau, 0)) = r
+    u = np.sort(v)[::-1]
+    css = np.cumsum(u) - r
+    rho = np.nonzero(u - css / np.arange(1, 41) > 0)[0][-1] + 1
+    tau = css[rho - 1] / rho
+    np.testing.assert_allclose(y, np.maximum(v - tau, 0), atol=1e-14)
+    # indicator accepts its own prox output, rejects an off-simplex point
+    assert float(ap.IndSimplex(r=r)(jnp.asarray(y))) == 0.0
+    assert float(ap.IndSimplex(r=r)(jnp.asarray(v))) == np.inf
+
+
+def test_l1_ball_projection(rng):
+    v = jnp.asarray(rng.standard_normal(30) * 2)
+    r = 0.9
+    g = ap.IndBall1(r=r)
+    y, _ = g.prox(v, 1.0)
+    np.testing.assert_allclose(float(jnp.sum(jnp.abs(y))), r, rtol=1e-12)
+    assert float(g(y)) == 0.0
+    # inside the ball: identity
+    v_in = v / float(jnp.sum(jnp.abs(v))) * (0.5 * r)
+    y_in, _ = g.prox(v_in, 1.0)
+    np.testing.assert_allclose(np.asarray(y_in), np.asarray(v_in))
+
+
+def test_huber_prox_closed_form():
+    g = ap.Huber(delta=1.0, lam=2.0)
+    gamma = 0.5  # effective unit-huber stepsize = 1.0
+    # |v| <= delta*(1+ge): quadratic zone, shrink by 1/(1+ge)
+    y, _ = g.prox(jnp.asarray([1.5]), gamma)
+    np.testing.assert_allclose(np.asarray(y), [0.75])
+    # outside: constant step ge*delta toward zero
+    y2, _ = g.prox(jnp.asarray([-4.0]), gamma)
+    np.testing.assert_allclose(np.asarray(y2), [-3.0])
+    # value: quadratic inside, linear outside
+    np.testing.assert_allclose(float(g(jnp.asarray([0.5]))), 2.0 * 0.125)
+    np.testing.assert_allclose(float(g(jnp.asarray([3.0]))), 2.0 * 2.5)
+
+
+def test_nuclear_norm_prox_soft_thresholds_singular_values(rng):
+    p, q, lam, gamma = 5, 7, 0.8, 0.6
+    m = rng.standard_normal((p, q))
+    g = ap.NuclearNorm(p=p, q=q, lam=lam)
+    v = jnp.asarray(m.reshape(-1))
+    np.testing.assert_allclose(
+        float(g(v)), np.linalg.svd(m, compute_uv=False).sum() * lam,
+        rtol=1e-12)
+    y, val = g.prox(v, gamma)
+    s_y = np.linalg.svd(np.asarray(y).reshape(p, q), compute_uv=False)
+    s_expected = np.maximum(np.linalg.svd(m, compute_uv=False) - gamma * lam, 0)
+    np.testing.assert_allclose(np.sort(s_y), np.sort(s_expected), atol=1e-10)
+    np.testing.assert_allclose(float(val), lam * s_expected.sum(), rtol=1e-10)
+
+
+def test_ind_psd_projection(rng):
+    p = 4
+    m = rng.standard_normal((p, p))
+    sym = 0.5 * (m + m.T)
+    g = ap.IndPSD(p=p)
+    y, val = g.prox(jnp.asarray(m.reshape(-1)), 0.3)
+    assert float(val) == 0.0
+    w, q = np.linalg.eigh(sym)
+    expected = (q * np.maximum(w, 0)) @ q.T
+    np.testing.assert_allclose(np.asarray(y).reshape(p, p), expected,
+                               atol=1e-12)
+    assert float(g(y)) == 0.0
+    indefinite = np.eye(p); indefinite[0, 0] = -1.0
+    assert float(g(jnp.asarray(indefinite.reshape(-1)))) == np.inf
+
+
+def test_scale_postcompose(rng):
+    v = jnp.asarray(rng.standard_normal(12))
+    g = ap.Scale(inner=ap.L1Norm(lam=0.5), a=2.0)
+    y, val = g.prox(v, 0.7)
+    y_ref, val_ref = ap.L1Norm(lam=0.5).prox(v, 2.0 * 0.7)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref))
+    np.testing.assert_allclose(float(val), 2.0 * float(val_ref))
+    np.testing.assert_allclose(float(g(v)), 2.0 * 0.5 * float(jnp.sum(jnp.abs(v))))
+
+
+def test_simplex_constrained_solve(rng):
+    """The new constraint sets work through the solver engine: min
+    0.5||x - c||^2 over the simplex has the simplex projection of c as its
+    unique solution."""
+    from adaprox_tpu.ops.oracles import FromFunction
+
+    c = jnp.asarray(rng.standard_normal(25))
+    f = FromFunction(fn=lambda x: 0.5 * jnp.sum((x - c) ** 2))
+    res = ap.adaptive_proxgrad(
+        jnp.full(25, 1.0 / 25), f=f, g=ap.IndSimplex(r=1.0),
+        rule=ap.AdaPGMRule(gamma=0.5), tol=1e-10, maxit=500)
+    expected, _ = ap.IndSimplex(r=1.0).prox(c, 1.0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(expected),
+                               atol=1e-8)
+
+
+def test_new_prox_vmappable_over_params(rng):
+    """The new operators keep numeric fields as dynamic leaves so sweeps can
+    vmap over them (e.g. an L1-ball radius path)."""
+    v = jnp.asarray(rng.standard_normal((6, 15)))
+    rs = jnp.linspace(0.2, 2.0, 6)
+
+    @jax.jit
+    @jax.vmap
+    def batch(r, vi):
+        return ap.IndBall1(r=r).prox(vi, 1.0)[0]
+
+    out = batch(rs, v)
+    for i in range(6):
+        yi, _ = ap.IndBall1(r=float(rs[i])).prox(v[i], 1.0)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(yi),
+                                   atol=1e-14)
 
 
 def test_prox_is_jittable_and_vmappable(rng):
