@@ -40,12 +40,20 @@ from .ops.prox import (
     Huber,
     NuclearNorm,
     IndPSD,
+    SeparableSum,
     Scale,
     Translate,
     conjugate,
 )
 from .ops.oracles import SmoothOracle, FromFunction, ZeroSmooth, value_and_grad
-from .ops.linops import DenseOperator, SparseOperator, DifferenceOperator, ScaledIdentity, opnorm2
+from .ops.linops import (
+    DenseOperator,
+    SparseOperator,
+    DifferenceOperator,
+    ScaledIdentity,
+    StackedOperator,
+    opnorm2,
+)
 from .solvers.rules import (
     Curvature,
     FixedStepsize,
@@ -78,9 +86,11 @@ __all__ = [
     # ops
     "Zero", "L1Norm", "L2Norm", "SqrL2Norm", "IndBox", "IndBall2", "IndZero",
     "ElasticNet", "GroupL2", "IndSimplex", "IndBall1", "LInfNorm", "Huber",
-    "NuclearNorm", "IndPSD", "Scale", "Translate", "conjugate",
+    "NuclearNorm", "IndPSD", "SeparableSum", "Scale", "Translate",
+    "conjugate",
     "SmoothOracle", "FromFunction", "ZeroSmooth", "value_and_grad",
-    "DenseOperator", "SparseOperator", "DifferenceOperator", "ScaledIdentity", "opnorm2",
+    "DenseOperator", "SparseOperator", "DifferenceOperator", "ScaledIdentity",
+    "StackedOperator", "opnorm2",
     # rules
     "Curvature", "FixedStepsize", "MalitskyMishchenkoRule",
     "AdaPGMRule", "AdaPGMPlusRule", "OurRule", "OurRulePlus",

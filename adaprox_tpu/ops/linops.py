@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from .._pytree import pytree_dataclass
 
-__all__ = ["DenseOperator", "SparseOperator", "DifferenceOperator", "ScaledIdentity", "opnorm2", "frobenius_norm"]
+__all__ = ["DenseOperator", "SparseOperator", "DifferenceOperator",
+           "ScaledIdentity", "StackedOperator", "opnorm2", "frobenius_norm"]
 
 
 @pytree_dataclass(meta=("precision",))
@@ -149,6 +150,66 @@ class ScaledIdentity:
         return jnp.abs(self.alpha)
 
 
+@pytree_dataclass(meta=("sizes",))
+class StackedOperator:
+    """Vertical stack A = [A1; A2; ...]: one coupling for problems with
+    several nonsmooth terms, h(Ax) = sum_i h_i(A_i x) — pair with
+    ``prox.SeparableSum`` for the h side. matvec concatenates the block
+    outputs; rmatvec sums the adjoint pieces. ``sizes`` holds the static
+    output dim of each block (inferred from ``.shape`` by ``make``).
+    """
+
+    ops: tuple
+    sizes: tuple
+
+    @classmethod
+    def make(cls, *ops, sizes=None):
+        if sizes is None:
+            sizes = tuple(int(op.shape[0]) for op in ops)
+        if len(sizes) != len(ops):
+            raise ValueError("sizes must match ops")
+        return cls(ops=tuple(ops), sizes=tuple(int(s) for s in sizes))
+
+    @property
+    def shape(self):
+        in_dims = [op.shape[1] for op in self.ops if hasattr(op, "shape")]
+        if not in_dims:
+            raise AttributeError("no block exposes a shape")
+        return (sum(self.sizes), in_dims[0])
+
+    def matvec(self, x):
+        return jnp.concatenate([op.matvec(x) for op in self.ops])
+
+    def rmatvec(self, y):
+        out, off = None, 0
+        for op, s in zip(self.ops, self.sizes):
+            piece = op.rmatvec(y[off:off + s])
+            out = piece if out is None else out + piece
+            off += s
+        return out
+
+    def norm(self):
+        """sqrt(sum_i norm_i^2): an upper bound on ||A||_2 whatever mix of
+        Frobenius/spectral estimates the blocks return (upper bounds are the
+        safe direction for the 1/(2*Theta*t*||A||) stepsize caps)."""
+        sq = None
+        for op in self.ops:
+            n2 = op.norm() ** 2
+            sq = n2 if sq is None else sq + n2
+        return jnp.sqrt(sq)
+
+    def opnorm(self, iters: int = 100, key=None):
+        return opnorm2(self, iters=iters, key=key, n=self.shape[1])
+
+    @property
+    def dtype(self):
+        """Iteration dtype for opnorm2: the promotion of the blocks' storage
+        dtypes (bf16 widened to f32), f32 when every block is matrix-free."""
+        dts = [op.a.dtype for op in self.ops if hasattr(op, "a")]
+        dt = jnp.result_type(*dts) if dts else jnp.float32
+        return jnp.float32 if dt == jnp.bfloat16 else dt
+
+
 def acc_dtype(a, v):
     """The accumulation-dtype policy, single-sourced: accumulate in the
     iterate/vector dtype when storage is bf16 (f32 accumulation for bf16
@@ -183,7 +244,12 @@ def opnorm2(op, iters: int = 100, key=None, n: int | None = None,
     if n is None:
         raise ValueError("pass n= for operators without a .shape")
     if dtype is None:
-        dtype = op.a.dtype if hasattr(op, "a") else jnp.float32
+        if hasattr(op, "a"):
+            dtype = op.a.dtype
+        elif hasattr(op, "dtype"):
+            dtype = op.dtype
+        else:
+            dtype = jnp.float32
         if dtype == jnp.bfloat16:
             dtype = jnp.float32
     v = jax.random.normal(key, (n,), dtype=dtype)

@@ -43,6 +43,7 @@ __all__ = [
     "Huber",
     "NuclearNorm",
     "IndPSD",
+    "SeparableSum",
     "Scale",
     "Translate",
     "PadTail",
@@ -359,6 +360,41 @@ class IndPSD:
         return y.reshape(v.shape), jnp.zeros((), dtype=jnp.result_type(v))
 
 
+@pytree_dataclass(meta=("sizes",))
+class SeparableSum:
+    """g(x) = sum_i g_i(x_i) over contiguous slices of the given static
+    sizes (ProximalOperators.SlicedSeparableSum); prox applies each g_i to
+    its slice. As an ``h``, pairs with ``linops.StackedOperator`` so one PD
+    solve handles h(Ax) = sum_i h_i(A_i x) — the conjugate is the separable
+    sum of the conjugates, so the dual prox stays slice-wise closed-form.
+    """
+
+    fns: tuple
+    sizes: tuple
+
+    def _slices(self, x):
+        out, off = [], 0
+        for s in self.sizes:
+            out.append(x[off:off + s])
+            off += s
+        return out
+
+    def __call__(self, x):
+        total = None
+        for f, xi in zip(self.fns, self._slices(x)):
+            v = f(xi)
+            total = v if total is None else total + v
+        return total
+
+    def prox(self, v, gamma):
+        ys, total = [], None
+        for f, vi in zip(self.fns, self._slices(v)):
+            y, val = f.prox(vi, gamma)
+            ys.append(y)
+            total = val if total is None else total + val
+        return jnp.concatenate(ys), total
+
+
 @pytree_dataclass
 class Scale:
     """g(x) = a * inner(x) for a > 0 (ProximalOperators.Postcompose):
@@ -482,6 +518,10 @@ def conjugate(g):
         return LInfNorm(lam=g.r)
     if isinstance(g, SqrL2Norm):
         return SqrL2Norm(lam=1.0 / g.lam)
+    if isinstance(g, SeparableSum):
+        # (g1 (+) g2)* = g1* (+) g2* — slice-wise duals stay closed-form
+        return SeparableSum(fns=tuple(conjugate(f) for f in g.fns),
+                            sizes=g.sizes)
     if isinstance(g, PadTail):
         return _PadTailConjugate(conjugate(g.inner), g.m_true)
     return MoreauConjugate(g)
