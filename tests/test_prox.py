@@ -210,6 +210,23 @@ def test_scale_postcompose(rng):
     np.testing.assert_allclose(float(g(v)), 2.0 * 0.5 * float(jnp.sum(jnp.abs(v))))
 
 
+@pytest.mark.parametrize("g", OPS, ids=lambda g: type(g).__name__)
+@pytest.mark.parametrize("scale", [1e-6, 1.0, 1e6])
+def test_prox_nonexpansive(g, scale, rng):
+    """Every prox of a convex function is 1-Lipschitz; check at extreme
+    input scales and stepsizes (catches cancellation/overflow edge cases
+    the closed-form tests at scale ~1 cannot)."""
+    u = jnp.asarray(rng.standard_normal(20) * scale)
+    v = jnp.asarray(rng.standard_normal(20) * scale)
+    for gamma in (1e-7 * scale, 0.37, 1e5 * scale):
+        yu, _ = g.prox(u, gamma)
+        yv, _ = g.prox(v, gamma)
+        du = float(jnp.linalg.norm(yu - yv))
+        dv = float(jnp.linalg.norm(u - v))
+        assert np.isfinite(du)
+        assert du <= dv * (1 + 1e-10) + 1e-12 * scale
+
+
 def test_simplex_constrained_solve(rng):
     """The new constraint sets work through the solver engine: min
     0.5||x - c||^2 over the simplex has the simplex projection of c as its
