@@ -40,6 +40,10 @@ from .ops.prox import (
     Huber,
     NuclearNorm,
     IndPSD,
+    HingeLoss,
+    LogBarrier,
+    IndHalfspace,
+    IndHyperplane,
     SeparableSum,
     Scale,
     Translate,
@@ -86,7 +90,8 @@ __all__ = [
     # ops
     "Zero", "L1Norm", "L2Norm", "SqrL2Norm", "IndBox", "IndBall2", "IndZero",
     "ElasticNet", "GroupL2", "IndSimplex", "IndBall1", "LInfNorm", "Huber",
-    "NuclearNorm", "IndPSD", "SeparableSum", "Scale", "Translate",
+    "NuclearNorm", "IndPSD", "HingeLoss", "LogBarrier", "IndHalfspace",
+    "IndHyperplane", "SeparableSum", "Scale", "Translate",
     "conjugate",
     "SmoothOracle", "FromFunction", "ZeroSmooth", "value_and_grad",
     "DenseOperator", "SparseOperator", "DifferenceOperator", "ScaledIdentity",

@@ -43,6 +43,10 @@ __all__ = [
     "Huber",
     "NuclearNorm",
     "IndPSD",
+    "HingeLoss",
+    "LogBarrier",
+    "IndHalfspace",
+    "IndHyperplane",
     "SeparableSum",
     "Scale",
     "Translate",
@@ -358,6 +362,97 @@ class IndPSD:
         w, q = jnp.linalg.eigh(m)
         y = (q * jnp.maximum(w, 0)[None, :]) @ q.T
         return y.reshape(v.shape), jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class HingeLoss:
+    """g(x) = lam * sum_i max(0, 1 - b_i * x_i) with labels b in {-1, +1}
+    (ProximalOperators.HingeLoss; the primal SVM loss whose dual is the
+    reference's dual-SVM box-QP, experiments/dual_svm/runme.jl:47-54).
+    Elementwise closed-form prox: step toward the margin by at most
+    gamma*lam, stopping exactly on it."""
+
+    b: jnp.ndarray = 1.0
+    lam: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        return self.lam * jnp.sum(jnp.maximum(0.0, 1.0 - self.b * x))
+
+    def prox(self, v, gamma):
+        z = self.b * v  # signed margin; |b_i| == 1 so the substitution is isometric
+        y = v + self.b * jnp.minimum(gamma * self.lam,
+                                     jnp.maximum(0.0, 1.0 - z))
+        return y, self(y)
+
+
+@pytree_dataclass
+class LogBarrier:
+    """g(x) = -mu * sum_i log(x_i) (domain x > 0); elementwise closed-form
+    prox y = (v + sqrt(v^2 + 4*gamma*mu)) / 2 > 0 — the positive root of
+    y^2 - v*y - gamma*mu = 0. Gives the solver family interior-point-style
+    barrier terms beyond the reference's operator set."""
+
+    mu: jnp.ndarray = 1.0
+
+    def __call__(self, x):
+        dt = jnp.result_type(x)
+        ok = jnp.all(x > 0)
+        val = -self.mu * jnp.sum(jnp.log(jnp.where(x > 0, x, 1.0)))
+        return jnp.where(ok, val.astype(dt), jnp.inf)
+
+    def prox(self, v, gamma):
+        y = 0.5 * (v + jnp.sqrt(v * v + 4.0 * gamma * self.mu))
+        return y, self(y)
+
+
+@pytree_dataclass
+class IndHalfspace:
+    """Indicator of {x : <a, x> <= c}; prox = one-reflection projection
+    x - max(0, (<a,x> - c)/||a||^2) * a."""
+
+    a: jnp.ndarray
+    c: jnp.ndarray = 0.0
+
+    def __call__(self, x):
+        dt = jnp.result_type(x)
+        s = jnp.sum(self.a * x)
+        # dtype-relative tolerance: the projection lands on the boundary in
+        # exact arithmetic but the recomputed inner product can overshoot
+        scale = jnp.maximum(1.0, jnp.abs(s)) + jnp.sqrt(jnp.sum(self.a**2))
+        tol = 8 * x.size * jnp.finfo(dt).eps * scale
+        return jnp.where(s <= self.c + tol, jnp.zeros((), dt), jnp.inf)
+
+    def prox(self, v, gamma):
+        del gamma
+        nrm2 = jnp.sum(self.a * self.a)
+        excess = jnp.maximum(0.0, jnp.sum(self.a * v) - self.c)
+        y = v - (excess / jnp.where(nrm2 > 0, nrm2, 1.0)) * self.a
+        return y, jnp.zeros((), dtype=jnp.result_type(v))
+
+
+@pytree_dataclass
+class IndHyperplane:
+    """Indicator of {x : <a, x> = c}; prox = affine projection
+    x - ((<a,x> - c)/||a||^2) * a (the single-row case of
+    ProximalOperators.IndAffine; general affine constraints go through
+    h(Ax) with h = Translate(IndZero, -c) as the reference's dual SVM does)."""
+
+    a: jnp.ndarray
+    c: jnp.ndarray = 0.0
+
+    def __call__(self, x):
+        dt = jnp.result_type(x)
+        s = jnp.sum(self.a * x)
+        scale = jnp.maximum(1.0, jnp.abs(s)) + jnp.sqrt(jnp.sum(self.a**2))
+        tol = 8 * x.size * jnp.finfo(dt).eps * scale
+        return jnp.where(jnp.abs(s - self.c) <= tol, jnp.zeros((), dt), jnp.inf)
+
+    def prox(self, v, gamma):
+        del gamma
+        nrm2 = jnp.sum(self.a * self.a)
+        off = (jnp.sum(self.a * v) - self.c) / jnp.where(nrm2 > 0, nrm2, 1.0)
+        y = v - off * self.a
+        return y, jnp.zeros((), dtype=jnp.result_type(v))
 
 
 @pytree_dataclass(meta=("sizes",))

@@ -28,6 +28,13 @@ OPS = [
     ap.Huber(delta=0.6, lam=1.2),
     ap.NuclearNorm(p=4, q=5, lam=0.5),  # the 20-vector is a 4x5 matrix
     ap.Scale(inner=ap.L1Norm(lam=0.5), a=2.0),
+    ap.HingeLoss(b=jnp.asarray(np.random.default_rng(0).choice([-1.0, 1.0], 20)),
+                 lam=0.9),
+    ap.LogBarrier(mu=0.4),
+    ap.IndHalfspace(a=jnp.asarray(np.random.default_rng(1).standard_normal(20)),
+                    c=0.3),
+    ap.IndHyperplane(a=jnp.asarray(np.random.default_rng(2).standard_normal(20)),
+                     c=-0.2),
 ]
 
 
@@ -208,6 +215,59 @@ def test_scale_postcompose(rng):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref))
     np.testing.assert_allclose(float(val), 2.0 * float(val_ref))
     np.testing.assert_allclose(float(g(v)), 2.0 * 0.5 * float(jnp.sum(jnp.abs(v))))
+
+
+def test_hinge_prox_closed_form():
+    b = jnp.asarray([1.0, 1.0, 1.0, -1.0])
+    g = ap.HingeLoss(b=b, lam=2.0)
+    gamma = 0.25  # step budget gamma*lam = 0.5
+    #       past margin | inside quadrant (hits margin) | deep violation | flipped label
+    v = jnp.asarray([3.0, 0.8, -4.0, 2.0])
+    y, val = g.prox(v, gamma)
+    # 3.0 > 1: untouched. 0.8: 1-z=0.2 < 0.5 -> lands exactly on margin 1.
+    # -4.0: full step +0.5. b=-1, v=2.0: z=-2, 1-z=3 > 0.5 -> step -0.5.
+    np.testing.assert_allclose(np.asarray(y), [3.0, 1.0, -3.5, 1.5])
+    np.testing.assert_allclose(
+        float(g(v)), 2.0 * (0.0 + 0.2 + 5.0 + 3.0), rtol=1e-12)
+
+
+def test_log_barrier_prox_positive_root(rng):
+    g = ap.LogBarrier(mu=0.7)
+    v = jnp.asarray(rng.standard_normal(30) * 3)
+    gamma = 0.45
+    y, val = g.prox(v, gamma)
+    y_np = np.asarray(y)
+    assert (y_np > 0).all()
+    # y solves y^2 - v y - gamma*mu = 0 (stationarity of the prox problem)
+    np.testing.assert_allclose(y_np * y_np - np.asarray(v) * y_np,
+                               gamma * 0.7, rtol=1e-10)
+    np.testing.assert_allclose(float(val), -0.7 * np.log(y_np).sum(),
+                               rtol=1e-12)
+    assert float(g(jnp.asarray([-1.0, 2.0]))) == np.inf
+
+
+def test_halfspace_and_hyperplane_projection(rng):
+    a = jnp.asarray(rng.standard_normal(15))
+    c = 0.4
+    v_out = jnp.asarray(rng.standard_normal(15) * 2)
+    hs, hp = ap.IndHalfspace(a=a, c=c), ap.IndHyperplane(a=a, c=c)
+    for g in (hs, hp):
+        y, val = g.prox(v_out, 0.9)
+        assert float(val) == 0.0
+        assert float(g(y)) == 0.0  # projection is feasible
+        # projection onto {<a,x> (<=|=) c} moves along a only
+        d = np.asarray(y - v_out)
+        cross = d - (d @ np.asarray(a)) / float(a @ a) * np.asarray(a)
+        np.testing.assert_allclose(cross, 0.0, atol=1e-12)
+    # hyperplane projection lands exactly on it
+    y_hp, _ = hp.prox(v_out, 1.0)
+    np.testing.assert_allclose(float(a @ y_hp), c, atol=1e-12)
+    # interior point: halfspace prox is the identity, hyperplane's is not
+    v_in = v_out - ((float(a @ v_out) - c) + 1.0) / float(a @ a) * a
+    y_in, _ = hs.prox(v_in, 1.0)
+    np.testing.assert_allclose(np.asarray(y_in), np.asarray(v_in))
+    assert float(hs(v_in)) == 0.0
+    assert float(hp(v_in)) == np.inf
 
 
 @pytest.mark.parametrize("g", OPS, ids=lambda g: type(g).__name__)
