@@ -98,3 +98,42 @@ err = float(np.linalg.norm(np.asarray(res.x) - x_true))
 ls = np.linalg.lstsq(a4, y4, rcond=None)[0]
 print(f"huber regression: {int(res.numit)} iters, coef err {err:.3f} "
       f"(plain least squares under outliers: {np.linalg.norm(ls - x_true):.3f})")
+
+# ---- 5. primal SVM: min (lam/2)||w||^2 + (1/m) sum hinge(b_i a_i' w)
+# h = HingeLoss o A — the PRIMAL of the reference's dual-SVM box-QP
+# (experiments/dual_svm/runme.jl:47-54); the dual prox of the hinge rides
+# the Moreau identity, no conjugate derivation needed.
+m5, d5 = 120, 10
+a5 = rng.standard_normal((m5, d5))
+b5 = np.sign(a5 @ rng.standard_normal(d5))
+b5[b5 == 0] = 1.0
+fS = FromFunction(fn=lambda w: 0.05 * jnp.sum(w * w))
+A5 = ap.DenseOperator(a=jnp.asarray(a5))
+res = ap.adaptive_primal_dual(
+    jnp.zeros(d5), jnp.zeros(m5), f=fS, g=ap.Zero(),
+    h=ap.HingeLoss(b=jnp.asarray(b5), lam=1.0 / m5), A=A5,
+    rule=ap.AdaPGMRule.make(gamma=0.05, t=1.0,
+                            norm_a=float(np.sqrt(ap.opnorm2(A5)))),
+    tol=1e-6, maxit=20_000)
+w5 = np.asarray(res.x)
+margin = b5 * (a5 @ w5)
+obj5 = 0.05 * (w5 @ w5) + np.maximum(0, 1 - margin).mean()
+print(f"primal SVM (hinge): {int(res.numit)} iters, obj {obj5:.4f} "
+      f"(w=0 gives 1.0), {(margin > 0).mean():.0%} correctly classified")
+
+# ---- 6. barrier-regularized simplex weights: min 0.5||x - c||^2
+# - mu sum log x_i  s.t. sum x = 1 — LogBarrier keeps weights strictly
+# interior, the hyperplane constraint goes through the dual.
+n6 = 16
+c6 = jnp.asarray(np.abs(rng.standard_normal(n6)))
+f6 = FromFunction(fn=lambda x: 0.5 * jnp.sum((x - c6) ** 2))
+res = ap.adaptive_primal_dual(
+    jnp.full(n6, 1.0 / n6), jnp.zeros(1),
+    f=f6, g=ap.LogBarrier(mu=1e-2),
+    h=ap.Translate(inner=ap.IndZero(), b=-jnp.ones(1)),
+    A=ap.DenseOperator(a=jnp.ones((1, n6))),
+    rule=ap.AdaPGMRule.make(t=1.0, norm_a=float(np.sqrt(n6))),
+    tol=2e-5, maxit=20_000)  # f32 floor
+x6 = np.asarray(res.x)
+print(f"barrier weights: {int(res.numit)} iters, sum {x6.sum():.6f}, "
+      f"min weight {x6.min():.1e} (strictly positive by the barrier)")
