@@ -112,9 +112,8 @@ A5 = ap.DenseOperator(a=jnp.asarray(a5))
 res = ap.adaptive_primal_dual(
     jnp.zeros(d5), jnp.zeros(m5), f=fS, g=ap.Zero(),
     h=ap.HingeLoss(b=jnp.asarray(b5), lam=1.0 / m5), A=A5,
-    rule=ap.AdaPGMRule.make(gamma=0.05, t=1.0,
-                            norm_a=float(np.sqrt(ap.opnorm2(A5)))),
-    tol=1e-6, maxit=20_000)
+    rule=ap.AdaPGMRule.make(t=1.0, norm_a=float(ap.opnorm2(A5))),
+    tol=1e-4, maxit=20_000)  # f32 floor
 w5 = np.asarray(res.x)
 margin = b5 * (a5 @ w5)
 obj5 = 0.05 * (w5 @ w5) + np.maximum(0, 1 - margin).mean()

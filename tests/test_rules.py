@@ -110,6 +110,45 @@ def test_adapgm_make_resolves_gamma():
         ap.AdaPGMRule.make(t=1.0, norm_a=0.0)
 
 
+def test_adapgm_make_clamps_gamma_to_coupling_bound():
+    """gamma_init above 1/(2*Theta*t*||A||) makes the first update's
+    sqrt(1 - 4 xi (1+delta)^2) negative — the reference dies with a Julia
+    DomainError there (src/AdaProx.jl:267); jnp.sqrt would silently NaN the
+    whole solve. make() clamps (with a warning) instead."""
+    import warnings as _w
+
+    bound = 1 / (2 * 1.2 * 1.0 * 5.0)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        r = ap.AdaPGMRule.make(gamma=10 * bound, t=1.0, norm_a=5.0)
+    assert float(r.gamma) == pytest.approx(bound)
+    assert any("coupling bound" in str(w.message) for w in rec)
+    # the clamped init keeps the first update finite
+    (_, _), st = r.init()
+    curv = Curvature(ndg2=jnp.asarray(4.0), dgdx=jnp.asarray(2.0),
+                     ndx2=jnp.asarray(1.0))
+    (g1, _), _ = r.update(st, curv)
+    assert np.isfinite(float(g1)) and float(g1) > 0
+    # valid gammas and the default pass through BIT-exactly (the knife-edge
+    # linesearch mirrors depend on this)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        r_def = ap.AdaPGMRule.make(t=1.0, norm_a=5.0)
+        r_same = ap.AdaPGMRule.make(gamma=float(r_def.gamma), t=1.0, norm_a=5.0)
+        r_small = ap.AdaPGMRule.make(gamma=0.5 * bound, t=1.0, norm_a=5.0)
+    assert float(r_same.gamma) == float(r_def.gamma)
+    assert float(r_small.gamma) == 0.5 * bound
+    # traced path (vmapped t-sweeps): default gamma equals the unclamped
+    # formula bit-exactly; an oversized traced gamma is clamped
+    import jax
+
+    ts = jnp.asarray([0.5, 1.0, 2.0])
+    gs = jax.vmap(lambda t: ap.AdaPGMRule.make(gamma=0.0, t=t, norm_a=5.0).gamma)(ts)
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(1.0 / (2 * 1.2 * ts * 5.0)))
+    g_big = jax.vmap(lambda t: ap.AdaPGMRule.make(gamma=1e3, t=t, norm_a=5.0).gamma)(ts)
+    np.testing.assert_allclose(np.asarray(g_big), np.asarray(1.0 / (2 * 1.2 * ts * 5.0)))
+
+
 def test_adapgm_plus_identical_iterates_keeps_constant_term():
     """On identical iterates (0/0 curvature fractions) the reference's
     per-ratio nan guards give C = L = 0, so D = 1 - 2r — a LIVE constant
