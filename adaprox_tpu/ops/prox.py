@@ -401,7 +401,12 @@ class LogBarrier:
         return jnp.where(ok, val.astype(dt), jnp.inf)
 
     def prox(self, v, gamma):
-        y = 0.5 * (v + jnp.sqrt(v * v + 4.0 * gamma * self.mu))
+        # v + sqrt(v^2 + c) cancels catastrophically for large negative v
+        # (f32: prox(-5e3, 1, mu=0.4) rounded to exactly 0, violating y > 0
+        # and inf-poisoning the solve). Rationalize the negative branch:
+        # (v + r)/2 == 2*gamma*mu / (r - v), cancellation-free since r-v >= r.
+        r = jnp.sqrt(v * v + 4.0 * gamma * self.mu)
+        y = jnp.where(v > 0, 0.5 * (v + r), 2.0 * gamma * self.mu / (r - v))
         return y, self(y)
 
 

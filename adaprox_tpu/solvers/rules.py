@@ -125,13 +125,18 @@ def _resolve_gamma(gamma, t, norm_a, theta, delta=0.0):
     """Reference OurRule constructor logic (src/AdaProx.jl:240-250):
     gamma if gamma > 0, else 1/(2*Theta*t*||A||) if ||A|| > 0, else error.
 
-    Additionally clamps a user-provided gamma to the coupling bound
-    1/(2*t*||A||*max(Theta, 1+delta)): the first stepsize update computes
-    sqrt(1 - 4*xi*(1+delta)^2) with xi = t^2*gamma^2*||A||^2
+    Additionally clamps a user-provided gamma to the reference's actual
+    failure bound 1/(2*t*||A||*(1+delta)): the first stepsize update
+    computes sqrt(1 - 4*xi*(1+delta)^2) with xi = t^2*gamma^2*||A||^2
     (src/AdaProx.jl:267), so any larger init makes that argument negative —
     Julia raises DomainError there; jnp.sqrt would silently NaN the whole
-    solve. The clamp is the identity for every valid init (and for the
-    reference's own default, which IS the bound with delta=0)."""
+    solve. Theta does NOT enter the failure bound (it only sets the default
+    gamma and the per-update coupling cap): inits in
+    (1/(2*Theta*t*||A||), 1/(2*t*||A||*(1+delta))] run fine in the
+    reference — the first iterate uses gamma_init as given, the coupling
+    min only binds from update 1 — and pass through here unchanged. The
+    clamp is nudged strictly inside the bound because landing exactly on it
+    zeroes the sqrt argument (0/0 when D <= 0)."""
     if gamma is None:
         gamma = 0.0
     if all(isinstance(v, (int, float)) for v in (gamma, t, norm_a, theta, delta)):
@@ -139,26 +144,20 @@ def _resolve_gamma(gamma, t, norm_a, theta, delta=0.0):
             raise ValueError("you must provide gamma > 0 if norm_A = 0")
         if norm_a <= 0:
             return gamma
-        # the (1+delta) branch is nudged strictly inside the bound: clamping
-        # exactly onto it zeroes the first update's sqrt argument (0/0 when
-        # D <= 0); the theta branch (the reference default) never binds there
-        # factor order matches the default-gamma expression below so the
-        # bound is BIT-equal to it when theta binds (no 1-ulp drift into
-        # the knife-edge linesearch tests)
-        bound = 1.0 / (2 * max(theta, (1.0 + delta) * (1 + 1e-6)) * t * norm_a)
+        bound = 1.0 / (2 * t * norm_a * (1.0 + delta) * (1 + 1e-6))
         if gamma <= 0:
             return 1.0 / (2 * theta * t * norm_a)
         if gamma > bound:
             warnings.warn(
                 f"gamma={gamma} exceeds the coupling bound "
-                f"1/(2*t*||A||*max(Theta,1+delta)) = {bound:.3g}; clamping "
+                f"1/(2*t*||A||*(1+delta)) = {bound:.3g}; clamping "
                 "(the reference raises DomainError at the first stepsize "
                 "update for such an init)", stacklevel=3)
             return bound
         return gamma
     # traced values (e.g. under vmap over t): select and clamp at runtime
     g = jnp.where(jnp.asarray(gamma) > 0, gamma, 1.0 / (2 * theta * t * norm_a))
-    bound = 1.0 / (2 * jnp.maximum(theta, (1.0 + delta) * (1 + 1e-6)) * t * norm_a)
+    bound = 1.0 / (2 * t * norm_a * (1.0 + jnp.asarray(delta)) * (1 + 1e-6))
     return jnp.where(jnp.asarray(norm_a) > 0, jnp.minimum(g, bound), g)
 
 

@@ -246,6 +246,25 @@ def test_log_barrier_prox_positive_root(rng):
     assert float(g(jnp.asarray([-1.0, 2.0]))) == np.inf
 
 
+def test_log_barrier_prox_f32_large_negative_no_cancellation():
+    """v + sqrt(v^2 + c) cancels catastrophically for large negative v in
+    f32: the naive form returned y == 0 (and value inf) for v = -5e3,
+    violating the y > 0 guarantee and inf-poisoning TPU f32 solves
+    (r3 ADVICE medium). The rationalized branch 2*gamma*mu/(r - v) must
+    stay strictly positive and satisfy stationarity to f32 accuracy."""
+    g = ap.LogBarrier(mu=0.4)
+    v = jnp.asarray([-5e3, -3.6e3, -1e6, -30.0, 0.0, 2.0], dtype=jnp.float32)
+    gamma = 1.0
+    y, val = g.prox(v, gamma)
+    y_np = np.asarray(y, dtype=np.float64)
+    assert (y_np > 0).all()
+    assert np.isfinite(float(val))
+    # closed form in f64 as oracle: y = 2*g*mu / (sqrt(v^2+4*g*mu) - v)
+    v64 = np.asarray(v, dtype=np.float64)
+    y_ref = 2 * gamma * 0.4 / (np.sqrt(v64 * v64 + 4 * gamma * 0.4) - v64)
+    np.testing.assert_allclose(y_np, y_ref, rtol=1e-5)
+
+
 def test_halfspace_and_hyperplane_projection(rng):
     a = jnp.asarray(rng.standard_normal(15))
     c = 0.4

@@ -111,13 +111,17 @@ def test_adapgm_make_resolves_gamma():
 
 
 def test_adapgm_make_clamps_gamma_to_coupling_bound():
-    """gamma_init above 1/(2*Theta*t*||A||) makes the first update's
+    """gamma_init above 1/(2*t*||A||*(1+delta)) makes the first update's
     sqrt(1 - 4 xi (1+delta)^2) negative — the reference dies with a Julia
     DomainError there (src/AdaProx.jl:267); jnp.sqrt would silently NaN the
-    whole solve. make() clamps (with a warning) instead."""
+    whole solve. make() clamps (with a warning) instead. The bound must be
+    the reference's OWN failure threshold, not the tighter Theta-based
+    coupling cap: inits between the two run fine in the reference (the
+    first iterate uses gamma_init; the coupling min binds from update 1)
+    and must pass through unclamped (r3 ADVICE)."""
     import warnings as _w
 
-    bound = 1 / (2 * 1.2 * 1.0 * 5.0)
+    bound = 1 / (2 * 1.0 * 5.0 * (1 + 1e-6))
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
         r = ap.AdaPGMRule.make(gamma=10 * bound, t=1.0, norm_a=5.0)
@@ -130,14 +134,24 @@ def test_adapgm_make_clamps_gamma_to_coupling_bound():
     (g1, _), _ = r.update(st, curv)
     assert np.isfinite(float(g1)) and float(g1) > 0
     # valid gammas and the default pass through BIT-exactly (the knife-edge
-    # linesearch mirrors depend on this)
+    # linesearch mirrors depend on this) — INCLUDING inits between the
+    # Theta cap 1/(2.4*t*||A||) and the true bound 1/(2*t*||A||), which the
+    # old Theta-based clamp wrongly squashed
     with _w.catch_warnings():
         _w.simplefilter("error")
         r_def = ap.AdaPGMRule.make(t=1.0, norm_a=5.0)
         r_same = ap.AdaPGMRule.make(gamma=float(r_def.gamma), t=1.0, norm_a=5.0)
         r_small = ap.AdaPGMRule.make(gamma=0.5 * bound, t=1.0, norm_a=5.0)
+        mid = 0.95 / (2 * 1.0 * 5.0)  # above Theta cap, below the bound
+        r_mid = ap.AdaPGMRule.make(gamma=mid, t=1.0, norm_a=5.0)
     assert float(r_same.gamma) == float(r_def.gamma)
     assert float(r_small.gamma) == 0.5 * bound
+    assert float(r_mid.gamma) == mid
+    # ... and the first update from such an init stays finite (the point of
+    # permitting it: the reference runs fine there)
+    (_, _), st_mid = r_mid.init()
+    (g_mid, _), _ = r_mid.update(st_mid, curv)
+    assert np.isfinite(float(g_mid)) and float(g_mid) > 0
     # traced path (vmapped t-sweeps): default gamma equals the unclamped
     # formula bit-exactly; an oversized traced gamma is clamped
     import jax
@@ -146,7 +160,7 @@ def test_adapgm_make_clamps_gamma_to_coupling_bound():
     gs = jax.vmap(lambda t: ap.AdaPGMRule.make(gamma=0.0, t=t, norm_a=5.0).gamma)(ts)
     np.testing.assert_array_equal(np.asarray(gs), np.asarray(1.0 / (2 * 1.2 * ts * 5.0)))
     g_big = jax.vmap(lambda t: ap.AdaPGMRule.make(gamma=1e3, t=t, norm_a=5.0).gamma)(ts)
-    np.testing.assert_allclose(np.asarray(g_big), np.asarray(1.0 / (2 * 1.2 * ts * 5.0)))
+    np.testing.assert_allclose(np.asarray(g_big), np.asarray(1.0 / (2 * ts * 5.0 * (1 + 1e-6))))
 
 
 def test_adapgm_plus_identical_iterates_keeps_constant_term():
