@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import prox as prox_ops
-from ..solvers.rules import nan_to_zero
+from ..solvers.rules import nan_to_zero, validate_positive
 from .common import Counters, Records, SolveResult, l2sq, reopen, run_loop
 
 __all__ = ["adaptive_linesearch_primal_dual"]
@@ -275,8 +275,10 @@ def adaptive_linesearch_primal_dual(
     ``scalar_dtype``: run the gamma/eta recurrences, curvature reductions,
     the linesearch acceptance ratio, and residual norms in a wider dtype
     (the engine-family f64-scalar hybrid)."""
-    if not eta > 0:
-        raise ValueError("eta must be positive")
+    # t <= 0 flips the sigma = t^2*gamma coupling and eta <= 0 breaks the
+    # operator-norm estimate recurrence — both NaN silently inside the
+    # jitted loop; fail loudly (concrete scalars only)
+    validate_positive(eta=eta, t=t)
     if not Theta > delta + 1:
         raise ValueError("must have Theta > delta + 1")
     if gamma is None:

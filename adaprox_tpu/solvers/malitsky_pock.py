@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..ops import prox as prox_ops
 from .common import Counters, Records, SolveResult, l2sq, reopen, run_loop
+from .rules import validate_positive
 
 __all__ = ["malitsky_pock"]
 
@@ -222,6 +223,11 @@ def malitsky_pock(
 
     ``scalar_dtype``: run step sizes, the linesearch acceptance test, and
     residual norms in a wider dtype (the engine-family f64-scalar hybrid)."""
+    # sigma <= 0 makes every dual prox step degenerate and t <= 0 flips the
+    # gamma = t^2*sigma coupling — both NaN/stall silently inside the jitted
+    # loop; fail loudly here instead (concrete scalars only; traced sweep
+    # values pass through)
+    validate_positive(sigma=sigma, t=t)
     x0 = jnp.asarray(x0)
     res = _solve(
         (f, g, h, A), x0, jnp.asarray(y0), sigma, t,

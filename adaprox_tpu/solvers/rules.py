@@ -73,12 +73,36 @@ def nan_to_zero(v):
     return jnp.where(jnp.isnan(v), jnp.zeros_like(v), v)
 
 
+def validate_positive(**params):
+    """Raise ValueError for any concrete non-positive parameter.
+
+    Shared by every rule `.make` and solver entry point so invalid
+    parameters fail loudly with a uniform message instead of NaN-poisoning
+    the trajectory (the reference's equivalent is a Julia DomainError at
+    the first stepsize update, src/AdaProx.jl:267). Traced/array values are
+    skipped — they cannot be validated at trace time; vmapped sweeps stay
+    usable."""
+    for name, v in params.items():
+        if isinstance(v, (bool,)) or not isinstance(v, (int, float)):
+            continue
+        if not v > 0:
+            raise ValueError(f"{name} must be positive, got {name}={v!r}")
+
+
 @pytree_dataclass
 class FixedStepsize:
     """Constant (gamma, gamma * t^2) (src/AdaProx.jl:208-215)."""
 
     gamma: jnp.ndarray
     t: jnp.ndarray = 1.0
+
+    @classmethod
+    def make(cls, gamma, t=1.0):
+        """Validated constructor: gamma, t > 0 (uniform with the other
+        rules' .make; a non-positive gamma makes every prox step a no-op
+        or reversed)."""
+        validate_positive(gamma=gamma, t=t)
+        return cls(gamma=gamma, t=t)
 
     def init(self):
         g = jnp.asarray(self.gamma)
@@ -97,6 +121,13 @@ class MalitskyMishchenkoRule:
 
     gamma: jnp.ndarray
     t: jnp.ndarray = 1.0
+
+    @classmethod
+    def make(cls, gamma, t=1.0):
+        """Validated constructor: gamma, t > 0 (uniform with the other
+        rules' .make)."""
+        validate_positive(gamma=gamma, t=t)
+        return cls(gamma=gamma, t=t)
 
     def init(self):
         g = jnp.asarray(self.gamma)
@@ -233,6 +264,28 @@ class AdaPGMPlusRule:
     xi: jnp.ndarray = 1.0
     nu: jnp.ndarray = 1.0
     r: jnp.ndarray = 0.5
+
+    @classmethod
+    def make(cls, gamma=None, xi=1.0, nu=1.0, r=0.5):
+        """Validated constructor (mirrors AdaPGMRule.make). The reference
+        ctor (src/AdaProx.jl:285-292) only checks gamma > 0; but the update
+        at :300-307 computes sqrt((nu*(1+xi) - 1)/(nu*(nu+xi))) and
+        sqrt(1/(r*(nu+xi)) + ...), so nu*(1+xi) <= 1 or r <= 0 silently
+        NaN-poisons every subsequent stepsize under jnp.sqrt — the same
+        failure mode make() was added to close for AdaPGMRule. Direct
+        AdaPGMPlusRule(...) construction stays unvalidated (pytree
+        unflatten cannot validate); prefer .make."""
+        if gamma is None or (isinstance(gamma, (int, float)) and gamma <= 0):
+            raise ValueError("you must provide gamma > 0")
+        validate_positive(xi=xi, nu=nu, r=r)
+        if all(isinstance(v, (int, float)) for v in (nu, xi)):
+            if not nu * (1 + xi) > 1:
+                raise ValueError(
+                    f"need nu*(1+xi) > 1 (got nu={nu}, xi={xi}: "
+                    f"nu*(1+xi)={nu * (1 + xi)}); the stepsize bound "
+                    "sqrt((nu*(1+xi)-1)/(nu*(nu+xi))) is imaginary otherwise "
+                    "and every update would be NaN")
+        return cls(gamma=gamma, xi=xi, nu=nu, r=r)
 
     def init(self):
         g = jnp.asarray(self.gamma)
