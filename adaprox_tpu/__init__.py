@@ -47,6 +47,8 @@ from .ops.prox import (
     SeparableSum,
     Scale,
     Translate,
+    PadTail,
+    MoreauConjugate,
     conjugate,
 )
 from .ops.oracles import SmoothOracle, FromFunction, ZeroSmooth, value_and_grad
@@ -92,6 +94,8 @@ __all__ = [
     "ElasticNet", "GroupL2", "IndSimplex", "IndBall1", "LInfNorm", "Huber",
     "NuclearNorm", "IndPSD", "HingeLoss", "LogBarrier", "IndHalfspace",
     "IndHyperplane", "SeparableSum", "Scale", "Translate",
+    "PadTail",
+    "MoreauConjugate",
     "conjugate",
     "SmoothOracle", "FromFunction", "ZeroSmooth", "value_and_grad",
     "DenseOperator", "SparseOperator", "DifferenceOperator", "ScaledIdentity",

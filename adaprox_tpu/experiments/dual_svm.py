@@ -38,7 +38,7 @@ def _load(name_or_path):
 
 
 def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=False,
-             resident=False):
+             resident=False, exact_bregman=None):
     import jax
     import jax.numpy as jnp
 
@@ -65,6 +65,14 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
     x0 = jnp.zeros(n_pts)
     y0 = jnp.zeros(1)
     times = {}
+    # MP linesearch acceptance: in f32 the reference's raw objective
+    # difference carries eps*|f| noise that stalls every MP row at this
+    # problem scale (residual ~2e+01 vs the f64 plateau 5e-05 — mirror-
+    # adjudicated in tools/adjudicate_dsvm.py); auto-enable the oracle's
+    # cancellation-resistant Bregman form there. f64 keeps reference-exact
+    # trajectories by default.
+    if exact_bregman is None:
+        exact_bregman = dyx.dtype == jnp.float32
 
     # whole-solve on-core t-sweep (VERDICT r2 item 3): Q zero-padded to
     # tile alignment with the padded coordinates pinned to 0 by the iota
@@ -123,7 +131,8 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
                 fn = functools.partial(
                     resident_mp_dsvm_sweep, big_c=float(big_c),
                     sigma0=1.0 / norm_a, tol=tol, maxit=maxit, n_true=n_pts,
-                    record=True, factored=not dense_ok, interpret=interp)
+                    record=True, factored=not dense_ok, interpret=interp,
+                    exact_bregman=bool(exact_bregman))
                 return maybe_sharded_sweep(
                     fn, {"q": q_arg, "labels": lab_pad,
                          "ts": jnp.asarray(T_VALUES, dyx.dtype)}, {"ts"})
@@ -199,6 +208,7 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             res = ap.malitsky_pock(
                 x0, y0, f=f, g=g, h=h, A=a_op, t=t, sigma=1.0 / norm_a,
                 tol=tol, maxit=maxit, history=True,
+                exact_bregman=bool(exact_bregman),
             )
             return res._replace(name=None, extra=None)
 
@@ -214,6 +224,7 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             sink.add(ap.malitsky_pock(
                 x0, y0, f=f, g=g, h=h, A=a_op, t=float(t), sigma=1.0 / norm_a,
                 tol=tol, maxit=maxit, history=True, name=f"Malitsky-Pock (t={t})",
+                exact_bregman=bool(exact_bregman),
             ), primal_dual=True)
         times["MP t-sweep"] = round(_time.perf_counter() - t0, 4)
 
@@ -267,15 +278,24 @@ def main(argv=None):
                    help="on-core whole-sweep AdaPDM kernel (Q VMEM-resident; "
                         "falls back to the engine when Q exceeds the budget)")
     p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--exact-bregman", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="MP linesearch Bregman term: 'auto' uses the "
+                        "cancellation-resistant quadratic form in f32 "
+                        "(where the reference's raw difference stalls at "
+                        "eps*|f| noise) and the reference-exact difference "
+                        "in f64")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
+    exact_breg = {"auto": None, "on": True, "off": False}[args.exact_bregman]
 
     for big_c in (float(v) for v in args.C.split(",")):
         for ds in args.datasets.split(","):
             path = os.path.join(args.outdir, f"{os.path.basename(ds)}_C_{big_c}.jsonl")
             sink = Sink(path, keys=KEYS)
             src = run_dsvm(ds, sink, big_c=big_c, tol=args.tol, maxit=args.maxit,
-                           vmap_sweep=args.vmap_sweep, resident=args.resident)
+                           vmap_sweep=args.vmap_sweep, resident=args.resident,
+                           exact_bregman=exact_breg)
             sink.emit_meta(data_source=src)
             print(f"{path}: data={src}")
             if not args.no_plot:

@@ -94,6 +94,17 @@ class LeastSquares(SmoothOracle):
         # (res @ a) keeps a row-sharded `a` contraction-local (psum of partials)
         return _vm(aux, self.a, self.precision)
 
+    def bregman_from_aux(self, dx, aux, aux_prev):
+        # 0.5||A dx||^2. Non-fused aux is the residual: ||res - res_prev||^2
+        # is a sum of squares — noise enters at second order, never the
+        # eps*|f| catastrophe of the difference form. Fused aux is the
+        # gradient: 0.5 dx'A'A dx = 0.5 <dx, dgrad>, clamped at the exact
+        # lower bound 0 (the dot's noise can round a tiny term negative).
+        if self._use_fused():
+            return jnp.maximum(0.5 * jnp.vdot(dx, aux - aux_prev).real, 0.0)
+        dres = aux - aux_prev
+        return 0.5 * jnp.sum(dres * dres)
+
 
 @pytree_dataclass(meta=("precision",))
 class GramLeastSquares(SmoothOracle):
@@ -135,6 +146,11 @@ class GramLeastSquares(SmoothOracle):
     def grad_from_aux(self, x, gx):
         del x
         return gx - self.c_vec
+
+    def bregman_from_aux(self, dx, aux, aux_prev):
+        # 0.5 dx'G dx = 0.5 <dx, gx - gx_prev>, clamped at the exact lower
+        # bound 0 (G is PSD); see SmoothOracle.bregman_from_aux
+        return jnp.maximum(0.5 * jnp.vdot(dx, aux - aux_prev).real, 0.0)
 
 
 @pytree_dataclass(meta=("precision", "fused"))
@@ -201,6 +217,11 @@ class Quadratic(SmoothOracle):
         del x
         return qx + self.q_vec
 
+    def bregman_from_aux(self, dx, aux, aux_prev):
+        # 0.5 dx'Q dx = 0.5 <dx, qx - qx_prev>, clamped at 0 (Q PSD in every
+        # use here); see SmoothOracle.bregman_from_aux
+        return jnp.maximum(0.5 * jnp.vdot(dx, aux - aux_prev).real, 0.0)
+
 
 @pytree_dataclass(meta=("precision",))
 class FactoredQuadratic(SmoothOracle):
@@ -229,6 +250,11 @@ class FactoredQuadratic(SmoothOracle):
     def grad_from_aux(self, x, qx):
         del x
         return qx + self.q_vec
+
+    def bregman_from_aux(self, dx, aux, aux_prev):
+        # 0.5 dx'BB'dx = 0.5 <dx, qx - qx_prev>, clamped at 0 (BB' PSD);
+        # see SmoothOracle.bregman_from_aux
+        return jnp.maximum(0.5 * jnp.vdot(dx, aux - aux_prev).real, 0.0)
 
     def norm_q(self):
         from ..ops.linops import frobenius_norm

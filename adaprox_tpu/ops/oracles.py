@@ -55,6 +55,22 @@ class SmoothOracle:
         f_x, aux = self.value_and_aux(x)
         return f_x, self.grad_from_aux(x, aux)
 
+    def bregman_from_aux(self, dx, aux, aux_prev):
+        """Optional: the Bregman term f(x) - f(x_prev) - <grad(x_prev), dx>
+        in a cancellation-RESISTANT form, or None when the oracle has no
+        better form than the raw difference.
+
+        Linesearch acceptance tests (Malitsky-Pock src/AdaProx.jl:564,
+        backtracking :38-44) compare this term against ~||dx||^2. The raw
+        difference form carries absolute rounding error ~eps*|f(x)|, which
+        at f32 with |f| >> ||dx||^2 makes the test garbage: measured on the
+        synthetic mushrooms dual SVM, MP stalls at residual ~2e+01 in f32
+        where f64 reaches 3e-05 (tools/adjudicate_dsvm.py). Quadratic-type
+        oracles can compute the term as 0.5*||A dx||^2 (>= 0, second-order
+        noise only) from already-carried auxes — no extra HBM pass."""
+        del dx, aux, aux_prev
+        return None
+
 
 def value_and_grad(f, x):
     """``eval_with_gradient`` analogue (src/AdaProx.jl:13-16)."""

@@ -918,7 +918,7 @@ def _dsvm_obj(q, lab, n_true, factored):
 
 
 def _dsvm_mp_core(q, lab, t, sigma0, big_c, tol, n_true, *, maxit,
-                  factored=False, record=False):
+                  factored=False, record=False, exact_bregman=False):
     """Malitsky-Pock linesearch for the dual-SVM problem (f = 0.5 x'Qx -
     1'x resident, g = IndBox(0, C), h = IndZero with scalar dual),
     transcribing solvers/malitsky_pock._solve: sigma grows by sqrt(2), the
@@ -979,9 +979,16 @@ def _dsvm_mp_core(q, lab, t, sigma0, big_c, tol, n_true, *, maxit,
             f_x = 0.5 * jnp.sum(x * qx) - jnp.sum(ones * x)
             dax = a_x - a_x_prev
             dx = x - x_prev
-            lhs = (gamma * sigma * dax * dax
-                   + 2 * gamma * (f_x - f_x_prev
-                                  - jnp.sum(grad_prev * dx)))
+            if exact_bregman:
+                # f(x) - f(x_prev) - <grad_prev, dx> = 0.5 dx'Q dx
+                # = 0.5 <dx, qx - qx_prev> (the `ones` term cancels),
+                # clamped at the exact lower bound 0 (Q PSD). Removes the
+                # eps*|f| noise that stalls f32 solves at benchmark scale
+                # (same fix as solvers/malitsky_pock exact_bregman).
+                breg = jnp.maximum(0.5 * jnp.sum(dx * (qx - qx_prev)), 0.0)
+            else:
+                breg = f_x - f_x_prev - jnp.sum(grad_prev * dx)
+            lhs = gamma * sigma * dax * dax + 2 * gamma * breg
             return (sigma, gamma, x, v, a_x, qx, f_x, lhs, trials)
 
         def ls_cond(cc):
@@ -1105,14 +1112,14 @@ def _dsvm_cv_core(q, lab, gamma, sigma, big_c, tol, n_true, *, maxit,
 
 
 def _dsvm_mp_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *,
-                          maxit, factored, record):
+                          maxit, factored, record, exact_bregman=False):
     """One grid step per coupling t; scal (T, 5) SMEM rows of
     [t, sigma0, big_c, tol, n_true]; record adds 5 (T, 1, H) outputs."""
     i = pl.program_id(0)
     out = _dsvm_mp_core(
         q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1],
         scal_ref[i, 2], scal_ref[i, 3], scal_ref[i, 4], maxit=maxit,
-        factored=factored, record=record)
+        factored=factored, record=record, exact_bregman=exact_bregman)
     x_ref[0] = out[0]
     stats_ref[i, 0] = out[1]
     stats_ref[i, 1] = out[2].astype(jnp.float32)
@@ -1122,12 +1129,12 @@ def _dsvm_mp_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *,
 
 def _dsvm_mp_sweep_kernel_rec(scal_ref, q_ref, lab_ref, x_ref, stats_ref,
                               hg_ref, hs_ref, hr_ref, ht_ref, ho_ref, *,
-                              maxit, factored):
+                              maxit, factored, exact_bregman=False):
     i = pl.program_id(0)
     x, it_f, nres, conv, lsf, hists = _dsvm_mp_core(
         q_ref[:], lab_ref[:], scal_ref[i, 0], scal_ref[i, 1],
         scal_ref[i, 2], scal_ref[i, 3], scal_ref[i, 4], maxit=maxit,
-        factored=factored, record=True)
+        factored=factored, record=True, exact_bregman=exact_bregman)
     x_ref[0] = x
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
@@ -1137,10 +1144,10 @@ def _dsvm_mp_sweep_kernel_rec(scal_ref, q_ref, lab_ref, x_ref, stats_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "record", "factored",
-                                             "interpret"))
+                                             "interpret", "exact_bregman"))
 def resident_mp_dsvm_sweep(q, labels, big_c, ts, sigma0, tol, maxit,
                            n_true=None, record=False, factored=False,
-                           interpret=False):
+                           interpret=False, exact_bregman=False):
     """The dual-SVM Malitsky-Pock coupling sweep (dual_svm/runme.jl:61) as
     ONE kernel launch: grid over t, each step a complete early-exit MP
     solve with Q (or the factored B) resident. Same contract as
@@ -1168,13 +1175,14 @@ def resident_mp_dsvm_sweep(q, labels, big_c, ts, sigma0, tol, maxit,
     ]
     if record:
         kern = functools.partial(_dsvm_mp_sweep_kernel_rec, maxit=maxit,
-                                 factored=factored)
+                                 factored=factored, exact_bregman=exact_bregman)
         out_specs += [pl.BlockSpec((1, 1, hl), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)] * 5
         out_shape += [jax.ShapeDtypeStruct((tcount, 1, hl), dt)] * 5
     else:
         kern = functools.partial(_dsvm_mp_sweep_kernel, maxit=maxit,
-                                 factored=factored, record=False)
+                                 factored=factored, record=False,
+                                 exact_bregman=exact_bregman)
     outs = pl.pallas_call(
         kern,
         grid=(tcount,),

@@ -43,10 +43,15 @@ class _Carry(NamedTuple):
     done: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype"))
+@functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype",
+                                              "exact_bregman"))
 def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None,
-           scalar_dtype=None):
+           scalar_dtype=None, exact_bregman=False):
     f, g, h, a_op = parts
+    # probe once at trace time whether the oracle offers a cancellation-
+    # resistant Bregman form (quadratic-type oracles do); fall back to the
+    # reference's raw difference otherwise
+    use_exact = bool(exact_bregman) and getattr(f, "bregman_from_aux", None) is not None
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
     # scalar hybrid (cf. primal_dual._solve_pd): step sizes, the linesearch
@@ -111,11 +116,24 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None,
             counters = counters.bump(prox_g_evals=1, A_evals=1, f_evals=1)
             dax = (a_x - a_x_prev).astype(sdt) if upcast else a_x - a_x_prev
             dx = (x - x_prev).astype(sdt) if upcast else x - x_prev
-            lhs = gamma * sigma * l2sq(dax) + 2 * gamma * (
-                f_x.astype(sdt) - f_x_prev.astype(sdt)
-                - jnp.vdot(grad_x_prev.astype(sdt) if upcast else grad_x_prev,
-                           dx).real
-            )
+            breg = None
+            if use_exact:
+                # f(x) - f(x_prev) - <grad_prev, dx> via the oracle's
+                # cancellation-resistant form (>= 0 for convex f): in f32 at
+                # benchmark scale the raw difference below carries eps*|f|
+                # noise that swamps the 0.95||dx||^2 comparison and stalls
+                # the solve (tools/adjudicate_dsvm.py measured MP pinned at
+                # residual ~2e+01 where f64 reaches 3e-05)
+                breg = f.bregman_from_aux(x - x_prev, aux, aux_prev)
+                if breg is not None and upcast:
+                    breg = breg.astype(sdt)
+            if breg is None:
+                breg = (
+                    f_x.astype(sdt) - f_x_prev.astype(sdt)
+                    - jnp.vdot(grad_x_prev.astype(sdt) if upcast
+                               else grad_x_prev, dx).real
+                )
+            lhs = gamma * sigma * l2sq(dax) + 2 * gamma * breg
             return (sigma, gamma, x, v, a_x, f_x, aux, lhs, counters, trials)
 
         def cond(cc):
@@ -217,12 +235,20 @@ def malitsky_pock(
     history=False,
     resume_state=None,
     scalar_dtype=None,
+    exact_bregman=False,
 ):
     """Malitsky-Pock linesearch PD (reference src/AdaProx.jl:581-629).
     ``t`` couples the steps via gamma = t^2 * sigma.
 
     ``scalar_dtype``: run step sizes, the linesearch acceptance test, and
-    residual norms in a wider dtype (the engine-family f64-scalar hybrid)."""
+    residual norms in a wider dtype (the engine-family f64-scalar hybrid).
+
+    ``exact_bregman``: compute the linesearch acceptance test's Bregman
+    term via the oracle's cancellation-resistant form when it has one
+    (quadratic-type oracles: 0.5*||A dx||^2 from carried auxes) instead of
+    the reference's raw objective difference. Mathematically identical;
+    numerically it removes the eps*|f| noise floor that stalls f32 solves
+    at benchmark scale. Default off = reference-exact trajectories."""
     # sigma <= 0 makes every dual prox step degenerate and t <= 0 flips the
     # gamma = t^2*sigma coupling — both NaN/stall silently inside the jitted
     # loop; fail loudly here instead (concrete scalars only; traced sweep
@@ -233,5 +259,6 @@ def malitsky_pock(
         (f, g, h, A), x0, jnp.asarray(y0), sigma, t,
         tol, int(maxit), bool(history),
         resume_state=resume_state, scalar_dtype=scalar_dtype,
+        exact_bregman=bool(exact_bregman),
     )
     return res.with_name(name)

@@ -345,3 +345,110 @@ def test_scalar_dtype_hybrid_pg_families(solver):
     gap_h = float(f64.value(rhy.x.astype(jnp.float64))
                   + g64(rhy.x.astype(jnp.float64))) - optimum
     assert gap_h < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Exact-Bregman linesearch option (r4: f32 MP stall adjudication)
+# ---------------------------------------------------------------------------
+
+def test_bregman_from_aux_matches_difference_form():
+    """Each quadratic-type oracle's cancellation-resistant Bregman form must
+    equal f(x) - f(x_prev) - <grad(x_prev), dx> (f64 oracle check)."""
+    import numpy as np
+
+    from adaprox_tpu.models.objectives import (
+        FactoredQuadratic, GramLeastSquares, LeastSquares, Quadratic)
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((20, 12)))
+    b = jnp.asarray(rng.standard_normal(20))
+    x1 = jnp.asarray(rng.standard_normal(12))
+    x0v = jnp.asarray(rng.standard_normal(12))
+    q_mat = jnp.asarray(a.T @ a)
+    oracles = [
+        LeastSquares(a=a, b=b),
+        GramLeastSquares.from_data(a, b),
+        Quadratic(q_mat=q_mat, q_vec=jnp.asarray(rng.standard_normal(12))),
+        FactoredQuadratic(b_mat=jnp.asarray(a.T),
+                          q_vec=jnp.asarray(rng.standard_normal(12))),
+    ]
+    for f in oracles:
+        f1, aux1 = f.value_and_aux(x1)
+        f0, aux0 = f.value_and_aux(x0v)
+        g0 = f.grad_from_aux(x0v, aux0)
+        expect = float(f1 - f0 - jnp.vdot(g0, x1 - x0v))
+        got = f.bregman_from_aux(x1 - x0v, aux1, aux0)
+        assert got is not None, type(f).__name__
+        np.testing.assert_allclose(float(got), expect, rtol=1e-9,
+                                   err_msg=type(f).__name__)
+    # the base oracle (no special form) returns None -> solvers fall back
+    from adaprox_tpu.ops.oracles import ZeroSmooth
+
+    assert ZeroSmooth().bregman_from_aux(x1 - x0v, None, None) is None
+
+
+def test_malitsky_pock_exact_bregman_fixes_f32_stall():
+    """f32 MP on a large-|f| quadratic: the reference's raw objective
+    difference carries eps*|f| noise that swamps the 0.95||dx||^2
+    acceptance test and stalls the solve (adjudicated on the synthetic
+    mushrooms dual SVM: residual ~2e+01 vs f64's 5e-05 —
+    tools/adjudicate_dsvm.py). exact_bregman=True must land near the f64
+    trajectory; f64 results must be unaffected either way."""
+    import numpy as np
+
+    from adaprox_tpu.models.objectives import FactoredQuadratic
+
+    rng = np.random.default_rng(0)
+    m, d = 512, 24
+    bmat64 = rng.standard_normal((m, d)) * (rng.random((m, d)) < 0.3)
+    labels = np.where(rng.standard_normal(m) > 0, 1.0, -1.0)
+    bmat64 *= labels[:, None]
+
+    def solve(dtype, eb, maxit=3000):
+        bm = jnp.asarray(bmat64, dtype)
+        f = FactoredQuadratic(b_mat=bm, q_vec=-jnp.ones(m, dtype))
+        r = ap.malitsky_pock(
+            jnp.zeros(m, dtype), jnp.zeros(1, dtype), f=f,
+            g=ap.IndBox(lo=0.0, hi=0.1), h=ap.IndZero(),
+            A=ap.DenseOperator(a=jnp.asarray(labels[None, :], dtype)),
+            sigma=1.0 / float(np.linalg.norm(labels)), t=0.15,
+            tol=1e-5, maxit=maxit, exact_bregman=eb)
+        return float(r.norm_res)
+
+    res64 = solve(jnp.float64, False)
+    res64_eb = solve(jnp.float64, True)
+    res32_eb = solve(jnp.float32, True)
+    res32_raw = solve(jnp.float32, False)
+    # f64: both forms land in the same place (identical math)
+    assert abs(np.log10(res64_eb + 1e-30) - np.log10(res64 + 1e-30)) < 1.0
+    # f32 exact-bregman within ~2 orders of the f64 trajectory...
+    assert res32_eb < max(100 * res64, 1e-3)
+    # ...and dramatically better than the raw-difference stall
+    assert res32_eb < res32_raw / 10
+
+
+def test_resident_mp_exact_bregman_interpret():
+    """The resident MP dual-SVM kernel's exact_bregman flag (same fix
+    in-kernel): interpret-mode f32 run must beat the raw form by orders of
+    magnitude on a large-|f| instance."""
+    import numpy as np
+
+    from adaprox_tpu.ops.resident import resident_mp_dsvm_sweep
+
+    rng = np.random.default_rng(1)
+    m, d = 256, 16
+    bmat = rng.standard_normal((m, d)) * 2.0
+    labels = np.where(rng.standard_normal(m) > 0, 1.0, -1.0)
+    bmat *= labels[:, None]
+    q = jnp.asarray(np.pad(bmat, ((0, 0), (0, 128 - d))), jnp.float32)
+    lab = jnp.asarray(labels, jnp.float32)
+    na = float(np.linalg.norm(labels))
+
+    def run(eb):
+        _, numit, nres, conv, _ = resident_mp_dsvm_sweep(
+            q, lab, 0.1, jnp.asarray([0.15], jnp.float32), 1 / na, 1e-5,
+            1500, n_true=m, factored=True, interpret=True, exact_bregman=eb)
+        return float(nres[0])
+
+    res_eb, res_raw = run(True), run(False)
+    assert res_eb < res_raw / 10 or res_eb <= 1e-5
