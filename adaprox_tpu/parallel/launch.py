@@ -87,7 +87,11 @@ def _worker_sweep(args) -> int:
     rng = np.random.default_rng(3)
     a_np = rng.standard_normal((args.m, args.n)).astype(dtype)
     bv_np = rng.standard_normal(args.m).astype(dtype)
-    t_count = len(devices)
+    # --t-count pins the sweep size independently of the device count so a
+    # scaling measurement can hold TOTAL work fixed while varying the
+    # process decomposition (tools/sweep_scaling_cpu.py); default keeps the
+    # one-cell-per-device behavior
+    t_count = args.t_count or len(devices)
     ts_np = np.geomspace(0.1, 10.0, t_count).astype(dtype)
 
     arrays = {"a": _make_global(a_np, mesh, P()),
@@ -106,11 +110,26 @@ def _worker_sweep(args) -> int:
             jax.jit(lambda u: u, out_shardings=NamedSharding(mesh, P()))(v))
 
     x_full, numit_full = rep(out[0]), rep(out[1])
+
+    # timed reps AFTER the compile+first-execution above: each rep runs the
+    # sharded sweep and forces global completion through the replicating
+    # gather of the (small) numit vector — the same sync every process
+    # sees, so process 0's best-of is the program's wall time
+    import time as _time
+
+    best_s = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        out_t = sharded_sweep(fn, mesh, arrays, {"ts"})
+        rep(out_t[1])
+        best_s = min(best_s, _time.perf_counter() - t0)
+
     if pid == 0:
         payload = {
             "processes": nproc,
             "global_devices": len(devices),
             "t_count": t_count,
+            "timed_s": round(best_s, 4),
             "numit": [int(v) for v in numit_full],
             "x_norms": [float(v) for v in np.linalg.norm(x_full, axis=1)],
         }
@@ -211,6 +230,7 @@ def spawn(args) -> int:
             "--m", str(args.m), "--n", str(args.n),
             "--maxit", str(args.maxit), "--tol", str(args.tol),
             "--mode", args.mode,
+            "--t-count", str(args.t_count),
         ]
         if args.x64:
             cmd.append("--x64")
@@ -239,6 +259,8 @@ def main(argv=None) -> int:
     p.add_argument("--m", type=int, default=512)
     p.add_argument("--n", type=int, default=128)
     p.add_argument("--maxit", type=int, default=300)
+    p.add_argument("--t-count", type=int, default=0,
+                   help="sweep mode: fixed sweep size (0 = one per device)")
     p.add_argument("--tol", type=float, default=0.0)
     p.add_argument("--out", default="")
     args = p.parse_args(argv)

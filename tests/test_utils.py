@@ -34,6 +34,49 @@ def test_migration_doc_symbols_exist():
     assert not missing, f"MIGRATION.md references absent symbols: {missing}"
 
 
+def test_api_doc_symbols_exist():
+    """docs/API.md is the guard-tested public-surface map (r3 verdict #7):
+    every `ap.X` facade symbol AND every dotted module entry it names must
+    resolve, so the doc cannot silently rot."""
+    import importlib
+    import os
+    import re
+
+    import adaprox_tpu as ap
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "API.md")
+    text = open(path).read()
+
+    names = set(re.findall(r"\bap\.([A-Za-z_][A-Za-z0-9_]*)", text))
+    assert len(names) > 40, "API.md should enumerate the facade surface"
+    missing = sorted(n for n in names if not hasattr(ap, n))
+    assert not missing, f"API.md references absent facade symbols: {missing}"
+
+    # dotted entries: `from adaprox_tpu.x.y import a, b  / a(...)` style
+    # module paths named in import lines
+    for mod_path, syms in re.findall(
+            r"from (adaprox_tpu(?:\.[a-z_]+)+) import \(?([^)\n]*)", text):
+        mod = importlib.import_module(mod_path)
+        for sym in re.split(r"[,\s]+", syms):
+            sym = sym.strip().rstrip(",")
+            if sym and sym.isidentifier():
+                assert hasattr(mod, sym), f"{mod_path}.{sym} absent (API.md)"
+
+    # resident kernel names listed in the resident section
+    from adaprox_tpu.ops import resident, resident_bt
+
+    for nm in re.findall(r"\b(resident_[a-z0-9_]+)\b", text):
+        assert hasattr(resident, nm) or hasattr(resident_bt, nm) or nm in (
+            "resident_bt",), f"ops.resident(.bt).{nm} absent (API.md)"
+
+    # objectives named in the models section
+    from adaprox_tpu.models import objectives as ob
+
+    for nm in ("LeastSquares", "GramLeastSquares", "FactoredQuadratic",
+               "Quadratic", "LogisticLoss", "Cubic", "WorstQuadratic"):
+        assert nm in text and hasattr(ob, nm)
+
+
 def test_counting_semantics():
     """Mirror of test/runtests.jl:53-90: evals metered eagerly, pullback
     metered lazily, adjoint metered separately, without_counting suppresses."""
