@@ -226,6 +226,10 @@ def _dma_read_kernel(scale_ref, hbm_ref, acc_ref, *, tm, n, chunks, depth,
         def loop(i, carry):
             slot = jax.lax.rem(i, depth)
             get_dma(slot, jax.lax.rem(i, chunks)).wait()
+            # consume BEFORE starting chunk i+depth: that DMA reuses THIS
+            # slot, so starting it first races the read (caught by the
+            # interpret-mode token test; on hardware it is genuine UB)
+            acc_ref[:] += scratch[pl.ds(slot, 1), 0, 0:128].astype(jnp.float32)
             nxt = i + depth
 
             @pl.when(nxt < total)
@@ -233,7 +237,6 @@ def _dma_read_kernel(scale_ref, hbm_ref, acc_ref, *, tm, n, chunks, depth,
                 get_dma(jax.lax.rem(nxt, depth),
                         jax.lax.rem(nxt, chunks)).start()
 
-            acc_ref[:] += scratch[pl.ds(slot, 1), 0, 0:128].astype(jnp.float32)
             return carry
 
         jax.lax.fori_loop(0, total, loop, 0)
@@ -246,8 +249,10 @@ def _dma_read_kernel(scale_ref, hbm_ref, acc_ref, *, tm, n, chunks, depth,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_rows", "depth", "repeats"))
-def hbm_dma_read(a, scale=1.0, chunk_rows=128, depth=3, repeats=1):
+@functools.partial(jax.jit, static_argnames=("chunk_rows", "depth", "repeats",
+                                              "interpret"))
+def hbm_dma_read(a, scale=1.0, chunk_rows=128, depth=3, repeats=1,
+                 interpret=False):
     """``repeats`` full passes over ``a`` via an explicit ``depth``-deep
     async-DMA pipeline (no gridded pipeline, no reduction over the tile).
     Ceiling-calibration only: answers whether the default double-buffered
@@ -267,7 +272,8 @@ def hbm_dma_read(a, scale=1.0, chunk_rows=128, depth=3, repeats=1):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=repeats * (m // chunk_rows) * 128,
@@ -281,8 +287,9 @@ def _copy_kernel(a_ref, scale_ref, out_ref):
     out_ref[:] = a_ref[:] * scale_ref[0, 0].astype(a_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "repeats"))
-def hbm_copy(a, scale=1.0, block_rows=128, repeats=1):
+@functools.partial(jax.jit, static_argnames=("block_rows", "repeats",
+                                              "interpret"))
+def hbm_copy(a, scale=1.0, block_rows=128, repeats=1, interpret=False):
     """``repeats`` scaled copies of ``a`` through the gridded pipeline —
     the read+write stream probe (2 HBM passes per repeat). Calibrates the
     combined R+W ceiling the fused kernels' output tiles ride on."""
@@ -302,7 +309,8 @@ def hbm_copy(a, scale=1.0, block_rows=128, repeats=1):
         out_specs=pl.BlockSpec((block_rows, n), lambda k, i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
-        compiler_params=pltpu.CompilerParams(
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=repeats * m * n,

@@ -232,7 +232,7 @@ def main():
     # ROUND-ROBIN in one tight window with best-of-N per runner, so the
     # stream ceiling and every solve loop see the same co-tenant load and
     # their ratios are defensible from this artifact alone.
-    from adaprox_tpu.ops.kernels import hbm_read_reduce
+    from adaprox_tpu.ops.kernels import hbm_dma_read, hbm_read_reduce
 
     # every runner targets >= ~0.3 s of device work so the (subtracted)
     # dispatch latency and any residual per-launch cost are noise
@@ -240,6 +240,25 @@ def main():
 
     def run_stream():
         return hbm_read_reduce(a, block_rows=128, repeats=stream_reps)
+
+    # independent ceiling probes IN THE SAME WINDOW (r3 verdict #1): a pure
+    # manual-DMA read (no pipeline machinery, 3-deep buffering) and XLA's
+    # own reduce. If either beat the pallas stream, the ceiling was
+    # probe-limited; tools/ceiling_probe.py has the full tile/depth sweep.
+    def run_stream_dma():
+        return hbm_dma_read(a, chunk_rows=128, depth=3, repeats=stream_reps)
+
+    import jax as _jax
+
+    @_jax.jit
+    def _xla_sum_loop(a_arg):  # `a` as ARGUMENT (closure capture wedges the
+        return _jax.lax.fori_loop(  # remote compiler for tens of minutes)
+            0, stream_reps,
+            lambda i, c: c * 1e-30 + jnp.sum(a_arg * (1.0 + 1e-30 * c)),
+            jnp.float32(0.0))
+
+    def run_stream_xla():
+        return _xla_sum_loop(a)
 
     iters_pd = iters
     yv = jax.random.normal(jax.random.PRNGKey(5), (m,), dtype)
@@ -275,6 +294,8 @@ def main():
     # variants run 2x the iterations to equalize wall time per measurement
     spec = {
         "stream": (run_stream, 1, 4, stream_reps),
+        "stream_dma": (run_stream_dma, 1, 4, stream_reps),
+        "stream_xla": (run_stream_xla, 1, 4, stream_reps),
         "xla": (make_run(False), 2, 4, iters),
         "fused": (make_run(True), 1, 4, iters),
         "fused_bf16": (make_run(True, bf16=True, n_it=2 * iters), 1, 2, 2 * iters),
@@ -304,6 +325,7 @@ def main():
     results["dispatch_latency_ms"] = round(dispatch_s * 1e3, 2)
     timed = time_interleaved(runners, rounds=4, dispatch_s=dispatch_s)
     stream_gbps = None
+    probe_rows = {}
     for name, (best_s, med_s) in timed.items():
         _, passes, nbytes, reps_n = spec[name]
         gbps = passes * m * n * nbytes * reps_n / best_s / 1e9
@@ -315,15 +337,27 @@ def main():
             # this shared chip (median/best - 1)
             "spread": round(med_s / best_s - 1, 4),
         }
-        if name == "stream":
-            stream_gbps = gbps
-            results["stream_ceiling"] = {
-                "gbps": round(gbps, 1),
-                "frac_nominal": round(gbps / roofline, 4),
-                "spread": entry["spread"],
-            }
+        if name.startswith("stream"):
+            probe_rows[name] = {"gbps": round(gbps, 1),
+                                "spread": entry["spread"]}
         else:
             results[name] = entry
+    if probe_rows:
+        # the ceiling is the MAX over independent probes measured in this
+        # same window: the pallas pipeline stream, the manual-DMA read, and
+        # XLA's own reduce (r3 verdict #1 — one probe alone could be
+        # probe-limited; three agreeing within spread is ceiling evidence;
+        # the full tile/depth/width sweep lives in tools/ceiling_probe.py
+        # + docs/PERFORMANCE.md)
+        best_probe = max(probe_rows, key=lambda k: probe_rows[k]["gbps"])
+        stream_gbps = probe_rows[best_probe]["gbps"]
+        results["stream_ceiling"] = {
+            "gbps": stream_gbps,
+            "frac_nominal": round(stream_gbps / roofline, 4),
+            "spread": probe_rows[best_probe]["spread"],
+            "probe": best_probe,
+            "probe_sweep": probe_rows,
+        }
     # per-ITERATION speedups: the bf16 runner executes 2x the iterations to
     # equalize wall time, so raw wall ratios would understate it 2x
     def _s_per_iter(name):
@@ -416,6 +450,63 @@ def main():
         }
     except Exception as e:
         results["batched_regpath_16x4000x1000"] = {"error": str(e)[:200]}
+
+    # ---- bf16 honesty: time-to-residual (r3 verdict #5) ------------------
+    # The per-iteration bf16 speedups above say nothing about SOLUTION time:
+    # bf16 iterate/operand storage can inflate iterations-to-residual. This
+    # measures wall-clock to a fixed residual (1e-4) for f32 vs bf16 storage
+    # on the same 16384^2 lasso (fused engine) and on the reference-size
+    # resident solve — iterations may differ; that is the point.
+    try:
+        def run_to_tol(a_mat, n_max=20_000):
+            f_t = LeastSquares(a=a_mat, b=b, fused=True)
+
+            def run():
+                res = ap.adaptive_proxgrad(
+                    x0, f=f_t, g=g, rule=ap.AdaPGMRule(gamma=gamma0),
+                    tol=1e-4, maxit=n_max, history=False)
+                return res.norm_res, res.numit
+
+            dt_s, out = time_solve(run, reps=2)
+            dt_s = max(dt_s - dispatch_s, 1e-9)
+            return {"secs": round(dt_s, 3), "numit": int(out[1]),
+                    "final_res": float(out[0])}
+
+        t32 = run_to_tol(a)
+        tbf = run_to_tol(a_bf16)
+        ttr = {"target_res": 1e-4, "fused_f32": t32, "fused_bf16": tbf}
+        if t32["secs"] > 0:
+            ttr["bf16_solution_time_speedup"] = round(
+                t32["secs"] / max(tbf["secs"], 1e-9), 2)
+
+        from adaprox_tpu.ops.resident import resident_adapgm_l1 as _res_l1
+
+        prob_t = random_lasso(m=4000, n=1000, pfactor=10, seed=0)
+        a_t32 = jnp.asarray(np.pad(prob_t.a, ((0, 96), (0, 24))), dtype)
+        b_t = jnp.asarray(np.pad(prob_t.b, (0, 96)), dtype)
+        lf_t = float(np.linalg.norm(prob_t.a, 2) ** 2)
+
+        def run_res(a_mat):
+            def run():
+                x_r, numit, nres, conv = _res_l1(
+                    a_mat, b_t, jnp.zeros(1024, dtype), 1 / lf_t, 1.0,
+                    1e-4, 20_000)
+                return nres, numit
+
+            dt_s, out = time_solve(run, reps=2)
+            dt_s = max(dt_s - dispatch_s, 1e-9)
+            return {"secs": round(dt_s, 4), "numit": int(out[1]),
+                    "final_res": float(out[0])}
+
+        ttr["resident_f32"] = run_res(a_t32)
+        ttr["resident_bf16"] = run_res(a_t32.astype(jnp.bfloat16))
+        if ttr["resident_f32"]["secs"] > 0:
+            ttr["resident_bf16_solution_time_speedup"] = round(
+                ttr["resident_f32"]["secs"]
+                / max(ttr["resident_bf16"]["secs"], 1e-9), 2)
+        results["time_to_res"] = ttr
+    except Exception as e:
+        results["time_to_res"] = {"error": str(e)[:200]}
 
     # convergence sanity on the known-optimum problem (f32, small)
     prob = random_lasso(m=1024, n=2048, pfactor=10, seed=0)

@@ -1388,3 +1388,38 @@ def test_resident_bt_sweep_bit_exact():
         for got, want in zip(hists, (hg1, hr1, ho1, ht1)):
             np.testing.assert_array_equal(np.asarray(got[i]),
                                           np.asarray(want))
+
+
+def test_hbm_dma_read_token_and_traffic(rng):
+    """Manual N-deep DMA read probe (ceiling calibration): the output token
+    is scale + sum over repeats*chunks of each chunk's first-row (1,128)
+    slice — verify against NumPy for several depth/chunk configs (the DMA
+    indexing must visit every chunk exactly `repeats` times)."""
+    a = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
+    a_np = np.asarray(a)
+    for chunk_rows, depth, repeats in [(16, 2, 1), (16, 3, 2), (32, 4, 3),
+                                       (64, 2, 2)]:
+        chunks = 64 // chunk_rows
+        expect = 128 * 2.0  # scale broadcast over the (1, 128) accumulator
+        for r in range(repeats * chunks):
+            idx = r % chunks
+            expect += a_np[idx * chunk_rows, :128].sum()
+        got = float(kernels.hbm_dma_read(
+            a, scale=2.0, chunk_rows=chunk_rows, depth=depth,
+            repeats=repeats, interpret=True))
+        np.testing.assert_allclose(got, expect, rtol=1e-5,
+                                   err_msg=f"tm={chunk_rows} d={depth}")
+    with pytest.raises(ValueError):
+        kernels.hbm_dma_read(a, chunk_rows=48, interpret=True)
+
+
+def test_hbm_copy_token(rng):
+    """R+W copy probe: the token is sum of the first 128 copied elements
+    (scaled); the full output must be written (the token reads through the
+    copy, so a skipped write would show)."""
+    a = jnp.asarray(rng.standard_normal((32, 256)), jnp.float32)
+    got = float(kernels.hbm_copy(a, scale=3.0, block_rows=8, repeats=2, interpret=True))
+    expect = float(3.0 * np.asarray(a)[0, :128].sum())
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    with pytest.raises(ValueError):
+        kernels.hbm_copy(a, block_rows=7, interpret=True)

@@ -86,21 +86,27 @@ def build_runners(jnp, jax, kernels, a, a_bf16, reps):
             2 * f32_bytes,
         )
     # XLA copy loop: K iterations of arr -> arr * s (1 GB read + 1 GB write
-    # each); the scalar read arr[0,0] forces the chain
-    def xla_copy():
+    # each); the scalar read arr[0,0] forces the chain. NB `a` MUST be a jit
+    # ARGUMENT — closure capture of a 1 GB array ships it to the remote
+    # compiler and wedges the compile for tens of minutes (CLAUDE.md; this
+    # probe's first version did exactly that and timed out at 50 min)
+    @jax.jit
+    def xla_copy(a_arg):
         def body(i, arr):
             return arr * (1.0 + 1e-30 * arr[0, 0])
-        return jax.lax.fori_loop(0, cw_reps, body, a)[0, 0]
+        return jax.lax.fori_loop(0, cw_reps, body, a_arg)[0, 0]
 
-    runners["xla_copy_loop"] = (jax.jit(xla_copy).__call__, 2 * f32_bytes)
+    runners["xla_copy_loop"] = (lambda: xla_copy(a), 2 * f32_bytes)
 
     # XLA single-pass reduce, repeats inside one fori_loop with carry
-    def xla_sum():
+    @jax.jit
+    def xla_sum(a_arg):
         return jax.lax.fori_loop(
-            0, reps, lambda i, c: c * 1e-30 + jnp.sum(a * (1.0 + 1e-30 * c)),
+            0, reps,
+            lambda i, c: c * 1e-30 + jnp.sum(a_arg * (1.0 + 1e-30 * c)),
             jnp.float32(0.0))
 
-    runners["xla_sum_loop"] = (jax.jit(xla_sum).__call__, f32_bytes)
+    runners["xla_sum_loop"] = (lambda: xla_sum(a), f32_bytes)
 
     reps_map = {name: reps for name in runners}
     for name in list(runners):
@@ -146,12 +152,18 @@ def main():
                 "xla_sum_loop", "grid_reduce_bf16_tm128")
         runners = {k: v for k, v in runners.items() if k in keep}
 
+    import time as _time
+
     live = {}
     for name, (fn, nbytes) in runners.items():
+        t0 = _time.perf_counter()
         try:
             out = fn()
             float(jnp.asarray(out).ravel()[0])
             live[name] = (fn, nbytes)
+            print(json.dumps({"probe": name, "compile_s":
+                              round(_time.perf_counter() - t0, 1)}),
+                  flush=True)
         except Exception as e:
             print(json.dumps({"probe": name, "error": str(e)[:200]}),
                   flush=True)
