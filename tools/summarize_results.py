@@ -24,6 +24,25 @@ def family(method: str) -> str:
     return method.split(" (")[0] if " (" in method else method
 
 
+# Durable per-experiment provenance notes, emitted under every matching
+# section so regeneration cannot silently drop the context. Keyed by
+# path-prefix relative to the results tree.
+NOTES = {
+    "dual_svm/": (
+        "Adjudication (r4, tools/adjudicate_dsvm.py): on this synthetic "
+        "instance the reference loops themselves behave exactly like these "
+        "rows — a NumPy transcription of Condat-Vu agrees with the solver "
+        "to 1e-16 and lands on the same ~6e-01 plateau (its fixed "
+        "par-heuristic steps are simply slow here), and Malitsky-Pock's "
+        "f64 mirror+solver both plateau near 5e-05. Earlier grids showed "
+        "MP stuck at ~2e+01 in f32: an eps*|f| cancellation in the "
+        "linesearch acceptance test, fixed by the exact-Bregman form "
+        "(auto-enabled for f32 runs; see solvers/malitsky_pock.py). "
+        "Rows at maxit with residual within ~10x of tol are at the f32 "
+        "plateau of a genuinely hard instance, not a solver failure.\n"),
+}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--results", default="results")
@@ -66,6 +85,9 @@ def main():
         label = {"synthetic": " — SYNTHETIC fallback data",
                  "libsvm": " — real LIBSVM data"}.get(data_source, "")
         lines.append(f"\n## {rel}{label}\n\n")
+        for prefix, note in NOTES.items():
+            if rel.replace(os.sep, "/").startswith(prefix):
+                lines.append(note + "\n")
         lines.append("| family | best variant | numit | final norm_res | final gap |\n")
         lines.append("|---|---|---|---|---|\n")
         fams: dict[str, list] = {}
