@@ -28,7 +28,8 @@ __all__ = ["backtracking_proxgrad", "backtracking_nesterov"]
 _MAX_TRIALS = 100
 
 
-def _backtrack(gamma, x, f_x, grad_x, *, f, g, counters, shrink, sdt):
+def _backtrack(gamma, x, f_x, grad_x, aux_x, *, f, g, counters, shrink, sdt,
+               exact_bregman=False):
     """``backtrack_stepsize`` (src/AdaProx.jl:34-48): halve gamma until the
     quadratic upper bound holds. Returns
     (gamma, z, f_z, g_z, aux_z, counters, failed) — ``failed`` is true when
@@ -50,16 +51,30 @@ def _backtrack(gamma, x, f_x, grad_x, *, f, g, counters, shrink, sdt):
         counters = counters.bump(prox_g_evals=1, f_evals=1)
         return (gamma, z, f_z, g_z, aux, counters, trials)
 
-    def upper_bound(gamma, z):
-        # src/AdaProx.jl:26 — evaluated in sdt (exact f32 differences,
-        # upcast before the reductions and the 1/gamma amplification)
+    def violates(gamma, z, f_z, aux_z):
+        # sufficient-descent test, equivalently Bregman(z, x) > ||dz||^2 /
+        # (2 gamma) (src/AdaProx.jl:26) — evaluated in sdt (exact f32
+        # differences, upcast before the reductions and the 1/gamma
+        # amplification). With exact_bregman and a quadratic-type oracle
+        # the Bregman term comes cancellation-free from the carried auxes
+        # (0.5||A dz||^2): at f32 with |f| >> ||dz||^2 the raw difference
+        # carries eps*|f| noise — measured to inflate bt-PG from 94 to
+        # 16k iterations on a large-|f| lasso (same failure shape as the
+        # MP stall fixed in solvers/malitsky_pock.py).
         dz = (z - x).astype(sdt)
-        return (f_x.astype(sdt) + jnp.vdot(grad_x.astype(sdt), dz).real
-                + l2sq(dz) / (2 * gamma))
+        if exact_bregman:
+            breg = f.bregman_from_aux(z - x, aux_z, aux_x)
+            if breg is not None:
+                return breg.astype(sdt) > l2sq(dz) / (2 * gamma)
+        # default: the reference's exact comparison ordering — BIT-equal to
+        # r3's formulation (the knife-edge mirror tests depend on it)
+        return f_z.astype(sdt) > (
+            f_x.astype(sdt) + jnp.vdot(grad_x.astype(sdt), dz).real
+            + l2sq(dz) / (2 * gamma))
 
     def cond(c):
-        gamma, z, f_z, _, _, _, trials = c
-        return jnp.logical_and(f_z.astype(sdt) > upper_bound(gamma, z),
+        gamma, z, f_z, _, aux_z, _, trials = c
+        return jnp.logical_and(violates(gamma, z, f_z, aux_z),
                                trials < _MAX_TRIALS)
 
     def body(c):
@@ -69,7 +84,7 @@ def _backtrack(gamma, x, f_x, grad_x, *, f, g, counters, shrink, sdt):
     c0 = trial(gamma, counters, jnp.zeros((), jnp.int32))
     gamma, z, f_z, g_z, aux, counters, _ = jax.lax.while_loop(cond, body, c0)
     # acceptance test at loop exit
-    failed = f_z.astype(sdt) > upper_bound(gamma, z)
+    failed = violates(gamma, z, f_z, aux)
     return gamma, z, f_z, g_z, aux, counters, failed
 
 
@@ -80,6 +95,7 @@ class _PGCarry(NamedTuple):
     gamma: jnp.ndarray
     f_x: jnp.ndarray
     grad_x: jnp.ndarray
+    aux_x: object  # oracle aux at x (feeds the exact-Bregman acceptance)
     theta: jnp.ndarray  # momentum (nesterov only; 1.0 otherwise)
     counters: Counters
     ck_counters: Counters
@@ -107,9 +123,9 @@ def _record(it, gamma, norm_res, objective, ck, done):
 
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "nesterov",
-                                             "scalar_dtype"))
+                                             "scalar_dtype", "exact_bregman"))
 def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
-              resume_state=None, scalar_dtype=None):
+              resume_state=None, scalar_dtype=None, exact_bregman=False):
     f, g = parts
     dt = jnp.result_type(x0)
     sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
@@ -128,6 +144,7 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
             gamma=jnp.asarray(gamma0, sdt),
             f_x=f_x0,
             grad_x=grad0,
+            aux_x=aux0,
             theta=jnp.ones((), sdt),
             counters=counters,
             ck_counters=counters,
@@ -141,8 +158,9 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
         # (src/AdaProx.jl:54); Nesterov does not (src/AdaProx.jl:72)
         trial_gamma = c.gamma * (1.0 if nesterov else xi)
         gamma, z, f_z, g_z, aux, counters, bt_failed = _backtrack(
-            trial_gamma, c.x, c.f_x, c.grad_x, f=f, g=g, counters=c.counters,
-            shrink=shrink, sdt=sdt
+            trial_gamma, c.x, c.f_x, c.grad_x, c.aux_x, f=f, g=g,
+            counters=c.counters, shrink=shrink, sdt=sdt,
+            exact_bregman=exact_bregman,
         )
         norm_res = jnp.sqrt(l2sq((z - c.x).astype(sdt))) / gamma
         ck = counters
@@ -159,6 +177,7 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
             theta = c.theta
             x = z
             f_x = f_z
+            aux_x = aux
             grad_x = f.grad_from_aux(z, aux)
             counters = counters.bump(grad_f_evals=1)
 
@@ -169,6 +188,7 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
             gamma=gamma,
             f_x=f_x,
             grad_x=grad_x,
+            aux_x=aux_x,
             theta=theta,
             counters=counters,
             ck_counters=ck,
@@ -219,6 +239,7 @@ def backtracking_proxgrad(
     history=False,
     resume_state=None,
     scalar_dtype=None,
+    exact_bregman=False,
 ):
     """Prox-gradient with sufficient-descent backtracking and optional
     per-iteration stepsize inflation ``xi`` (reference src/AdaProx.jl:50-64).
@@ -228,12 +249,18 @@ def backtracking_proxgrad(
 
     ``scalar_dtype``: run the sufficient-descent test, step sizes, and
     residual norm in a wider dtype (e.g. jnp.float64 with f32 iterates) —
-    the same hybrid as adaptive_primal_dual's ``scalar_dtype``."""
+    the same hybrid as adaptive_primal_dual's ``scalar_dtype``.
+
+    ``exact_bregman``: evaluate the sufficient-descent test via the
+    oracle's cancellation-resistant Bregman form when it has one (see
+    SmoothOracle.bregman_from_aux) — removes the eps*|f| noise floor that
+    stalls/inflates f32 backtracking at large-|f| scale. Default off =
+    reference-exact trajectories."""
     x0 = jnp.asarray(x0)
     res = _solve_bt(
         (f, g), x0, gamma0, xi, shrink, tol,
         int(maxit), bool(history), False, resume_state=resume_state,
-        scalar_dtype=scalar_dtype,
+        scalar_dtype=scalar_dtype, exact_bregman=bool(exact_bregman),
     )
     return res.with_name(name)
 
@@ -251,13 +278,15 @@ def backtracking_nesterov(
     history=False,
     resume_state=None,
     scalar_dtype=None,
+    exact_bregman=False,
 ):
     """Accelerated PG with backtracking; momentum theta recurrence
-    ``(1 + sqrt(1 + 4 theta^2))/2`` (reference src/AdaProx.jl:66-84)."""
+    ``(1 + sqrt(1 + 4 theta^2))/2`` (reference src/AdaProx.jl:66-84).
+    ``exact_bregman``: see backtracking_proxgrad."""
     x0 = jnp.asarray(x0)
     res = _solve_bt(
         (f, g), x0, gamma0, 1.0, shrink, tol,
         int(maxit), bool(history), True, resume_state=resume_state,
-        scalar_dtype=scalar_dtype,
+        scalar_dtype=scalar_dtype, exact_bregman=bool(exact_bregman),
     )
     return res.with_name(name)

@@ -452,3 +452,40 @@ def test_resident_mp_exact_bregman_interpret():
 
     res_eb, res_raw = run(True), run(False)
     assert res_eb < res_raw / 10 or res_eb <= 1e-5
+
+
+def test_backtracking_exact_bregman_f32_large_f():
+    """Backtracking's sufficient-descent test has the same eps*|f|
+    cancellation shape as the MP linesearch: on a large-|f| f32 lasso the
+    raw-difference form inflated bt-PG from 94 (f64) to ~16k iterations.
+    exact_bregman must (a) leave f64 trajectories bit-identical and
+    (b) cut the f32 iteration count by several x."""
+    import numpy as np
+
+    from adaprox_tpu.models.objectives import LeastSquares
+
+    rng = np.random.default_rng(0)
+    m, n = 1536, 384  # large enough that the f32 raw form measurably stalls
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    xs = rng.standard_normal(n) * (rng.random(n) < 0.1)
+    bb = A @ xs * 1e3 + rng.standard_normal(m)
+    lf = float(np.linalg.norm(A, 2) ** 2)
+
+    def run(dt, eb, maxit=12000):
+        f = LeastSquares(a=jnp.asarray(A, dt), b=jnp.asarray(bb, dt))
+        g = ap.L1Norm(lam=jnp.asarray(1.0, dt))
+        return ap.backtracking_proxgrad(
+            jnp.zeros(n, dt), f=f, g=g, gamma0=jnp.asarray(1 / lf, dt),
+            tol=1e-4, maxit=maxit, exact_bregman=eb)
+
+    r64 = run(jnp.float64, False)
+    r64e = run(jnp.float64, True)
+    assert int(r64.numit) == int(r64e.numit)
+    assert float(r64.norm_res) == float(r64e.norm_res)
+
+    r32 = run(jnp.float32, False)
+    r32e = run(jnp.float32, True)
+    assert np.isfinite(float(r32e.norm_res))
+    # several-x fewer iterations (or genuinely converged where raw stalls)
+    assert int(r32e.numit) * 3 <= int(r32.numit) or (
+        float(r32e.norm_res) <= 1e-4 < float(r32.norm_res))
