@@ -159,3 +159,47 @@ def test_parity_report_fast_smoke(tmp_path):
                     "## Cubic-regularized subproblem",
                     "## Nesterov worst case", "## Primal-dual residual"):
         assert section in text
+
+
+def test_bench_timing_helpers():
+    """bench.py's calibration helpers, off-chip: interleaved best/median
+    with dispatch subtraction, and the device->bandwidth table lookup."""
+    import time as _time
+
+    import bench
+
+    calls = []
+
+    def make(delay):
+        def fn():
+            calls.append(delay)
+            _time.sleep(delay)
+            return 0.0
+        return fn
+
+    import jax.numpy as jnp
+
+    # monkeypatch-free: _sync accepts any pytree with a leaf
+    orig_sync = bench._sync
+    bench._sync = lambda out: None
+    try:
+        timed = bench.time_interleaved(
+            {"fast": make(0.001), "slow": make(0.004)}, rounds=3,
+            dispatch_s=0.0005)
+        (fb, fm), (sb, sm) = timed["fast"], timed["slow"]
+        assert fb < sb           # ordering preserved
+        assert fm >= fb and sm >= sb  # median >= best
+        assert fb >= 1e-9        # dispatch subtraction floors at epsilon
+        # 3 rounds x 2 runners (+1 compile pass each)
+        assert len(calls) == 8
+    finally:
+        bench._sync = orig_sync
+
+    class Dev:
+        device_kind = "TPU v5 lite"
+
+    assert bench.chip_bandwidth_gbps(Dev()) == 819.0
+    Dev.device_kind = "TPU v6e something"
+    assert bench.chip_bandwidth_gbps(Dev()) == 1640.0
+    Dev.device_kind = "unknown"
+    assert bench.chip_bandwidth_gbps(Dev()) == 800.0
