@@ -494,16 +494,20 @@ def main():
                 return nres, numit
 
             dt_s, out = time_solve(run, reps=2)
-            dt_s = max(dt_s - dispatch_s, 1e-9)
-            return {"secs": round(dt_s, 4), "numit": int(out[1]),
+            # the resident solve is a few ms — in a light window the
+            # measured dispatch latency can exceed this launch's actual
+            # latency, and 4-decimal rounding floored the row to 0.0
+            # (silently dropping the speedup field); keep microsecond
+            # resolution and a sane floor
+            dt_s = max(dt_s - dispatch_s, 1e-6)
+            return {"secs": round(dt_s, 6), "numit": int(out[1]),
                     "final_res": float(out[0])}
 
         ttr["resident_f32"] = run_res(a_t32)
         ttr["resident_bf16"] = run_res(a_t32.astype(jnp.bfloat16))
-        if ttr["resident_f32"]["secs"] > 0:
-            ttr["resident_bf16_solution_time_speedup"] = round(
-                ttr["resident_f32"]["secs"]
-                / max(ttr["resident_bf16"]["secs"], 1e-9), 2)
+        ttr["resident_bf16_solution_time_speedup"] = round(
+            ttr["resident_f32"]["secs"]
+            / max(ttr["resident_bf16"]["secs"], 1e-9), 2)
         results["time_to_res"] = ttr
     except Exception as e:
         results["time_to_res"] = {"error": str(e)[:200]}
