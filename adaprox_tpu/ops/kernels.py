@@ -261,6 +261,9 @@ def hbm_dma_read(a, scale=1.0, chunk_rows=128, depth=3, repeats=1,
     m, n = a.shape
     if m % chunk_rows:
         raise ValueError(f"chunk_rows={chunk_rows} does not divide m={m}")
+    # a deeper pipeline than there are total chunks would start DMAs the
+    # loop never waits on (in-flight copies at kernel exit = semaphore leak)
+    depth = min(depth, (m // chunk_rows) * repeats)
     scale1 = jnp.asarray(scale, jnp.float32).reshape(1)
     out = pl.pallas_call(
         functools.partial(

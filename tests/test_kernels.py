@@ -1411,6 +1411,11 @@ def test_hbm_dma_read_token_and_traffic(rng):
                                    err_msg=f"tm={chunk_rows} d={depth}")
     with pytest.raises(ValueError):
         kernels.hbm_dma_read(a, chunk_rows=48, interpret=True)
+    # depth deeper than total chunks is clamped (no never-waited DMAs):
+    # one 64-row chunk, depth 4 -> depth 1
+    got = float(kernels.hbm_dma_read(a[:64], scale=0.0, chunk_rows=64,
+                                     depth=4, repeats=1, interpret=True))
+    np.testing.assert_allclose(got, np.asarray(a)[0, :128].sum(), rtol=1e-5)
 
 
 def test_hbm_copy_token(rng):
