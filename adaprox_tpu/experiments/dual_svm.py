@@ -65,14 +65,15 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
     x0 = jnp.zeros(n_pts)
     y0 = jnp.zeros(1)
     times = {}
-    # MP linesearch acceptance: in f32 the reference's raw objective
+    # MP linesearch acceptance: below f64 the reference's raw objective
     # difference carries eps*|f| noise that stalls every MP row at this
     # problem scale (residual ~2e+01 vs the f64 plateau 5e-05 — mirror-
     # adjudicated in tools/adjudicate_dsvm.py); auto-enable the oracle's
-    # cancellation-resistant Bregman form there. f64 keeps reference-exact
-    # trajectories by default.
+    # cancellation-resistant Bregman form for any narrower dtype (f32,
+    # bf16, f16 — the cancellation is worse the fewer mantissa bits).
+    # f64 keeps reference-exact trajectories by default.
     if exact_bregman is None:
-        exact_bregman = dyx.dtype == jnp.float32
+        exact_bregman = jnp.finfo(dyx.dtype).bits < 64
 
     # whole-solve on-core t-sweep (VERDICT r2 item 3): Q zero-padded to
     # tile alignment with the padded coordinates pinned to 0 by the iota

@@ -271,7 +271,7 @@ def hbm_dma_read(a, scale=1.0, chunk_rows=128, depth=3, repeats=1,
             depth=depth, repeats=repeats, in_dtype=a.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
@@ -320,8 +320,12 @@ def hbm_copy(a, scale=1.0, block_rows=128, repeats=1, interpret=False):
             bytes_accessed=2 * repeats * m * n * a.dtype.itemsize,
             transcendentals=0),
     )(a, scale2)
-    # tiny read keeps the output live without a second full pass
-    return jnp.sum(out[0, :128].astype(jnp.float32))
+    # tiny reads keep the output live without a second full pass; sample
+    # the FIRST and LAST blocks so a skipped write at either end of the
+    # grid is observable through the token (a first-block-only token would
+    # never see a dropped later block)
+    return (jnp.sum(out[0, :128].astype(jnp.float32))
+            + jnp.sum(out[-1, -128:].astype(jnp.float32)))
 
 
 def ls_value_grad_xla(a, b, x, precision="highest"):

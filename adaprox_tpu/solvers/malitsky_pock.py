@@ -48,10 +48,12 @@ class _Carry(NamedTuple):
 def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None,
            scalar_dtype=None, exact_bregman=False):
     f, g, h, a_op = parts
-    # probe once at trace time whether the oracle offers a cancellation-
-    # resistant Bregman form (quadratic-type oracles do); fall back to the
-    # reference's raw difference otherwise
-    use_exact = bool(exact_bregman) and getattr(f, "bregman_from_aux", None) is not None
+    # every SmoothOracle defines bregman_from_aux (the base returns None),
+    # so whether the exact form is actually available is decided by the
+    # method's RETURN value inside the linesearch body below — oracles
+    # without a cancellation-resistant form fall back to the reference's
+    # raw difference there, not here
+    use_exact = bool(exact_bregman)
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
     # scalar hybrid (cf. primal_dual._solve_pd): step sizes, the linesearch

@@ -68,6 +68,7 @@ class _Carry(NamedTuple):
     norm_res: jnp.ndarray
     ck_x: jnp.ndarray  # x at the convergence check (reference returns this)
     ck_counters: Counters  # counters at the check (log-time snapshot)
+    rule_nan: jnp.ndarray  # latched: the rule produced a NaN step size
     done: jnp.ndarray
 
 
@@ -115,6 +116,10 @@ def _init(f, g, a_op, rule, x0, y0, sdt):
         norm_res=inf,
         ck_x=x1,
         ck_counters=counters,
+        # a NaN initial step (e.g. a direct rule ctor bypassing .make's
+        # validation) is latched here so it surfaces as diag["rule_nan"]
+        # instead of a silent garbage trajectory that runs to maxit
+        rule_nan=jnp.isnan(gamma),
         done=jnp.zeros((), jnp.bool_),
     )
 
@@ -150,6 +155,13 @@ def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective, sdt):
     curv = rules_mod.Curvature.of(
         c.x, grad_x, c.x_prev, c.grad_prev, dtype=sdt if upcast else None)
     (gamma, sigma), rstate = rule.update(c.rstate, curv)
+    # failure detection: a NaN step size (invalid parameters through a
+    # direct rule ctor, or a poisoned curvature) makes every later test
+    # (norm_res <= tol) false, so the solve would run to maxit silently —
+    # latch it for diag["rule_nan"] (the reference fails loudly with a
+    # DomainError at the analogous point, src/AdaProx.jl:267)
+    rule_nan = jnp.logical_or(
+        c.rule_nan, jnp.logical_or(jnp.isnan(gamma), jnp.isnan(sigma)))
     rho = gamma / c.gamma
     gamma_nv = gamma.astype(vdt)
     sigma_v = sigma.astype(vdt)
@@ -221,6 +233,7 @@ def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective, sdt):
         norm_res=norm_res,
         ck_x=c.x,
         ck_counters=ck_counters,
+        rule_nan=rule_nan,
         done=jnp.logical_or(c.done, norm_res <= tol),
     )
     return new, record
@@ -269,6 +282,10 @@ def _solve_pd(parts, rule, x0, y0, tol, maxit, history, resume_state=None,
         counters=counters,
         records=recs,
         extra=final,  # full loop carry: checkpoint with utils.checkpoint
+        # failure detection (the reference raises a DomainError from the
+        # rule update, src/AdaProx.jl:267; under jit the poisoning is data,
+        # so it is latched and surfaced here)
+        diag={"gamma": final.gamma, "rule_nan": final.rule_nan},
     )
 
 

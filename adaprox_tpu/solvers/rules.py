@@ -25,10 +25,13 @@ compiled kernel.
 
 from __future__ import annotations
 
+import numbers
 import warnings
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .._pytree import pytree_dataclass
 
@@ -81,11 +84,24 @@ def validate_positive(**params):
     the trajectory (the reference's equivalent is a Julia DomainError at
     the first stepsize update, src/AdaProx.jl:267). Traced/array values are
     skipped — they cannot be validated at trace time; vmapped sweeps stay
-    usable."""
+    usable. Bools are rejected (gamma=True silently meaning gamma=1.0 is a
+    bug, not a parameter), and any concrete real scalar — Python or NumPy —
+    is checked (np.float32(-1) must fail the same way float(-1) does)."""
     for name, v in params.items():
-        if isinstance(v, (bool,)) or not isinstance(v, (int, float)):
+        if isinstance(v, (bool, np.bool_)):
+            raise TypeError(
+                f"{name} must be a positive number, got the bool {v!r}")
+        if isinstance(v, jax.core.Tracer):
             continue
-        if not v > 0:
+        if isinstance(v, numbers.Real):
+            val = float(v)
+        elif isinstance(v, (np.ndarray, jnp.ndarray)) and jnp.ndim(v) == 0:
+            if not jax.core.is_concrete(v):
+                continue
+            val = float(v)
+        else:
+            continue
+        if not val > 0:
             raise ValueError(f"{name} must be positive, got {name}={v!r}")
 
 

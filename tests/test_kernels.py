@@ -1419,12 +1419,13 @@ def test_hbm_dma_read_token_and_traffic(rng):
 
 
 def test_hbm_copy_token(rng):
-    """R+W copy probe: the token is sum of the first 128 copied elements
-    (scaled); the full output must be written (the token reads through the
-    copy, so a skipped write would show)."""
+    """R+W copy probe: the token samples the first AND last copied blocks
+    (scaled), so a skipped write at either end of the grid shows; interior
+    blocks are unobserved by the token (timing probe, not a checksum)."""
     a = jnp.asarray(rng.standard_normal((32, 256)), jnp.float32)
     got = float(kernels.hbm_copy(a, scale=3.0, block_rows=8, repeats=2, interpret=True))
-    expect = float(3.0 * np.asarray(a)[0, :128].sum())
+    an = np.asarray(a)
+    expect = float(3.0 * (an[0, :128].sum() + an[-1, -128:].sum()))
     np.testing.assert_allclose(got, expect, rtol=1e-5)
     with pytest.raises(ValueError):
         kernels.hbm_copy(a, block_rows=7, interpret=True)

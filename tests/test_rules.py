@@ -306,6 +306,25 @@ def test_adapdm_plus_rejects_invalid_eta_t(bad):
             jnp.zeros(3), jnp.zeros(3), **parts, **kw, maxit=2)
 
 
+def test_validate_positive_rejects_bools_and_numpy_scalars():
+    """ADVICE r4: np.float32 scalars used to skip validation (not a Python
+    float); bools used to be silently skipped (gamma=True meaning 1.0 is a
+    bug, not a parameter). Both must now fail loudly."""
+    from adaprox_tpu.solvers.rules import validate_positive
+
+    validate_positive(gamma=np.float32(2.0), t=np.float64(1.0))  # fine
+    validate_positive(gamma=jnp.asarray(0.5))  # concrete 0-d jax array: fine
+    with pytest.raises(ValueError, match="must be positive"):
+        validate_positive(gamma=np.float32(-1.0))
+    with pytest.raises(ValueError, match="must be positive"):
+        validate_positive(gamma=jnp.asarray(-0.5))
+    for b in (True, False, np.bool_(True)):
+        with pytest.raises(TypeError, match="bool"):
+            validate_positive(gamma=b)
+    with pytest.raises(TypeError, match="bool"):
+        ap.FixedStepsize.make(gamma=True)
+
+
 def test_validation_skips_traced_values():
     """Traced params can't be validated at trace time — vmapped sweeps must
     still construct (rules are dynamic pytree leaves by design)."""
