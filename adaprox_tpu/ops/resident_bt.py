@@ -56,17 +56,31 @@ _MAX_EVALS = 101
 
 def _bt_core(a, at, b, x0, gamma0, xi, shrink, tol, p1, p2, cube_c, *,
              maxit, prox_kind, obj_kind, nesterov, m_true=None,
-             record=False, nest_sel=None):
+             record=False, nest_sel=None, exact_bregman=False):
     """Backtracking PG / Nesterov on VMEM-resident data, transcribing
     solvers/backtracking._solve_bt. Returns
     (z_final(1, n), it, norm_res, gamma, converged, ls_failed[, hists])
     with hists = (hg, hr, ho, ht) per-iteration (gamma, norm_res,
-    objective, trials) when ``record``."""
+    objective, trials) when ``record``.
+
+    ``exact_bregman`` (quadratic oracles only, i.e. obj_kind="ls" —
+    mirroring the engine, where only quadratic-type oracles define
+    bregman_from_aux): evaluate the sufficient-descent test as
+    0.5||res_z - res_x||^2 > ||dz||^2/(2 gamma) from the carried residual
+    auxes instead of the reference's raw objective difference. The raw
+    form carries eps*|f| noise: measured in THIS kernel on a large-|f|
+    f32 lasso, raw PG took 11716 iterations (f64: 90) and raw Nesterov
+    never converged in 20k (f64: 111) — the identical failure shape the
+    engine's exact_bregman closed (solvers/backtracking.py,
+    solvers/malitsky_pock.py). Other obj_kinds fall back to the raw form.
+    """
     dt = x0.dtype
     val_aux_of, grad_from_aux = _obj_split(a, at, b, obj_kind, m_true,
                                            cube_c, dt)
     prox_fn = _PROX[prox_kind]
     gval_fn = _GVAL[prox_kind]
+    # only the LS oracle's aux (the residual) yields an exact Bregman form
+    exact = bool(exact_bregman) and obj_kind == "ls"
 
     def prox(v, gamma):
         return prox_fn(v, gamma, p1, p2)
@@ -85,6 +99,7 @@ def _bt_core(a, at, b, x0, gamma0, xi, shrink, tol, p1, p2, cube_c, *,
         gamma: jnp.ndarray
         f_x: jnp.ndarray
         grad_x: jnp.ndarray
+        aux_x: object        # oracle aux at x (exact-Bregman mode only)
         theta: jnp.ndarray
         norm_res: jnp.ndarray
         ls_failed: jnp.ndarray
@@ -101,14 +116,20 @@ def _bt_core(a, at, b, x0, gamma0, xi, shrink, tol, p1, p2, cube_c, *,
             f_z, aux = val_aux_of(z)
             return (gamma, z, f_z, aux, evals)
 
-        def upper_bound(gamma, z):
+        def violates(gamma, z, f_z, aux):
             dz = z - c.x
-            return (c.f_x + jnp.sum(c.grad_x * dz)
-                    + jnp.sum(dz * dz) / (2 * gamma))
+            if exact:
+                # Bregman(z, x) = 0.5||A dz||^2 = 0.5||res_z - res_x||^2
+                # (sum of squares: second-order noise only, never eps*|f|)
+                dres = aux - c.aux_x
+                return (0.5 * jnp.sum(dres * dres)
+                        > jnp.sum(dz * dz) / (2 * gamma))
+            return f_z > (c.f_x + jnp.sum(c.grad_x * dz)
+                          + jnp.sum(dz * dz) / (2 * gamma))
 
         def ls_cond(cc):
-            gamma, z, f_z, _, evals = cc
-            return jnp.logical_and(f_z > upper_bound(gamma, z),
+            gamma, z, f_z, aux, evals = cc
+            return jnp.logical_and(violates(gamma, z, f_z, aux),
                                    evals < _MAX_EVALS)
 
         def ls_body(cc):
@@ -117,7 +138,7 @@ def _bt_core(a, at, b, x0, gamma0, xi, shrink, tol, p1, p2, cube_c, *,
 
         c0 = trial(trial_gamma, jnp.ones((), jnp.int32))
         gamma, z, f_z, aux, evals = jax.lax.while_loop(ls_cond, ls_body, c0)
-        bt_failed = f_z > upper_bound(gamma, z)
+        bt_failed = violates(gamma, z, f_z, aux)
 
         dz = z - c.x
         norm_res = jnp.sqrt(jnp.sum(dz * dz)) / gamma
@@ -135,20 +156,21 @@ def _bt_core(a, at, b, x0, gamma0, xi, shrink, tol, p1, p2, cube_c, *,
             theta = (1 + jnp.sqrt(1 + 4 * c.theta * c.theta)) / 2
             x = z + ((c.theta - 1) / theta) * (z - c.z)
             f_x, aux_x = val_aux_of(x)
-            return x, f_x, grad_from_aux(x, aux_x), theta
+            return x, f_x, grad_from_aux(x, aux_x), theta, aux_x
 
         def post_pg(_):
-            return z, f_z, grad_from_aux(z, aux), c.theta
+            return z, f_z, grad_from_aux(z, aux), c.theta, aux
 
         if dynamic:
-            x, f_x, grad_x, theta = jax.lax.cond(
+            x, f_x, grad_x, theta, aux_x = jax.lax.cond(
                 nest_sel, post_nesterov, post_pg, None)
         elif nesterov:
-            x, f_x, grad_x, theta = post_nesterov(None)
+            x, f_x, grad_x, theta, aux_x = post_nesterov(None)
         else:
-            x, f_x, grad_x, theta = post_pg(None)
+            x, f_x, grad_x, theta, aux_x = post_pg(None)
 
-        return C(c.it + 1, x, z, c.z, gamma, f_x, grad_x, theta, norm_res,
+        return C(c.it + 1, x, z, c.z, gamma, f_x, grad_x,
+                 aux_x if exact else None, theta, norm_res,
                  jnp.logical_or(c.ls_failed, bt_failed), hists)
 
     def cond(c):
@@ -156,8 +178,8 @@ def _bt_core(a, at, b, x0, gamma0, xi, shrink, tol, p1, p2, cube_c, *,
 
     hists0 = ((jnp.zeros((1, hl), dt),) * 4 if record else None)
     init = C(jnp.zeros((), jnp.int32), x0, x0, x0, gamma0, f_x0, grad0,
-             jnp.ones((), dt), jnp.asarray(jnp.inf, dt),
-             jnp.zeros((), jnp.bool_), hists0)
+             aux0 if exact else None, jnp.ones((), dt),
+             jnp.asarray(jnp.inf, dt), jnp.zeros((), jnp.bool_), hists0)
     final = jax.lax.while_loop(cond, body, init)
     out = (final.z, final.it.astype(jnp.float32), final.norm_res,
            final.gamma, (final.norm_res <= tol).astype(jnp.float32),
@@ -259,14 +281,16 @@ def _agraal_core(a, at, b, x1, x0, gamma0, gamma_max, phi, tol, p1, p2,
 
 
 def _bt_kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *,
-               maxit, prox_kind, obj_kind, nesterov, m_true):
+               maxit, prox_kind, obj_kind, nesterov, m_true,
+               exact_bregman):
     """scal_ref (SMEM, (7,)): [gamma0, xi, shrink, tol, p1, p2, cube_c].
     stats (SMEM, (5,)): [numit, norm_res, gamma, converged, ls_failed]."""
     z, it_f, nres, gamma, conv, lsf = _bt_core(
         a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
         scal_ref[5], scal_ref[6], maxit=maxit, prox_kind=prox_kind,
-        obj_kind=obj_kind, nesterov=nesterov, m_true=m_true)
+        obj_kind=obj_kind, nesterov=nesterov, m_true=m_true,
+        exact_bregman=exact_bregman)
     x_ref[:] = z
     stats_ref[0] = it_f
     stats_ref[1] = nres.astype(jnp.float32)
@@ -277,12 +301,13 @@ def _bt_kernel(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref, *,
 
 def _bt_kernel_rec(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref,
                    hg_ref, hr_ref, ho_ref, ht_ref, *, maxit, prox_kind,
-                   obj_kind, nesterov, m_true):
+                   obj_kind, nesterov, m_true, exact_bregman):
     z, it_f, nres, gamma, conv, lsf, hists = _bt_core(
         a_ref[:], at_ref[:], b_ref[:], x0_ref[:],
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
         scal_ref[5], scal_ref[6], maxit=maxit, prox_kind=prox_kind,
-        obj_kind=obj_kind, nesterov=nesterov, m_true=m_true, record=True)
+        obj_kind=obj_kind, nesterov=nesterov, m_true=m_true, record=True,
+        exact_bregman=exact_bregman)
     x_ref[:] = z
     stats_ref[0] = it_f
     stats_ref[1] = nres.astype(jnp.float32)
@@ -350,11 +375,12 @@ def _launch(kern, n, dt, hl, n_hists, record, interpret, operands):
 
 @functools.partial(jax.jit, static_argnames=(
     "maxit", "prox_kind", "obj_kind", "nesterov", "m_true", "record",
-    "interpret"))
+    "interpret", "exact_bregman"))
 def resident_backtracking(a, b, x0, gamma0, tol, maxit, *, xi=1.0,
                           shrink=0.5, prox_kind="l1", p1=0.0, p2=0.0,
                           cube_c=0.0, nesterov=False, obj_kind="ls",
-                          m_true=None, record=False, interpret=False):
+                          m_true=None, record=False, interpret=False,
+                          exact_bregman=False):
     """Whole-solve backtracking PG (``nesterov=False``; xi inflation per
     src/AdaProx.jl:54) or backtracking Nesterov (``nesterov=True``; no
     inflation, src/AdaProx.jl:72) in one resident kernel.
@@ -363,7 +389,11 @@ def resident_backtracking(a, b, x0, gamma0, tol, maxit, *, xi=1.0,
     b: (m,) (the cubic model's q with a = H, m = n); x0: (n,). Returns
     (x, numit, norm_res, converged, ls_failed), plus
     (gamma_hist, norm_res_hist, objective_hist, trials_hist) of shape
-    (maxit,) when ``record=True`` — feed ``resident_bt_records``."""
+    (maxit,) when ``record=True`` — feed ``resident_bt_records``.
+
+    ``exact_bregman``: cancellation-resistant sufficient-descent test
+    (obj_kind="ls" only; see _bt_core) — use for f32/bf16 solves at
+    large |f|. Default off = reference-exact trajectories."""
     m, n = a.shape
     dt = x0.dtype
     scal = jnp.stack([
@@ -375,7 +405,7 @@ def resident_backtracking(a, b, x0, gamma0, tol, maxit, *, xi=1.0,
     kern_fn = _bt_kernel_rec if record else _bt_kernel
     kern = functools.partial(kern_fn, maxit=maxit, prox_kind=prox_kind,
                              obj_kind=obj_kind, nesterov=nesterov,
-                             m_true=m_true)
+                             m_true=m_true, exact_bregman=exact_bregman)
     at = a.T / (m if m_true is None else m_true) if obj_kind == "logreg" \
         else a.T
     outs = _launch(kern, n, dt, hl, 4, record, interpret,
@@ -428,7 +458,7 @@ def resident_agraal(a, b, x1, x0, gamma0, tol, maxit, *, gamma_max=1e6,
 
 def _bt_sweep_kernel_rec(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref,
                          stats_ref, hg_ref, hr_ref, ho_ref, ht_ref, *,
-                         maxit, prox_kind, obj_kind, m_true):
+                         maxit, prox_kind, obj_kind, m_true, exact_bregman):
     """One grid step per backtracking METHOD row: scal (R, 8) SMEM rows of
     [gamma0, xi, shrink, tol, p1, p2, cube_c, nesterov_flag] — one
     executable + one launch serves every backtracking row of an experiment
@@ -439,7 +469,8 @@ def _bt_sweep_kernel_rec(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref,
         scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2], scal_ref[i, 3],
         scal_ref[i, 4], scal_ref[i, 5], scal_ref[i, 6], maxit=maxit,
         prox_kind=prox_kind, obj_kind=obj_kind, nesterov="dynamic",
-        m_true=m_true, record=True, nest_sel=scal_ref[i, 7] > 0)
+        m_true=m_true, record=True, nest_sel=scal_ref[i, 7] > 0,
+        exact_bregman=exact_bregman)
     x_ref[0] = z
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
@@ -451,15 +482,17 @@ def _bt_sweep_kernel_rec(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref,
 
 @functools.partial(jax.jit, static_argnames=("maxit", "prox_kind",
                                              "obj_kind", "m_true", "shrink",
-                                             "interpret"))
+                                             "interpret", "exact_bregman"))
 def resident_bt_sweep(a, b, x0, rows, tol, maxit, *, shrink=0.5,
                       prox_kind="l1", p1=0.0, p2=0.0, cube_c=0.0,
-                      obj_kind="ls", m_true=None, interpret=False):
+                      obj_kind="ls", m_true=None, interpret=False,
+                      exact_bregman=False):
     """Every backtracking row of an experiment as ONE record-mode kernel
     launch: ``rows`` is a (R, 3) array of [gamma0, xi, nesterov_flag].
     Returns (x (R, n), numit, norm_res, converged, ls_failed,
     (hg, hr, ho, ht) each (R, maxit)) — feed each row to
-    ``resident_bt_records`` with its own nesterov flag."""
+    ``resident_bt_records`` with its own nesterov flag.
+    ``exact_bregman``: see ``resident_backtracking``."""
     m, n = a.shape
     dt = x0.dtype
     rows = jnp.asarray(rows, dt)
@@ -477,7 +510,7 @@ def resident_bt_sweep(a, b, x0, rows, tol, maxit, *, shrink=0.5,
     ], axis=1)
     kern = functools.partial(_bt_sweep_kernel_rec, maxit=maxit,
                              prox_kind=prox_kind, obj_kind=obj_kind,
-                             m_true=m_true)
+                             m_true=m_true, exact_bregman=exact_bregman)
     at = a.T / (m if m_true is None else m_true) if obj_kind == "logreg" \
         else a.T
     outs = pl.pallas_call(
