@@ -35,7 +35,7 @@ from .common import (Sink, group_rows, pad_tiles, pick_platform, plot_lines,
 
 
 def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=None,
-                     fused=False, resident=False):
+                     fused=False, resident=False, live=False):
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +61,6 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
     lf = float(np.linalg.norm(prob.a, 2) ** 2)
     gam = 1.0 / lf
     x0 = jnp.zeros(n_run, dtype)
-    kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
     times = {}
 
     from adaprox_tpu.ops.resident import resident_records, resident_supported
@@ -69,6 +68,9 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
         resident_agraal, resident_agraal_records, resident_bt_records)
 
     use_resident = resident and resident_supported(a)
+    if live and use_resident:
+        print("  [live] resident kernels echo post-hoc; --live applies to "
+              "the engine path only")
     if resident and not use_resident:
         print(f"  [resident] unsupported shape/size {tuple(a.shape)} "
               f"({a.dtype}); falling back to the engine")
@@ -138,26 +140,63 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
         sink.emit_meta(grid_total_s={"bt sweep": round(bt_wall, 4),
                                      "rule sweep": round(rule_wall, 4)})
     else:
-        add("PGM (fixed)", lambda: ap.fixed_proxgrad(x0, gamma=gam, name="PGM (fixed)", **kw))
-        for xi in (1.0, 1.5, 2.0):
-            add(f"PGM (backtracking)-(xi={xi})",
-                lambda xi=xi: ap.backtracking_proxgrad(
-                    x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **kw))
-        add("Nesterov (backtracking)",
-            lambda: ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **kw))
-        add("Nesterov (fixed)", lambda: ap.fixed_nesterov(x0, gamma=gam, name="Nesterov (fixed)", **kw))
-        add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
-            x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
-        add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
-            x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
         # companion point noise only on the first n coordinates: under
         # --fused x0 is padded (n_run > n) and agraal's internal draw would
         # perturb the zero-padded coords (breaking pad-exactness AND the
         # default-path trajectory, whose draw is normal(key, (n,)))
         noise = jax.random.normal(jax.random.PRNGKey(0), (n,), x0.dtype)
         x0_ag = x0.at[:n].add(noise)
-        add("aGRAAL", lambda: ap.agraal(x0, x0=x0_ag, gamma0=gam,
-                                        name="aGRAAL", **kw))
+        base = dict(f=f, g=g, tol=tol)
+        menu = [
+            ("PGM (fixed)", lambda **o: ap.fixed_proxgrad(
+                x0, gamma=gam, name="PGM (fixed)", **base, **o)),
+        ] + [
+            (f"PGM (backtracking)-(xi={xi})",
+             lambda xi=xi, **o: ap.backtracking_proxgrad(
+                 x0, gamma0=gam, xi=xi,
+                 name=f"PGM (backtracking)-(xi={xi})", **base, **o))
+            for xi in (1.0, 1.5, 2.0)
+        ] + [
+            ("Nesterov (backtracking)", lambda **o: ap.backtracking_nesterov(
+                x0, gamma0=gam, name="Nesterov (backtracking)", **base, **o)),
+            ("Nesterov (fixed)", lambda **o: ap.fixed_nesterov(
+                x0, gamma=gam, name="Nesterov (fixed)", **base, **o)),
+            ("AdaPGM (MM)", lambda **o: ap.adaptive_proxgrad(
+                x0, rule=ap.MalitskyMishchenkoRule(gamma=gam),
+                name="AdaPGM (MM)", **base, **o)),
+            ("AdaPGM (Ours)", lambda **o: ap.adaptive_proxgrad(
+                x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)",
+                **base, **o)),
+            ("aGRAAL", lambda **o: ap.agraal(
+                x0, x0=x0_ag, gamma0=gam, name="aGRAAL", **base, **o)),
+        ]
+        if live:
+            # the reference's in-flight console echo (emission inside the
+            # loop at src/AdaProx.jl:351, log-decimated at
+            # experiments/logging.jl:13-17): history=False early-exit
+            # solves chunked on the traced it_cap bound — the JSONL gets
+            # the log-spaced rows (utils.live.live_solve)
+            from adaprox_tpu.utils.live import live_solve
+
+            from ..utils import logging as tlog
+
+            def obj_fn(x):
+                # device-side: read in the row's single batch transfer
+                return f.value(x) + g(x)
+
+            for name, make in menu:
+                def do(name=name, make=make):
+                    res, rows = live_solve(
+                        lambda maxit, resume_state, it_cap: make(
+                            maxit=maxit, resume_state=resume_state,
+                            it_cap=it_cap),
+                        maxit, method=name, objective=obj_fn)
+                    tlog.write_jsonl(sink.path, rows, keys=sink.keys)
+                    return res
+                run_timed(times, name, do)
+        else:
+            for name, make in menu:
+                add(name, lambda make=make: make(maxit=maxit, history=True))
     # which timed methods actually took a fast path (the summarizer pairs
     # only these — engine-vs-engine rows are compile/co-tenancy noise)
     if fused:  # the fused oracle feeds EVERY engine method
@@ -200,6 +239,10 @@ def main(argv=None):
                    help="one-pass fused LS oracle (Pallas) for every solver")
     p.add_argument("--resident", action="store_true",
                    help="whole-solve VMEM-resident kernels for the menu solvers")
+    p.add_argument("--live", action="store_true",
+                   help="early-exit solves with in-flight log-spaced echo "
+                        "(reference-style live telemetry; JSONL gets the "
+                        "log-spaced rows)")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -209,7 +252,8 @@ def main(argv=None):
         path = os.path.join(args.outdir, f"lasso_{m}_{n}_{pf}.jsonl")
         sink = Sink(path)
         opt = run_random_lasso(m, n, pf, sink, tol=args.tol, maxit=args.maxit,
-                               fused=args.fused, resident=args.resident)
+                               fused=args.fused, resident=args.resident,
+                               live=args.live)
         print(f"{path}: optimum={opt:.8f}")
         if not args.no_plot:
             plot_convergence(path)

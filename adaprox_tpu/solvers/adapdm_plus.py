@@ -51,7 +51,7 @@ class _Carry(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype"))
 def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxit, history,
-           resume_state=None, scalar_dtype=None):
+           resume_state=None, scalar_dtype=None, it_cap=None):
     f, g, h, a_op = parts
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
@@ -229,7 +229,7 @@ def _solve(parts, x0, y0, gamma0, eta0, t, delta, big_theta, r, big_r, tol, maxi
         )
         return new, rec
 
-    final, recs = run_loop(carry0, step, maxit, history)
+    final, recs = run_loop(carry0, step, maxit, history, it_cap=it_cap)
     converged = final.norm_res <= tol
     x_out = jnp.where(converged, final.ck_x, final.x)
     counters = jax.tree_util.tree_map(
@@ -268,6 +268,7 @@ def adaptive_linesearch_primal_dual(
     history=False,
     resume_state=None,
     scalar_dtype=None,
+    it_cap=None,
 ):
     """AdaPDM+ (reference src/AdaProx.jl:463-550): fully adaptive PD that
     needs no ||A||, only an initial estimate ``eta``.
@@ -290,5 +291,6 @@ def adaptive_linesearch_primal_dual(
         (f, g, h, A), x0, jnp.asarray(y0), gamma, eta, t, delta, Theta, r, R,
         tol, int(maxit), bool(history),
         resume_state=resume_state, scalar_dtype=scalar_dtype,
+        it_cap=None if it_cap is None else jnp.asarray(it_cap, jnp.int32),
     )
     return res.with_name(name)

@@ -36,7 +36,7 @@ class _Carry(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype"))
 def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history,
-           resume_state=None, scalar_dtype=None):
+           resume_state=None, scalar_dtype=None, it_cap=None):
     f, g = parts
     dt = jnp.result_type(x1)
     # scalar hybrid: gamma/theta recurrence, curvature ratio, and residual
@@ -78,10 +78,12 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history,
         norm_res=jnp.asarray(jnp.inf, sdt),
         done=jnp.zeros((), jnp.bool_),
     )
-    return _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history)
+    return _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history,
+                it_cap=it_cap)
 
 
-def _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history):
+def _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history,
+         it_cap=None):
     f, g = parts
     dt = carry0.gamma.dtype  # the scalar dtype (sdt)
     vdt = jnp.result_type(carry0.x)
@@ -148,7 +150,7 @@ def _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history):
         )
         return new, rec
 
-    final, recs = run_loop(carry0, step, maxit, history)
+    final, recs = run_loop(carry0, step, maxit, history, it_cap=it_cap)
     converged = final.norm_res <= tol
     counters = jax.tree_util.tree_map(
         lambda a, b: jnp.where(converged, a, b), final.ck_counters, final.counters
@@ -180,6 +182,7 @@ def agraal(
     history=False,
     resume_state=None,
     scalar_dtype=None,
+    it_cap=None,
 ):
     """aGRAAL (reference src/AdaProx.jl:150-192). ``x0`` defaults to a random
     perturbation of ``x1`` (pass ``key`` for determinism); ``gamma0`` defaults
@@ -195,5 +198,6 @@ def agraal(
         (f, g), x1, jnp.asarray(x0), gamma0, gamma_max, phi,
         tol, int(maxit), bool(history),
         resume_state=resume_state, scalar_dtype=scalar_dtype,
+        it_cap=None if it_cap is None else jnp.asarray(it_cap, jnp.int32),
     )
     return res.with_name(name)

@@ -125,7 +125,8 @@ def _record(it, gamma, norm_res, objective, ck, done):
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "nesterov",
                                              "scalar_dtype", "exact_bregman"))
 def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
-              resume_state=None, scalar_dtype=None, exact_bregman=False):
+              resume_state=None, scalar_dtype=None, exact_bregman=False,
+              it_cap=None):
     f, g = parts
     dt = jnp.result_type(x0)
     sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
@@ -198,7 +199,7 @@ def _solve_bt(parts, x0, gamma0, xi, shrink, tol, maxit, history, nesterov,
         )
         return new, rec
 
-    final, recs = run_loop(carry0, step, maxit, history)
+    final, recs = run_loop(carry0, step, maxit, history, it_cap=it_cap)
     # converged: counters at the check (the reference returns before the
     # final pullback/momentum eval); maxed out: full counters including it
     converged = final.norm_res <= tol
@@ -240,6 +241,7 @@ def backtracking_proxgrad(
     resume_state=None,
     scalar_dtype=None,
     exact_bregman=False,
+    it_cap=None,
 ):
     """Prox-gradient with sufficient-descent backtracking and optional
     per-iteration stepsize inflation ``xi`` (reference src/AdaProx.jl:50-64).
@@ -261,6 +263,7 @@ def backtracking_proxgrad(
         (f, g), x0, gamma0, xi, shrink, tol,
         int(maxit), bool(history), False, resume_state=resume_state,
         scalar_dtype=scalar_dtype, exact_bregman=bool(exact_bregman),
+        it_cap=None if it_cap is None else jnp.asarray(it_cap, jnp.int32),
     )
     return res.with_name(name)
 
@@ -279,6 +282,7 @@ def backtracking_nesterov(
     resume_state=None,
     scalar_dtype=None,
     exact_bregman=False,
+    it_cap=None,
 ):
     """Accelerated PG with backtracking; momentum theta recurrence
     ``(1 + sqrt(1 + 4 theta^2))/2`` (reference src/AdaProx.jl:66-84).
@@ -288,5 +292,6 @@ def backtracking_nesterov(
         (f, g), x0, gamma0, 1.0, shrink, tol,
         int(maxit), bool(history), True, resume_state=resume_state,
         scalar_dtype=scalar_dtype, exact_bregman=bool(exact_bregman),
+        it_cap=None if it_cap is None else jnp.asarray(it_cap, jnp.int32),
     )
     return res.with_name(name)

@@ -135,7 +135,7 @@ def reopen(carry, dtype, scalar_dtype=None, scalar_fields=()):
     return carry._replace(**upd)
 
 
-def run_loop(carry0, step, maxit, history):
+def run_loop(carry0, step, maxit, history, it_cap=None):
     """Drive a solver iteration in one of two TPU execution modes.
 
     ``step: carry -> (carry, Records-row)`` must maintain ``carry.it``
@@ -149,9 +149,20 @@ def run_loop(carry0, step, maxit, history):
       the stacked per-iteration records for telemetry (the reference logs
       per-iteration from inside the loop; we log post-hoc from these arrays).
 
+    ``it_cap``: optional TRACED cumulative iteration bound for the
+    while_loop path — the hook live telemetry chunks on (utils.live): the
+    host re-dispatches ONE compiled executable with growing caps and
+    echoes a reference-format row between chunks, instead of recompiling
+    per boundary (``maxit`` is a static jit argument; a traced cap is
+    not). No effect on the loop body, so a capped run continued via
+    ``resume_state`` is bit-identical to an uninterrupted one.
+
     Returns ``(final_carry, records_or_None)``.
     """
     if history:
+        if it_cap is not None:
+            raise ValueError("it_cap applies to the while_loop path only "
+                             "(history=True already records every row)")
 
         def scan_body(c, _):
             # ``maxit`` is the CUMULATIVE iteration cap (resume semantics,
@@ -169,7 +180,10 @@ def run_loop(carry0, step, maxit, history):
         return jax.lax.scan(scan_body, carry0, None, length=maxit)
 
     def cond(c):
-        return jnp.logical_and(c.it < maxit, jnp.logical_not(c.done))
+        live = jnp.logical_and(c.it < maxit, jnp.logical_not(c.done))
+        if it_cap is not None:
+            live = jnp.logical_and(live, c.it < it_cap)
+        return live
 
     def body(c):
         new = step(c)[0]

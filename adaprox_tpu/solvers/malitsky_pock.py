@@ -46,7 +46,7 @@ class _Carry(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype",
                                               "exact_bregman"))
 def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None,
-           scalar_dtype=None, exact_bregman=False):
+           scalar_dtype=None, exact_bregman=False, it_cap=None):
     f, g, h, a_op = parts
     # every SmoothOracle defines bregman_from_aux (the base returns None),
     # so whether the exact form is actually available is decided by the
@@ -203,7 +203,7 @@ def _solve(parts, x0, y0, sigma0, t, tol, maxit, history, resume_state=None,
         )
         return new, rec
 
-    final, recs = run_loop(carry0, step, maxit, history)
+    final, recs = run_loop(carry0, step, maxit, history, it_cap=it_cap)
     return SolveResult(
         x=final.x,
         y=final.y,
@@ -238,6 +238,7 @@ def malitsky_pock(
     resume_state=None,
     scalar_dtype=None,
     exact_bregman=False,
+    it_cap=None,
 ):
     """Malitsky-Pock linesearch PD (reference src/AdaProx.jl:581-629).
     ``t`` couples the steps via gamma = t^2 * sigma.
@@ -262,5 +263,6 @@ def malitsky_pock(
         tol, int(maxit), bool(history),
         resume_state=resume_state, scalar_dtype=scalar_dtype,
         exact_bregman=bool(exact_bregman),
+        it_cap=None if it_cap is None else jnp.asarray(it_cap, jnp.int32),
     )
     return res.with_name(name)

@@ -30,7 +30,7 @@ class _Carry(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "strongly_convex",
                                              "scalar_dtype"))
 def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_convex,
-           resume_state=None, scalar_dtype=None):
+           resume_state=None, scalar_dtype=None, it_cap=None):
     f, g = parts
     dt = jnp.result_type(x0)
     # scalar hybrid: theta/beta recurrence and residual norm in sdt, vector
@@ -112,7 +112,7 @@ def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_con
         )
         return new, rec
 
-    final, recs = run_loop(carry0, step, maxit, history)
+    final, recs = run_loop(carry0, step, maxit, history, it_cap=it_cap)
     return SolveResult(
         x=final.x,
         y=None,
@@ -140,6 +140,7 @@ def fixed_nesterov(
     history=False,
     resume_state=None,
     scalar_dtype=None,
+    it_cap=None,
 ):
     """Fixed-step accelerated PG; q-based momentum when muf+mug > 0
     (reference src/AdaProx.jl:91-142)."""
@@ -160,5 +161,6 @@ def fixed_nesterov(
         (f, g), x0, gamma, muf, mug, theta,
         tol, int(maxit), bool(history),
         bool(mu != 0), resume_state=resume_state, scalar_dtype=scalar_dtype,
+        it_cap=None if it_cap is None else jnp.asarray(it_cap, jnp.int32),
     )
     return res.with_name(name)

@@ -76,7 +76,7 @@ class _Carry(NamedTuple):
     jax.jit,
     static_argnames=("maxit", "history", "prox_kind", "interpret", "mesh"))
 def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
-           interpret, resume_state=None, mesh=None):
+           interpret, resume_state=None, mesh=None, it_cap=None):
     f, g, h, at_mat = parts  # TRANSPOSED (n, m) — the only copy of A needed
     h_conj = prox_ops.conjugate(h)
     dt = jnp.result_type(x0)
@@ -212,7 +212,7 @@ def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
         )
         return new, rec
 
-    final, recs = run_loop(carry0, step, maxit, history)
+    final, recs = run_loop(carry0, step, maxit, history, it_cap=it_cap)
     converged = final.norm_res <= tol
     x_out = jnp.where(converged, final.ck_x, final.x)
     # the fused pass ran one A_eval "ahead" (it precomputed the NEXT
@@ -250,6 +250,7 @@ def fused_adaptive_primal_dual(
     mesh=None,
     at=None,
     pad="auto",
+    it_cap=None,
 ):
     """Engine-parity AdaPDM with the one-pass fused PD kernel.
 
@@ -331,6 +332,7 @@ def fused_adaptive_primal_dual(
         (f, g, h, at_mat), rule, x0, y0, p1, p2,
         tol, int(maxit), bool(history),
         kind, bool(interpret), resume_state=resume_state, mesh=mesh,
+        it_cap=None if it_cap is None else jnp.asarray(it_cap, jnp.int32),
     )
     if res.x.shape[0] != n_true or res.y.shape[0] != m_true:
         res = res._replace(x=res.x[:n_true], y=res.y[:m_true])
@@ -340,7 +342,7 @@ def fused_adaptive_primal_dual(
 def fused_condat_vu(x0, y0, *, f, g, h, A, Lf, norm_A=None, tol=1e-5,
                     maxit=10_000, name="Condat-Vu (fused)", history=False,
                     resume_state=None, interpret=None, mesh=None, at=None,
-                    pad="auto"):
+                    pad="auto", it_cap=None):
     """Condat-Vu on the fused engine: the reference's (gamma, sigma)
     heuristics (src/AdaProx.jl:367-416) with a FixedStepsize rule."""
     import numpy as np
@@ -365,4 +367,4 @@ def fused_condat_vu(x0, y0, *, f, g, h, A, Lf, norm_A=None, tol=1e-5,
     return fused_adaptive_primal_dual(
         x0, y0, f=f, g=g, h=h, A=A, rule=rule, tol=tol, maxit=maxit,
         name=name, history=history, resume_state=resume_state,
-        interpret=interpret, mesh=mesh, at=at, pad=pad)
+        interpret=interpret, mesh=mesh, at=at, pad=pad, it_cap=it_cap)

@@ -241,7 +241,7 @@ def _step(c: _Carry, *, f, g, h, h_conj, a_op, rule, tol, with_objective, sdt):
 
 @functools.partial(jax.jit, static_argnames=("maxit", "history", "scalar_dtype"))
 def _solve_pd(parts, rule, x0, y0, tol, maxit, history, resume_state=None,
-              scalar_dtype=None):
+              scalar_dtype=None, it_cap=None):
     f, g, h, a_op = parts
     dt = jnp.result_type(x0)
     sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
@@ -267,7 +267,7 @@ def _solve_pd(parts, rule, x0, y0, tol, maxit, history, resume_state=None,
         sdt=sdt,
     )
 
-    final, recs = run_loop(carry0, step, maxit, history)
+    final, recs = run_loop(carry0, step, maxit, history, it_cap=it_cap)
 
     converged = final.norm_res <= tol
     x_out = jnp.where(converged, final.ck_x, final.x)
@@ -304,6 +304,7 @@ def adaptive_primal_dual(
     history=False,
     resume_state=None,
     scalar_dtype=None,
+    it_cap=None,
 ):
     """Adaptive primal-dual (AdaPDM) for min_x f(x) + g(x) + h(Ax).
 
@@ -321,6 +322,11 @@ def adaptive_primal_dual(
     f32->f64 upcasts happen BEFORE the cross-iterate subtractions, so the
     rule sees exact differences; the remaining precision floor is the f32
     matvec itself.
+
+    ``it_cap``: traced cumulative iteration bound (history=False only) —
+    the live-telemetry chunking hook; see utils.live.live_solve. A capped
+    solve continued via ``resume_state`` is bit-identical to an
+    uninterrupted one.
     """
     if A is not None and y0 is None:
         raise ValueError("y0 is required when A is given")
@@ -342,26 +348,29 @@ def adaptive_primal_dual(
     res = _solve_pd(
         (f, g, h, A), rule, x0, y0, tol, int(maxit), bool(history),
         resume_state=resume_state, scalar_dtype=scalar_dtype,
+        it_cap=None if it_cap is None else jnp.asarray(it_cap, jnp.int32),
     )
     return res.with_name(name)
 
 
 def adaptive_proxgrad(x0, *, f, g, rule, tol=1e-5, maxit=100_000, name="AdaPGM",
-                      history=False, resume_state=None, scalar_dtype=None):
+                      history=False, resume_state=None, scalar_dtype=None,
+                      it_cap=None):
     """Adaptive proximal gradient: the PD engine with h=Zero, A=0
     (reference src/AdaProx.jl:418-421)."""
     return adaptive_primal_dual(
         x0, f=f, g=g, rule=rule, tol=tol, maxit=maxit, name=name,
         history=history, resume_state=resume_state, scalar_dtype=scalar_dtype,
+        it_cap=it_cap,
     )
 
 
-def fixed_proxgrad(x0, *, f, g, gamma, tol=1e-5, maxit=100_000, name="Fixed stepsize PGM", history=False, resume_state=None, scalar_dtype=None):
+def fixed_proxgrad(x0, *, f, g, gamma, tol=1e-5, maxit=100_000, name="Fixed stepsize PGM", history=False, resume_state=None, scalar_dtype=None, it_cap=None):
     """Fixed-stepsize PGM (reference src/AdaProx.jl:457-459)."""
     rule = rules_mod.FixedStepsize(gamma=gamma, t=1.0)
     return adaptive_proxgrad(
         x0, f=f, g=g, rule=rule, tol=tol, maxit=maxit, name=name, history=history,
-        resume_state=resume_state, scalar_dtype=scalar_dtype,
+        resume_state=resume_state, scalar_dtype=scalar_dtype, it_cap=it_cap,
     )
 
 
@@ -395,6 +404,7 @@ def condat_vu(
     history=False,
     resume_state=None,
     scalar_dtype=None,
+    it_cap=None,
 ):
     """Condat-Vu fixed-step primal-dual: derives (gamma, sigma) from Lf and
     ||A|| with the reference's scaling heuristics (src/AdaProx.jl:367-416,
@@ -412,4 +422,5 @@ def condat_vu(
     return adaptive_primal_dual(
         x0, y0, f=f, g=g, h=h, A=A, rule=rule, tol=tol, maxit=maxit, name=name,
         history=history, resume_state=resume_state, scalar_dtype=scalar_dtype,
+        it_cap=it_cap,
     )

@@ -1,0 +1,172 @@
+"""Live log-spaced telemetry (utils.live) — VERDICT r4 missing item 3.
+
+The reference echoes records WHILE solving (emission at src/AdaProx.jl:351,
+decimation at experiments/logging.jl:13-17); the framework's history=False
+while_loop was silent until return. live_solve chunks the compiled loop on
+the traced it_cap bound and must be (a) bit-identical to an uninterrupted
+solve and (b) row-identical to the history=True records at the echoed
+iterations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import adaprox_tpu as ap
+from adaprox_tpu.models.objectives import LeastSquares
+from adaprox_tpu.utils.live import live_solve, logstep_boundaries
+from adaprox_tpu.utils.logging import is_logstep
+
+
+@pytest.fixture
+def lasso_parts():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((80, 160)))
+    b = jnp.asarray(rng.standard_normal(80))
+    f = LeastSquares(a=a, b=b)
+    g = ap.L1Norm(lam=0.5)
+    lf = float(np.linalg.norm(np.asarray(a), 2) ** 2)
+    return f, g, lf
+
+
+def test_logstep_boundaries_match_is_logstep():
+    for maxit in (1, 7, 10, 99, 1234, 10_000):
+        bs = logstep_boundaries(maxit)
+        expect = [it for it in range(1, maxit + 1) if is_logstep(it)]
+        if expect[-1] != maxit:
+            expect.append(maxit)
+        assert bs == expect, maxit
+
+
+def test_live_solve_bit_identical_and_rows_match_history(lasso_parts):
+    f, g, lf = lasso_parts
+    rule = ap.AdaPGMRule.make(gamma=1 / lf)
+    maxit = 500
+
+    def solve(maxit, resume_state, it_cap):
+        return ap.adaptive_proxgrad(
+            jnp.zeros(160), f=f, g=g, rule=rule, tol=1e-9, maxit=maxit,
+            resume_state=resume_state, it_cap=it_cap)
+
+    res, rows = live_solve(solve, maxit, method="AdaPGM",
+                           objective=lambda x: f.value(x) + g(x),
+                           out=lambda s: None)
+    ref = solve(maxit, None, None)
+    assert int(res.numit) == int(ref.numit)
+    assert float(res.norm_res) == float(ref.norm_res)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+
+    h = ap.adaptive_proxgrad(jnp.zeros(160), f=f, g=g, rule=rule, tol=1e-9,
+                             maxit=maxit, history=True)
+    its = np.asarray(h.records.it)
+    assert len(rows) == len(logstep_boundaries(maxit))
+    for row in rows:
+        i = int(np.nonzero(its == row["it"])[0][0])
+        for k, col in (("gamma", h.records.gamma),
+                       ("norm_res", h.records.norm_res),
+                       ("objective", h.records.objective)):
+            assert row[k] == float(np.asarray(col)[i]), (row["it"], k)
+        for k in ("f_evals", "grad_f_evals", "prox_g_evals"):
+            assert row[k] == int(np.asarray(getattr(h.records, k))[i])
+
+
+def test_live_solve_early_convergence_stops_chunking(lasso_parts):
+    """A solve that converges inside a chunk must stop echoing there and
+    return the converged result (same numit/counters as uninterrupted)."""
+    f, g, lf = lasso_parts
+    rule = ap.AdaPGMRule.make(gamma=1 / lf)
+    tol = 1e-6
+
+    def solve(maxit, resume_state, it_cap):
+        return ap.adaptive_proxgrad(
+            jnp.zeros(160), f=f, g=g, rule=rule, tol=tol, maxit=maxit,
+            resume_state=resume_state, it_cap=it_cap)
+
+    ref = solve(100_000, None, None)
+    assert float(ref.norm_res) <= tol  # it does converge
+    res, rows = live_solve(solve, 100_000, method="AdaPGM",
+                           out=lambda s: None)
+    assert int(res.numit) == int(ref.numit)
+    assert float(res.norm_res) == float(ref.norm_res)
+    for a, b in zip(res.counters, ref.counters):
+        assert int(a) == int(b)
+    assert rows[-1]["it"] == int(ref.numit)
+    # echoed boundaries are strictly increasing and end at convergence
+    its = [r["it"] for r in rows]
+    assert its == sorted(set(its))
+
+
+def test_live_solve_pd_schema_and_fixup(lasso_parts):
+    """PD solvers echo the PD schema; the fixup hook fills carry-absent
+    columns (MP's gamma = t^2 * sigma)."""
+    f, g, lf = lasso_parts
+    rng = np.random.default_rng(2)
+    a_op = ap.DenseOperator(a=jnp.asarray(rng.standard_normal((40, 160))))
+    h = ap.L2Norm(lam=1.0)
+    t = 1.0
+
+    def solve(maxit, resume_state, it_cap):
+        return ap.malitsky_pock(
+            jnp.zeros(160), jnp.zeros(40), f=f, g=g, h=h, A=a_op,
+            sigma=0.01, t=t, tol=1e-9, maxit=maxit,
+            resume_state=resume_state, it_cap=it_cap)
+
+    def fixup(row, res):
+        row["gamma"] = t * t * row["sigma"]
+        return row
+
+    res, rows = live_solve(solve, 50, method="MP-ls", primal_dual=True,
+                           fixup=fixup, out=lambda s: None)
+    ref = solve(50, None, None)
+    assert int(res.numit) == int(ref.numit)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    for row in rows:
+        assert set(row) == set(
+            ["method", "it", "gamma", "sigma", "norm_res", "objective",
+             "grad_f_evals", "prox_g_evals", "prox_h_evals", "A_evals",
+             "At_evals", "f_evals"])
+        assert row["gamma"] == row["sigma"] * t * t
+    hist = ap.malitsky_pock(
+        jnp.zeros(160), jnp.zeros(40), f=f, g=g, h=h, A=a_op,
+        sigma=0.01, t=t, tol=1e-9, maxit=50, history=True)
+    its = np.asarray(hist.records.it)
+    for row in rows:
+        i = int(np.nonzero(its == row["it"])[0][0])
+        assert row["sigma"] == float(np.asarray(hist.records.sigma)[i])
+        assert row["norm_res"] == float(np.asarray(hist.records.norm_res)[i])
+
+
+@pytest.mark.parametrize("maker", [
+    lambda f, g, lf: ("bt", lambda maxit, resume_state, it_cap:
+                      ap.backtracking_proxgrad(
+                          jnp.zeros(160), f=f, g=g, gamma0=10 / lf, xi=1.5,
+                          tol=1e-9, maxit=maxit, resume_state=resume_state,
+                          it_cap=it_cap)),
+    lambda f, g, lf: ("nest", lambda maxit, resume_state, it_cap:
+                      ap.backtracking_nesterov(
+                          jnp.zeros(160), f=f, g=g, gamma0=10 / lf,
+                          tol=1e-9, maxit=maxit, resume_state=resume_state,
+                          it_cap=it_cap)),
+    lambda f, g, lf: ("fixed_nesterov", lambda maxit, resume_state, it_cap:
+                      ap.fixed_nesterov(
+                          jnp.zeros(160), f=f, g=g, Lf=lf,
+                          tol=1e-9, maxit=maxit, resume_state=resume_state,
+                          it_cap=it_cap)),
+    lambda f, g, lf: ("agraal", lambda maxit, resume_state, it_cap:
+                      ap.agraal(
+                          jnp.zeros(160), f=f, g=g, gamma0=0.5 / lf,
+                          tol=1e-9, maxit=maxit, resume_state=resume_state,
+                          it_cap=it_cap)),
+])
+def test_live_solve_other_families_bit_identical(lasso_parts, maker):
+    """Every solver family accepts it_cap; the chunked live solve must be
+    bit-identical to an uninterrupted one."""
+    f, g, lf = lasso_parts
+    name, solve = maker(f, g, lf)
+    res, rows = live_solve(solve, 120, method=name, out=lambda s: None)
+    ref = solve(120, None, None)
+    assert int(res.numit) == int(ref.numit), name
+    assert float(res.norm_res) == float(ref.norm_res), name
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x), name)
+    assert [r["it"] for r in rows][-1] == int(res.numit)
