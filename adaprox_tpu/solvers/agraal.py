@@ -49,7 +49,8 @@ def _solve(parts, x1, x0, gamma0, gamma_max, phi, tol, maxit, history,
     if resume_state is not None:
         carry0 = reopen(resume_state, dt, scalar_dtype=sdt,
                         scalar_fields=("gamma", "theta", "norm_res"))
-        return _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history)
+        return _run(parts, carry0, rho, phi, gamma_max, tol, maxit, history,
+                    it_cap=it_cap)
 
     _, aux1 = f.value_and_aux(x1)
     grad_x = f.grad_from_aux(x1, aux1)

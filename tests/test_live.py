@@ -170,3 +170,7 @@ def test_live_solve_other_families_bit_identical(lasso_parts, maker):
     assert float(res.norm_res) == float(ref.norm_res), name
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x), name)
     assert [r["it"] for r in rows][-1] == int(res.numit)
+    if int(res.numit) == 120:  # ran to maxit: every boundary must echo
+        # (catches a resume path that drops it_cap and jumps to maxit —
+        # the agraal resume-branch bug this asserted against)
+        assert [r["it"] for r in rows] == logstep_boundaries(120), name
