@@ -40,6 +40,25 @@ NOTES = {
         "(auto-enabled for f32 runs; see solvers/malitsky_pock.py). "
         "Rows at maxit with residual within ~10x of tol are at the f32 "
         "plateau of a genuinely hard instance, not a solver failure.\n"),
+    "least_absolute_deviation/": (
+        "Adjudication (r5, tools/adjudicate_f0.py): the Condat-Vu and "
+        "Malitsky-Pock plateaus are genuine algorithm behavior on these "
+        "synthetic instances — independent NumPy transcriptions of the "
+        "reference loops (f = 0, h = ||Ax-y||_1 through the same Moreau "
+        "composition) agree with the f64 solver to 1e-13..1e-15 over the "
+        "compared prefix AND land on the same final residuals at maxit "
+        "5000 (cpusmall: CV 2.3514757987812 both, MP(t=0.05) "
+        "0.012024842645 both; abalone: CV 0.80071026208 both, MP(t=0.025) "
+        "0.0059732137897 both).\n"),
+    "square_root_lasso/": (
+        "Adjudication (r5, tools/adjudicate_f0.py): mirror rows for this "
+        "family CONVERGE in f64 (housing t=0.5: mirror and solver both "
+        "208 iterations, rel diff 6e-10; cpusmall t=2: both 84 "
+        "iterations; CV housing/cpusmall 205/325 both) — the 5000-"
+        "iteration rows in these tables are the documented f32 residual "
+        "floor near tol 1e-5 (PERFORMANCE.md precision ladder), not an "
+        "algorithmic plateau: rerun with --f64 to reproduce the "
+        "converging trajectories.\n"),
 }
 
 
