@@ -190,7 +190,12 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
                         lambda maxit, resume_state, it_cap: make(
                             maxit=maxit, resume_state=resume_state,
                             it_cap=it_cap),
-                        maxit, method=name, objective=obj_fn)
+                        maxit, method=name, objective=obj_fn,
+                        # first two decades as one scan chunk: the early
+                        # boundaries are 1-10 iterations apart — less
+                        # device work than one relay round-trip each
+                        hist_solve_fn=lambda maxit, make=make: make(
+                            maxit=maxit, history=True))
                     tlog.write_jsonl(sink.path, rows, keys=sink.keys)
                     return res
                 run_timed(times, name, do)

@@ -81,7 +81,8 @@ def _gather(res, objective):
 
 def live_solve(solve_fn, maxit: int, *, method: str = "", objective=None,
                primal_dual: bool = False, base: int = 10, out=print,
-               min_it: int = 1, fixup=None, pipeline: bool = True):
+               min_it: int = 1, fixup=None, pipeline: int = 4,
+               hist_solve_fn=None, scan_prefix: int = 0):
     """Run an early-exit solve in log-spaced chunks, echoing one
     reference-format row per boundary while it runs.
 
@@ -96,16 +97,39 @@ def live_solve(solve_fn, maxit: int, *, method: str = "", objective=None,
     (cuts the tiny early dispatches when echo density matters less than
     throughput). ``fixup``: optional ``(row, result) -> row`` applied
     before echo — fills solver-specific columns the carry lacks (e.g.
-    Malitsky-Pock's gamma = t^2 * sigma). ``pipeline=False`` disables the
-    dispatch-ahead overlap (one chunk in flight at a time; the A/B knob
-    for tools/live_ab_probe.py).
+    Malitsky-Pock's gamma = t^2 * sigma).
+
+    ``pipeline``: number of chunks enqueued AHEAD of the row the host is
+    reading (resume chains are device-resident, so chunk k+1..k+d can all
+    be in the device queue while row k's scalars cross the relay). Reads
+    of chunks with >= ~100 iterations of queued device work behind them
+    are fully hidden (measured at 16384^2); the cost of depth: when the
+    solve converges mid-chunk, up to ``pipeline`` already-enqueued chunks
+    run past convergence before being discarded (the returned result is
+    still the converged chunk's, bit-exact) — set pipeline=0/1 for solves
+    expected to converge long before maxit. ``True``/``False`` accepted
+    as 1/0.
+
+    ``hist_solve_fn(maxit=) -> SolveResult``: optional history=True
+    closure over the SAME solver. When given, the first ``scan_prefix``
+    iterations (default base^2 = the first two echo decades) run as ONE
+    scan chunk whose stacked records yield every early row in a single
+    transfer — the early log boundaries are 1-10 iterations apart, far
+    less device work than one relay round-trip, so per-boundary
+    while_loop chunking pays ~12 ms each there (measured: that IS the
+    whole live overhead at 16384^2; the >= 100-iteration chunks hide
+    completely). Scan and while_loop share the step function and carry,
+    so the handoff stays bit-exact.
 
     Returns ``(result, rows)`` — ``result`` is the final SolveResult,
     bit-identical to ``solve_fn(maxit=maxit)`` run uninterrupted; ``rows``
     are the echoed dicts.
     """
+    from collections import deque
+
     import jax
 
+    depth = int(pipeline)  # True -> 1, False -> 0
     keys = PD_KEYS if primal_dual else PG_KEYS
     bounds = [b for b in logstep_boundaries(maxit, base)
               if b >= min_it or b == maxit]
@@ -113,18 +137,51 @@ def live_solve(solve_fn, maxit: int, *, method: str = "", objective=None,
     if not bounds:
         return solve_fn(maxit=maxit, resume_state=None, it_cap=None), rows
 
-    res = solve_fn(maxit=maxit, resume_state=None, it_cap=bounds[0])
-    pending = _gather(res, objective)
-    i = 1
+    state = None
+    if hist_solve_fn is not None:
+        prefix = min(maxit, scan_prefix if scan_prefix > 0 else base * base)
+        res0 = hist_solve_fn(maxit=prefix)
+        # ONE transfer for every early row (records_to_rows syncs the
+        # stacked arrays); emit the log-spaced subset in reference format
+        from .logging import records_to_rows
+
+        hist_rows = records_to_rows(res0.records, method,
+                                    primal_dual=primal_dual)
+        done0 = bool(res0.extra.done)
+        it0 = int(res0.numit)
+        for hrow, is_last in zip(hist_rows,
+                                 [False] * (len(hist_rows) - 1) + [True]):
+            hrow = {k: hrow.get(k, float("nan")) for k in keys}
+            if fixup is not None:
+                hrow = fixup(hrow, res0)
+            if is_logstep(int(hrow["it"]), base) or (
+                    is_last and (done0 or it0 >= maxit)):
+                _echo(hrow, out)
+                rows.append(hrow)
+        if done0 or it0 >= maxit or it0 < prefix:
+            return res0, rows
+        state = res0.extra
+        bounds = [b for b in bounds if b > prefix]
+        if not bounds:
+            return res0, rows
+
+    inflight = deque()
+    idx = 0  # next boundary to enqueue
+
+    def enqueue():
+        nonlocal state, idx
+        r = solve_fn(maxit=maxit, resume_state=state, it_cap=bounds[idx])
+        state = r.extra  # device-resident: chains without a host sync
+        inflight.append((r, _gather(r, objective)))
+        idx += 1
+
+    enqueue()
+    while idx < min(1 + depth, len(bounds)):
+        enqueue()
+
     last_it = -1
     while True:
-        nxt = None
-        if pipeline and i < len(bounds):
-            # enqueue the next chunk BEFORE syncing on this one's scalars:
-            # the device streams into chunk i while the host formats row
-            # i-1 (discarded below if this chunk already converged)
-            nxt = solve_fn(maxit=maxit, resume_state=res.extra,
-                           it_cap=bounds[i])
+        res, pending = inflight.popleft()
         vals = jax.device_get(pending)  # ONE round-trip per echo row
         it = int(vals["it"])
         done = bool(vals["done"])
@@ -146,12 +203,10 @@ def live_solve(solve_fn, maxit: int, *, method: str = "", objective=None,
         if is_logstep(it, base) or it >= maxit or done:
             _echo(row, out)
             rows.append(row)
-        if done or it >= maxit or i >= len(bounds) or it == last_it:
-            return res, rows
+        if done or it >= maxit or it == last_it:
+            return res, rows  # in-flight successors discarded (functional)
         last_it = it
-        if nxt is None:
-            nxt = solve_fn(maxit=maxit, resume_state=res.extra,
-                           it_cap=bounds[i])
-        res = nxt
-        pending = _gather(res, objective)
-        i += 1
+        if idx < len(bounds):
+            enqueue()
+        elif not inflight:
+            return res, rows

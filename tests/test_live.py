@@ -71,6 +71,49 @@ def test_live_solve_bit_identical_and_rows_match_history(lasso_parts):
             assert row[k] == int(np.asarray(getattr(h.records, k))[i])
 
 
+def test_live_solve_scan_prefix_bit_identical(lasso_parts):
+    """hist_solve_fn: the first two echo decades run as ONE history=True
+    scan chunk (every early row in a single transfer); the scan carry must
+    hand off to the while_loop chunks bit-exactly."""
+    f, g, lf = lasso_parts
+    rule = ap.AdaPGMRule.make(gamma=1 / lf)
+    maxit = 500
+
+    def solve(maxit, resume_state, it_cap):
+        return ap.adaptive_proxgrad(
+            jnp.zeros(160), f=f, g=g, rule=rule, tol=1e-9, maxit=maxit,
+            resume_state=resume_state, it_cap=it_cap)
+
+    def hist_solve(maxit):
+        return ap.adaptive_proxgrad(
+            jnp.zeros(160), f=f, g=g, rule=rule, tol=1e-9, maxit=maxit,
+            history=True)
+
+    res, rows = live_solve(solve, maxit, method="AdaPGM",
+                           objective=lambda x: f.value(x) + g(x),
+                           out=lambda s: None, hist_solve_fn=hist_solve)
+    ref = solve(maxit, None, None)
+    assert int(res.numit) == int(ref.numit)
+    assert float(res.norm_res) == float(ref.norm_res)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    # every boundary echoed exactly once, in order
+    assert [r["it"] for r in rows] == logstep_boundaries(maxit)
+    # early rows match the history records bit-for-bit (they ARE records)
+    h = hist_solve(maxit)
+    its = np.asarray(h.records.it)
+    for row in rows:
+        i = int(np.nonzero(its == row["it"])[0][0])
+        assert row["gamma"] == float(np.asarray(h.records.gamma)[i])
+        assert row["norm_res"] == float(np.asarray(h.records.norm_res)[i])
+
+    # convergence INSIDE the scan prefix returns the scan result directly
+    res2, rows2 = live_solve(solve, maxit, method="AdaPGM",
+                             out=lambda s: None, hist_solve_fn=hist_solve,
+                             scan_prefix=maxit)
+    assert int(res2.numit) == int(ref.numit)
+    assert rows2[-1]["it"] == int(ref.numit)
+
+
 def test_live_solve_early_convergence_stops_chunking(lasso_parts):
     """A solve that converges inside a chunk must stop echoing there and
     return the converged result (same numit/counters as uninterrupted)."""

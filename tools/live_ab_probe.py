@@ -5,10 +5,12 @@ at 16384^2).
 Three walls, round-robin in one window (same compiled executables):
 
   plain       one uninterrupted history=False solve (it_cap=None)
-  live        utils.live.live_solve with the pipelined dispatch (next
-              chunk enqueued before the previous chunk's scalars are read)
-  live_nopipe live_solve with pipeline=False (one chunk in flight — shows
-              what the pipelining buys on this ~25 ms/round-trip relay)
+  live_scan   live_solve with the history=True scan prefix covering the
+              first two echo decades (one transfer for all early rows) +
+              depth-4 pipelined while_loop chunks after — the production
+              --live configuration
+  live4       no scan prefix, pipeline depth 4
+  live0       depth 0, no prefix (fully synchronous worst case)
 
 tol=0 so every variant runs exactly --maxit iterations; the overhead
 fraction is (live - plain)/plain on the best-of-rounds walls.
@@ -80,26 +82,32 @@ def main():
         float(res.norm_res)
         return time.perf_counter() - t0
 
-    def wall_live(pipeline):
+    def hist_solve(maxit):
+        return ap.adaptive_proxgrad(
+            x0, f=f, g=g, rule=rule, tol=0.0, maxit=maxit, history=True)
+
+    def wall_live(depth, scan=False):
         t0 = time.perf_counter()
         res, rows = live_solve(solve, args.maxit, method="AdaPGM",
                                objective=obj, out=lambda s: None,
-                               pipeline=pipeline)
+                               pipeline=depth,
+                               hist_solve_fn=hist_solve if scan else None)
         float(res.norm_res)
         assert len(rows) == len(logstep_boundaries(args.maxit))
         return time.perf_counter() - t0
 
     # compile + settle every executable before the timed window
     wall_plain()
-    wall_live(True)
-    wall_live(False)
+    wall_live(4, scan=True)
+    wall_live(4)
 
-    best = {"plain": float("inf"), "live": float("inf"),
-            "live_nopipe": float("inf")}
+    best = {"plain": float("inf"), "live_scan": float("inf"),
+            "live4": float("inf"), "live0": float("inf")}
     for r in range(args.rounds):
         for name, fn in (("plain", wall_plain),
-                         ("live", lambda: wall_live(True)),
-                         ("live_nopipe", lambda: wall_live(False))):
+                         ("live_scan", lambda: wall_live(4, scan=True)),
+                         ("live4", lambda: wall_live(4)),
+                         ("live0", lambda: wall_live(0))):
             s = fn()
             best[name] = min(best[name], s)
             print(json.dumps({"round": r, "mode": name,
@@ -107,16 +115,19 @@ def main():
                               "it_per_s": round(args.maxit / s, 1)}),
                   flush=True)
 
-    overhead = (best["live"] - best["plain"]) / best["plain"]
-    overhead_np = (best["live_nopipe"] - best["plain"]) / best["plain"]
+    overhead = (best["live_scan"] - best["plain"]) / best["plain"]
     print(json.dumps({"summary": {
         "size": n, "maxit": args.maxit, "fused": bool(args.fused),
         "boundaries": len(logstep_boundaries(args.maxit)),
         "plain_s": round(best["plain"], 3),
-        "live_s": round(best["live"], 3),
-        "live_nopipe_s": round(best["live_nopipe"], 3),
+        "live_scan_s": round(best["live_scan"], 3),
+        "live4_s": round(best["live4"], 3),
+        "live0_s": round(best["live0"], 3),
         "live_overhead_frac": round(overhead, 4),
-        "nopipe_overhead_frac": round(overhead_np, 4),
+        "nopfx_overhead_frac": round(
+            (best["live4"] - best["plain"]) / best["plain"], 4),
+        "depth0_overhead_frac": round(
+            (best["live0"] - best["plain"]) / best["plain"], 4),
         "meets_1pct": bool(overhead < 0.01),
         "stamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }}), flush=True)
