@@ -158,6 +158,38 @@ def run_timed(times, name, fn):
     return res
 
 
+def live_menu(sink, times, menu, objective=None, primal_dual=False,
+              fixup=None):
+    """Run a method menu with live telemetry (the drivers' --live mode):
+    each entry is (name, maxit, make) — or (name, maxit, make, fixup) for
+    a per-entry row fixup overriding the menu-wide one — where
+    ``make(**overrides)`` accepts maxit=, resume_state=, it_cap=,
+    history= and returns a SolveResult.
+    Early-exit history=False solves, reference-format rows echoed while
+    solving (utils.live.live_solve with the scan-prefix for the early
+    decades); the JSONL gets the log-spaced rows."""
+    from ..utils import logging as tlog
+    from ..utils.live import live_solve
+
+    for entry in menu:
+        name, mx, make = entry[:3]
+        efix = entry[3] if len(entry) > 3 else fixup
+        def do(name=name, mx=mx, make=make, efix=efix):
+            res, rows = live_solve(
+                lambda maxit, resume_state, it_cap: make(
+                    maxit=maxit, resume_state=resume_state, it_cap=it_cap),
+                mx, method=name, objective=objective,
+                primal_dual=primal_dual, fixup=efix,
+                # first two echo decades as one scan chunk: their
+                # boundaries are 1-10 iterations apart, less device work
+                # than one relay dispatch each
+                hist_solve_fn=lambda maxit, make=make: make(
+                    maxit=maxit, history=True))
+            tlog.write_jsonl(sink.path, rows, keys=sink.keys)
+            return res
+        run_timed(times, name, do)
+
+
 class Sink:
     """JSONL sink + console echo for one experiment output file."""
 

@@ -30,8 +30,8 @@ from types import SimpleNamespace
 
 import numpy as np
 
-from .common import (Sink, group_rows, pad_tiles, pick_platform, plot_lines,
-                     route_menu_sweep, run_timed)
+from .common import (Sink, group_rows, live_menu, pad_tiles, pick_platform,
+                     plot_lines, route_menu_sweep, run_timed)
 
 
 def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=None,
@@ -148,60 +148,40 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
         x0_ag = x0.at[:n].add(noise)
         base = dict(f=f, g=g, tol=tol)
         menu = [
-            ("PGM (fixed)", lambda **o: ap.fixed_proxgrad(
+            ("PGM (fixed)", maxit, lambda **o: ap.fixed_proxgrad(
                 x0, gamma=gam, name="PGM (fixed)", **base, **o)),
         ] + [
-            (f"PGM (backtracking)-(xi={xi})",
+            (f"PGM (backtracking)-(xi={xi})", maxit,
              lambda xi=xi, **o: ap.backtracking_proxgrad(
                  x0, gamma0=gam, xi=xi,
                  name=f"PGM (backtracking)-(xi={xi})", **base, **o))
             for xi in (1.0, 1.5, 2.0)
         ] + [
-            ("Nesterov (backtracking)", lambda **o: ap.backtracking_nesterov(
+            ("Nesterov (backtracking)", maxit,
+             lambda **o: ap.backtracking_nesterov(
                 x0, gamma0=gam, name="Nesterov (backtracking)", **base, **o)),
-            ("Nesterov (fixed)", lambda **o: ap.fixed_nesterov(
+            ("Nesterov (fixed)", maxit, lambda **o: ap.fixed_nesterov(
                 x0, gamma=gam, name="Nesterov (fixed)", **base, **o)),
-            ("AdaPGM (MM)", lambda **o: ap.adaptive_proxgrad(
+            ("AdaPGM (MM)", maxit, lambda **o: ap.adaptive_proxgrad(
                 x0, rule=ap.MalitskyMishchenkoRule(gamma=gam),
                 name="AdaPGM (MM)", **base, **o)),
-            ("AdaPGM (Ours)", lambda **o: ap.adaptive_proxgrad(
+            ("AdaPGM (Ours)", maxit, lambda **o: ap.adaptive_proxgrad(
                 x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)",
                 **base, **o)),
-            ("aGRAAL", lambda **o: ap.agraal(
+            ("aGRAAL", maxit, lambda **o: ap.agraal(
                 x0, x0=x0_ag, gamma0=gam, name="aGRAAL", **base, **o)),
         ]
         if live:
             # the reference's in-flight console echo (emission inside the
             # loop at src/AdaProx.jl:351, log-decimated at
             # experiments/logging.jl:13-17): history=False early-exit
-            # solves chunked on the traced it_cap bound — the JSONL gets
-            # the log-spaced rows (utils.live.live_solve)
-            from adaprox_tpu.utils.live import live_solve
-
-            from ..utils import logging as tlog
-
-            def obj_fn(x):
-                # device-side: read in the row's single batch transfer
-                return f.value(x) + g(x)
-
-            for name, make in menu:
-                def do(name=name, make=make):
-                    res, rows = live_solve(
-                        lambda maxit, resume_state, it_cap: make(
-                            maxit=maxit, resume_state=resume_state,
-                            it_cap=it_cap),
-                        maxit, method=name, objective=obj_fn,
-                        # first two decades as one scan chunk: the early
-                        # boundaries are 1-10 iterations apart — less
-                        # device work than one relay round-trip each
-                        hist_solve_fn=lambda maxit, make=make: make(
-                            maxit=maxit, history=True))
-                    tlog.write_jsonl(sink.path, rows, keys=sink.keys)
-                    return res
-                run_timed(times, name, do)
+            # solves with live log-spaced rows (common.live_menu)
+            live_menu(sink, times, menu,
+                      objective=lambda x: f.value(x) + g(x))
         else:
-            for name, make in menu:
-                add(name, lambda make=make: make(maxit=maxit, history=True))
+            for name, mx, make in menu:
+                add(name, lambda mx=mx, make=make: make(maxit=mx,
+                                                        history=True))
     # which timed methods actually took a fast path (the summarizer pairs
     # only these — engine-vs-engine rows are compile/co-tenancy noise)
     if fused:  # the fused oracle feeds EVERY engine method

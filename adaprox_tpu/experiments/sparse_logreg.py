@@ -16,11 +16,11 @@ import numpy as np
 
 from types import SimpleNamespace
 
-from .common import (Sink, group_rows, pad_tiles, pick_platform, plot_lines,
+from .common import (Sink, group_rows, live_menu, pad_tiles, pick_platform, plot_lines,
                      route_menu_sweep, run_timed)
 
 
-def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype=None,
+def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype=None, live=False,
                        spectral_lf=False, resident=False):
     import jax
     import jax.numpy as jnp
@@ -156,23 +156,44 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
         sink.emit_meta(grid_total_s={"bt sweep": round(bt_wall, 4),
                                      "rule sweep": round(rule_wall, 4)})
     else:
+        # ground-truth prerun (tol/10) always runs history mode: it feeds
+        # the optimum pseudo-record the plots normalize against
         add(None, lambda: ap.adaptive_proxgrad(
             x0, f=f, g=g, rule=ap.AdaPGMRule(gamma=gam), tol=tol / 10,
             maxit=maxit * 10, history=True, name=None))
-        add("PGM (1/Lf)", lambda: ap.fixed_proxgrad(x0, gamma=gam, name="PGM (1/Lf)", **kw))
-        for xi in (1.0, 1.5, 2.0):
-            add(f"PGM (backtracking)-(xi={xi})",
-                lambda xi=xi: ap.backtracking_proxgrad(
-                    x0, gamma0=gam, xi=xi, name=f"PGM (backtracking)-(xi={xi})", **half))
-        add("Nesterov (backtracking)",
-            lambda: ap.backtracking_nesterov(x0, gamma0=gam, name="Nesterov (backtracking)", **half))
-        add("Nesterov (fixed)", lambda: ap.fixed_nesterov(
-            x0, gamma=gam, name="Nesterov (fixed)", **half))
-        add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
-            x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
-        add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
-            x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
-        add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
+        base = dict(f=f, g=g, tol=tol)
+        menu = [
+            ("PGM (1/Lf)", maxit, lambda **o: ap.fixed_proxgrad(
+                x0, gamma=gam, name="PGM (1/Lf)", **base, **o)),
+        ] + [
+            (f"PGM (backtracking)-(xi={xi})", maxit // 2,
+             lambda xi=xi, **o: ap.backtracking_proxgrad(
+                 x0, gamma0=gam, xi=xi,
+                 name=f"PGM (backtracking)-(xi={xi})", **base, **o))
+            for xi in (1.0, 1.5, 2.0)
+        ] + [
+            ("Nesterov (backtracking)", maxit // 2,
+             lambda **o: ap.backtracking_nesterov(
+                 x0, gamma0=gam, name="Nesterov (backtracking)", **base,
+                 **o)),
+            ("Nesterov (fixed)", maxit // 2, lambda **o: ap.fixed_nesterov(
+                x0, gamma=gam, name="Nesterov (fixed)", **base, **o)),
+            ("AdaPGM (MM)", maxit, lambda **o: ap.adaptive_proxgrad(
+                x0, rule=ap.MalitskyMishchenkoRule(gamma=gam),
+                name="AdaPGM (MM)", **base, **o)),
+            ("AdaPGM (Ours)", maxit, lambda **o: ap.adaptive_proxgrad(
+                x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)",
+                **base, **o)),
+            ("aGRAAL", maxit, lambda **o: ap.agraal(
+                x0, gamma0=gam, name="aGRAAL", **base, **o)),
+        ]
+        if live:
+            live_menu(sink, times, menu,
+                      objective=lambda x: f.value(x) + g(x))
+        else:
+            for name, mx, make in menu:
+                add(name, lambda mx=mx, make=make: make(maxit=mx,
+                                                        history=True))
     sink.emit_meta(
         wall_s=times,
         fast_path=("resident" if use_resident else "default"),
@@ -211,6 +232,8 @@ def main(argv=None):
     p.add_argument("--resident", action="store_true",
                    help="whole-solve VMEM-resident kernels for the menu "
                         "solvers (incl. the ground-truth prerun)")
+    p.add_argument("--live", action="store_true",
+                   help="early-exit solves with in-flight log-spaced echo")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -218,7 +241,7 @@ def main(argv=None):
     for ds in args.datasets.split(","):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
         sink = Sink(path)
-        src = run_logreg_l1_data(ds, sink, lam=args.lam, tol=args.tol, maxit=args.maxit,
+        src = run_logreg_l1_data(ds, sink, lam=args.lam, tol=args.tol, maxit=args.maxit, live=args.live,
                                  spectral_lf=args.spectral_lf, resident=args.resident)
         sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")

@@ -15,8 +15,8 @@ import os
 
 import numpy as np
 
-from .common import (Sink, group_rows, pad_tiles, pick_platform, plot_lines,
-                     run_timed)
+from .common import (Sink, group_rows, live_menu, pad_tiles, pick_platform,
+                     plot_lines, run_timed)
 
 T_VALUES = [0.01, 0.15, 0.02, 0.025, 0.05, 0.1, 0.2, 0.5, 1, 2, 5, 10, 20, 50, 100]
 KEYS = ["method", "norm_res", "A_evals", "At_evals"]
@@ -43,7 +43,7 @@ def make_h(inner_cls, y):
 
 
 def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
-                  vmap_sweep=False, fused=False, resident=False):
+                  vmap_sweep=False, fused=False, resident=False, live=False):
     import jax
     import jax.numpy as jnp
 
@@ -141,6 +141,35 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
         else:
             print(f"  [resident] {tuple(a_pad.shape)} exceeds the VMEM "
                   "budget; falling back to the engine")
+
+    if live and not use_resident and not fused:
+        # reference-style in-flight echo (PD schema): CV + both t-sweeps as
+        # early-exit solves; gamma/sigma coupled via t where the carry
+        # lacks one (MP carries sigma, AdaPDM+ carries gamma)
+        def obj(x):
+            return g(x) + h(a_op.matvec(x))
+
+        live_menu(sink, times, [
+            ("Condat-Vu", maxit, lambda **o: ap.condat_vu(
+                x0, y0, f=f, g=g, h=h, A=a_op, Lf=0.0, norm_A=norm_a,
+                tol=tol, name="Condat-Vu", **o)),
+        ] + [
+            (f"Malitsky-Pock (t={t})", maxit,
+             lambda t=t, **o: ap.malitsky_pock(
+                 x0, y0, f=f, g=g, h=h, A=a_op, sigma=1.0, t=t, tol=tol,
+                 name=f"Malitsky-Pock (t={t})", **o),
+             lambda row, res, t=t: {**row, "gamma": t * t * row["sigma"]})
+            for t in T_VALUES
+        ] + [
+            (f"AdaPDM+ (t={t})", maxit,
+             lambda t=t, **o: ap.adaptive_linesearch_primal_dual(
+                 x0, y0, f=f, g=g, h=h, A=a_op, eta=norm_a, t=t, tol=tol,
+                 name=f"AdaPDM+ (t={t})", **o),
+             lambda row, res, t=t: {**row, "sigma": t * t * row["gamma"]})
+            for t in T_VALUES
+        ], objective=obj, primal_dual=True)
+        sink.emit_meta(wall_s=times, fast_path="live", fast_methods=[])
+        return source
 
     if use_resident:
         pass  # Condat-Vu row already written by the resident kernel
@@ -367,6 +396,8 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
     p.add_argument("--resident-grid", action="store_true",
                    help="the ENTIRE multi-dataset grid as one (dataset x t)"
                         " kernel launch per solver family")
+    p.add_argument("--live", action="store_true",
+                   help="early-exit solves with in-flight log-spaced echo")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -387,7 +418,8 @@ def main(argv=None, inner="l2", default_outdir="results/square_root_lasso"):
         sink = Sink(path, keys=KEYS)
         src = run_composite(ds, sink, inner_cls, lam=args.lam, tol=args.tol,
                             maxit=args.maxit, vmap_sweep=args.vmap_sweep,
-                            fused=args.fused, resident=args.resident)
+                            fused=args.fused, resident=args.resident,
+                            live=args.live)
         sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")
         if not args.no_plot:
