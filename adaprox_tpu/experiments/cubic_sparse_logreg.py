@@ -16,7 +16,7 @@ from types import SimpleNamespace
 
 import numpy as np
 
-from .common import (Sink, group_rows, pick_platform, plot_lines,
+from .common import (Sink, group_rows, live_menu, pick_platform, plot_lines,
                      route_menu_sweep, run_timed)
 
 
@@ -36,7 +36,7 @@ def logistic_loss_grad_hessian(x_np, y_np, w):
     return h, g
 
 
-def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100,
+def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100, live=False,
                           seed=0, resident=False):
     import jax
     import jax.numpy as jnp
@@ -157,22 +157,39 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100,
                        fast_methods=sorted(k for k in times))
         return source
 
+    # ground-truth prerun (tol/10): feeds the optimum pseudo-record
     add(None, lambda: ap.adaptive_proxgrad(
         x0, f=f, g=g, rule=ap.AdaPGMRule(gamma=gam), tol=tol / 10,
         maxit=maxit * 10, history=True, name=None))
-    for xi in (1.0, 1.5, 2.0):
-        add(f"PGM (backtracking)-(xi={xi})",
-            lambda xi=xi: ap.backtracking_proxgrad(
-                x0, gamma0=gam, xi=xi,
-                name=f"PGM (backtracking)-(xi={xi})", **kw))
-    add("Nesterov (backtracking)", lambda: ap.backtracking_nesterov(
-        x0, gamma0=gam, name="Nesterov (backtracking)", **kw))
-    add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
-        x0, rule=ap.MalitskyMishchenkoRule(gamma=gam), name="AdaPGM (MM)", **kw))
-    add("AdaPGM (Ours)", lambda: ap.adaptive_proxgrad(
-        x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)", **kw))
-    add("aGRAAL", lambda: ap.agraal(x0, gamma0=gam, name="aGRAAL", **kw))
-    sink.emit_meta(wall_s=times, fast_path="default", fast_methods=[])
+    base = dict(f=f, g=g, tol=tol)
+    menu = [
+        (f"PGM (backtracking)-(xi={xi})", maxit,
+         lambda xi=xi, **o: ap.backtracking_proxgrad(
+             x0, gamma0=gam, xi=xi,
+             name=f"PGM (backtracking)-(xi={xi})", **base, **o))
+        for xi in (1.0, 1.5, 2.0)
+    ] + [
+        ("Nesterov (backtracking)", maxit,
+         lambda **o: ap.backtracking_nesterov(
+             x0, gamma0=gam, name="Nesterov (backtracking)", **base, **o)),
+        ("AdaPGM (MM)", maxit, lambda **o: ap.adaptive_proxgrad(
+            x0, rule=ap.MalitskyMishchenkoRule(gamma=gam),
+            name="AdaPGM (MM)", **base, **o)),
+        ("AdaPGM (Ours)", maxit, lambda **o: ap.adaptive_proxgrad(
+            x0, rule=ap.AdaPGMRule(gamma=gam), name="AdaPGM (Ours)",
+            **base, **o)),
+        ("aGRAAL", maxit, lambda **o: ap.agraal(
+            x0, gamma0=gam, name="aGRAAL", **base, **o)),
+    ]
+    if live:
+        live_menu(sink, times, menu,
+                  objective=lambda x: f.value(x) + g(x))
+    else:
+        for name, mx, make in menu:
+            add(name, lambda mx=mx, make=make: make(maxit=mx, history=True))
+    sink.emit_meta(wall_s=times,
+                   fast_path="live" if live else "default",
+                   fast_methods=[])
     return source
 
 
@@ -203,6 +220,8 @@ def main(argv=None):
     p.add_argument("--resident", action="store_true",
                    help="whole-solve VMEM-resident kernels for every method "
                         "(incl. in-kernel backtracking linesearches)")
+    p.add_argument("--live", action="store_true",
+                   help="early-exit solves with in-flight log-spaced echo")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -210,7 +229,7 @@ def main(argv=None):
     for ds in args.datasets.split(","):
         path = os.path.join(args.outdir, f"{os.path.basename(ds)}.jsonl")
         sink = Sink(path)
-        src = run_cubic_logreg_data(ds, sink, lam=args.lam, tol=args.tol,
+        src = run_cubic_logreg_data(ds, sink, lam=args.lam, tol=args.tol, live=args.live,
                                     maxit=args.maxit, resident=args.resident)
         sink.emit_meta(data_source=src)
         print(f"{path}: data={src}")

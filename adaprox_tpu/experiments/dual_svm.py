@@ -38,7 +38,7 @@ def _load(name_or_path):
 
 
 def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=False,
-             resident=False, exact_bregman=None):
+             resident=False, exact_bregman=None, live=False):
     import jax
     import jax.numpy as jnp
 
@@ -172,6 +172,39 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
 
     import time as _time
 
+    if live and not resident and not vmap_sweep:
+        # reference-style in-flight echo (PD schema): both t-sweeps + CV
+        # as early-exit solves (common.live_menu); sigma = t^2 * gamma for
+        # the AdaPDM rows (the engine carry holds both, no fixup needed)
+        from .common import live_menu
+
+        def obj(x):
+            return f.value(x) + g(x) + h(a_op.matvec(x))
+
+        live_menu(sink, times, [
+            (f"AdaPDM (t={t})", maxit,
+             lambda t=t, **o: ap.adaptive_primal_dual(
+                 x0, y0, f=f, g=g, h=h, A=a_op,
+                 rule=ap.AdaPGMRule.make(t=float(t), norm_a=norm_a),
+                 tol=tol, name=f"AdaPDM (t={t})", **o))
+            for t in T_VALUES
+        ] + [
+            (f"Malitsky-Pock (t={t})", maxit,
+             lambda t=t, **o: ap.malitsky_pock(
+                 x0, y0, f=f, g=g, h=h, A=a_op, t=float(t),
+                 sigma=1.0 / norm_a, tol=tol,
+                 name=f"Malitsky-Pock (t={t})",
+                 exact_bregman=bool(exact_bregman), **o),
+             lambda row, res, t=t: {**row, "gamma": t * t * row["sigma"]})
+            for t in T_VALUES
+        ] + [
+            ("Condat-Vu", maxit, lambda **o: ap.condat_vu(
+                x0, y0, f=f, g=g, h=h, A=a_op, Lf=lf, tol=tol,
+                name="Condat-Vu", **o)),
+        ], objective=obj, primal_dual=True)
+        sink.emit_meta(wall_s=times, fast_path="live", fast_methods=[])
+        return source
+
     if resident:
         pass  # AdaPDM rows already written by the resident sweep
     elif vmap_sweep:
@@ -278,6 +311,8 @@ def main(argv=None):
     p.add_argument("--resident", action="store_true",
                    help="on-core whole-sweep AdaPDM kernel (Q VMEM-resident; "
                         "falls back to the engine when Q exceeds the budget)")
+    p.add_argument("--live", action="store_true",
+                   help="early-exit solves with in-flight log-spaced echo")
     p.add_argument("--no-plot", action="store_true")
     p.add_argument("--exact-bregman", choices=("auto", "on", "off"),
                    default="auto",
@@ -296,7 +331,7 @@ def main(argv=None):
             sink = Sink(path, keys=KEYS)
             src = run_dsvm(ds, sink, big_c=big_c, tol=args.tol, maxit=args.maxit,
                            vmap_sweep=args.vmap_sweep, resident=args.resident,
-                           exact_bregman=exact_breg)
+                           exact_bregman=exact_breg, live=args.live)
             sink.emit_meta(data_source=src)
             print(f"{path}: data={src}")
             if not args.no_plot:

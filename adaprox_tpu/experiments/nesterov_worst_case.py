@@ -12,11 +12,11 @@ from __future__ import annotations
 import argparse
 import os
 
-from .common import (Sink, group_rows, pick_platform, plot_lines,
+from .common import (Sink, live_menu, group_rows, pick_platform, plot_lines,
                      route_menu_sweep, run_timed)
 
 
-def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6,
+def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6, live=False,
                             maxit=10_000, resident=False):
     import jax.numpy as jnp
 
@@ -115,19 +115,33 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6,
                        fast_methods=sorted(times))
         return optimum
 
-    add("Fixed stepsize PGM", lambda: ap.fixed_proxgrad(
-        x0, gamma=1 / lip, name="Fixed stepsize PGM", **kw))
-    add("Backtracking PG", lambda: ap.backtracking_proxgrad(
-        x0, gamma0=1.0, name="Backtracking PG", **kw))
-    add("Fixed Nesterov", lambda: ap.fixed_nesterov(
-        x0, gamma=1 / lip, name="Fixed Nesterov", **kw))
-    add("Backtracking Nesterov", lambda: ap.backtracking_nesterov(
-        x0, gamma0=1.0, name="Backtracking Nesterov", **kw))
-    add("AdaPGM (MM)", lambda: ap.adaptive_proxgrad(
-        x0, rule=ap.MalitskyMishchenkoRule(gamma=1 / lip), name="AdaPGM (MM)", **kw))
-    add("AdaPGM", lambda: ap.adaptive_proxgrad(
-        x0, rule=ap.AdaPGMRule(gamma=1 / lip), name="AdaPGM", **kw))
-    sink.emit_meta(wall_s=times, fast_path="default", fast_methods=[])
+    base = dict(f=f, g=g, tol=tol)
+    menu = [
+        ("Fixed stepsize PGM", maxit, lambda **o: ap.fixed_proxgrad(
+            x0, gamma=1 / lip, name="Fixed stepsize PGM", **base, **o)),
+        ("Backtracking PG", maxit, lambda **o: ap.backtracking_proxgrad(
+            x0, gamma0=1.0, name="Backtracking PG", **base, **o)),
+        ("Fixed Nesterov", maxit, lambda **o: ap.fixed_nesterov(
+            x0, gamma=1 / lip, name="Fixed Nesterov", **base, **o)),
+        ("Backtracking Nesterov", maxit,
+         lambda **o: ap.backtracking_nesterov(
+             x0, gamma0=1.0, name="Backtracking Nesterov", **base, **o)),
+        ("AdaPGM (MM)", maxit, lambda **o: ap.adaptive_proxgrad(
+            x0, rule=ap.MalitskyMishchenkoRule(gamma=1 / lip),
+            name="AdaPGM (MM)", **base, **o)),
+        ("AdaPGM", maxit, lambda **o: ap.adaptive_proxgrad(
+            x0, rule=ap.AdaPGMRule(gamma=1 / lip), name="AdaPGM",
+            **base, **o)),
+    ]
+    if live:
+        live_menu(sink, times, menu,
+                  objective=lambda x: f.value(x) + g(x))
+    else:
+        for name, mx, make in menu:
+            add(name, lambda mx=mx, make=make: make(maxit=mx, history=True))
+    sink.emit_meta(wall_s=times,
+                   fast_path="live" if live else "default",
+                   fast_methods=[])
     return optimum
 
 
@@ -159,6 +173,8 @@ def main(argv=None):
     p.add_argument("--resident", action="store_true",
                    help="whole-solve VMEM-resident kernels (dense worst-case"
                         " quadratic as the c=0 cubic model)")
+    p.add_argument("--live", action="store_true",
+                   help="early-exit solves with in-flight log-spaced echo")
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args(argv)
     pick_platform(args.cpu, x64=args.f64)
@@ -167,7 +183,7 @@ def main(argv=None):
     sink = Sink(path)
     opt = run_nesterov_worst_case(sink, k=args.k, n=args.n, lip=args.L,
                                   tol=args.tol, maxit=args.maxit,
-                                  resident=args.resident)
+                                  resident=args.resident, live=args.live)
     print(f"{path}: optimum={opt:.8f}")
     if not args.no_plot:
         plot_convergence(path)

@@ -61,9 +61,11 @@ def _variant_kernel(a_ref, x_ref, b_ref, f_ref, grad_ref, gacc_ref, facc_ref,
             f_ref[0, 0] = jnp.zeros((), acc_dtype)
 
     if fvec:
-        # (tm, 1) res padded across the lane dim would be a relayout;
-        # accumulate the scalar partial into lane 0 of a VMEM vector
-        facc_ref[0, 0] += 0.5 * jnp.sum(res * res)
+        # Mosaic rejects scalar stores to VMEM ("Cannot store scalars to
+        # VMEM", measured on-chip; interpret mode allows them) — broadcast
+        # the partial across the lane vector instead (every lane carries
+        # the full running sum; the last step reads lane 0)
+        facc_ref[:] = facc_ref[:] + 0.5 * jnp.sum(res * res)
     else:
         f_ref[0, 0] += 0.5 * jnp.sum(res * res)
     g = jnp.sum(a_tile * res, axis=0, keepdims=True)
@@ -82,7 +84,9 @@ def _variant_kernel(a_ref, x_ref, b_ref, f_ref, grad_ref, gacc_ref, facc_ref,
     def _():
         grad_ref[:] = gacc_ref[0:1, :] + (gacc_ref[1:2, :] if split else 0.0)
         if fvec:
-            f_ref[0, 0] = facc_ref[0, 0]
+            # lane-0 read through a (1,1) slice reduce (scalar VMEM loads
+            # share the store restriction)
+            f_ref[0, 0] = jnp.sum(facc_ref[0:1, 0:1])
 
 
 def make_variant(split, fvec, tm, interpret):
@@ -188,7 +192,12 @@ def main():
 
     def step_of(fn):
         def step(c, a, b2, x2):
-            f, g = fn(a, b2, x2)
+            # the carry MUST feed the kernel's inputs: a loop-invariant
+            # pallas_call gets hoisted out of the fori_loop and the
+            # "measurement" is one execution amortized K times (first
+            # version of this probe read 1740 GB/s — 2.3x the PROVEN
+            # ceiling — exactly this hoist)
+            f, g = fn(a, b2, x2 * (1.0 + c * 1e-30))
             return f * 1e-30 + g[0] * 1e-30 + c
         return step
 

@@ -96,18 +96,33 @@ def main():
         assert len(rows) == len(logstep_boundaries(args.maxit))
         return time.perf_counter() - t0
 
+    def wall_live_prefix(prefix):
+        t0 = time.perf_counter()
+        res, rows = live_solve(solve, args.maxit, method="AdaPGM",
+                               objective=obj, out=lambda s: None,
+                               pipeline=4, hist_solve_fn=hist_solve,
+                               scan_prefix=prefix)
+        float(res.norm_res)
+        return time.perf_counter() - t0
+
     # compile + settle every executable before the timed window
     wall_plain()
     wall_live(4, scan=True)
     wall_live(4)
+    if args.maxit >= 10000:
+        wall_live_prefix(1000)
 
     best = {"plain": float("inf"), "live_scan": float("inf"),
+            "live_scan1k": float("inf"),
             "live4": float("inf"), "live0": float("inf")}
+    modes = [("plain", wall_plain),
+             ("live_scan", lambda: wall_live(4, scan=True)),
+             ("live4", lambda: wall_live(4)),
+             ("live0", lambda: wall_live(0))]
+    if args.maxit >= 10000:
+        modes.insert(2, ("live_scan1k", lambda: wall_live_prefix(1000)))
     for r in range(args.rounds):
-        for name, fn in (("plain", wall_plain),
-                         ("live_scan", lambda: wall_live(4, scan=True)),
-                         ("live4", lambda: wall_live(4)),
-                         ("live0", lambda: wall_live(0))):
+        for name, fn in modes:
             s = fn()
             best[name] = min(best[name], s)
             print(json.dumps({"round": r, "mode": name,
@@ -121,6 +136,11 @@ def main():
         "boundaries": len(logstep_boundaries(args.maxit)),
         "plain_s": round(best["plain"], 3),
         "live_scan_s": round(best["live_scan"], 3),
+        "live_scan1k_s": (round(best["live_scan1k"], 3)
+                          if best["live_scan1k"] < float("inf") else None),
+        "scan1k_overhead_frac": (round(
+            (best["live_scan1k"] - best["plain"]) / best["plain"], 4)
+            if best["live_scan1k"] < float("inf") else None),
         "live4_s": round(best["live4"], 3),
         "live0_s": round(best["live0"], 3),
         "live_overhead_frac": round(overhead, 4),
