@@ -180,6 +180,50 @@ def test_live_solve_pd_schema_and_fixup(lasso_parts):
         assert row["norm_res"] == float(np.asarray(hist.records.norm_res)[i])
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_live_solve_fuzz_convergence_positions(seed):
+    """Randomized tol/maxit/prefix/pipeline so convergence lands inside the
+    scan prefix, inside a chunk, exactly on a boundary, or never — the
+    live result must be bit-identical to the uninterrupted solve in every
+    case, and the echoed iterations strictly increasing ending at numit."""
+    rng = np.random.default_rng(seed)
+    m, n = 40, 96
+    a = jnp.asarray(rng.standard_normal((m, n)))
+    b = jnp.asarray(rng.standard_normal(m))
+    f = LeastSquares(a=a, b=b)
+    g = ap.L1Norm(lam=float(rng.uniform(0.1, 1.0)))
+    lf = float(np.linalg.norm(np.asarray(a), 2) ** 2)
+    rule = ap.AdaPGMRule.make(gamma=1 / lf)
+    maxit = int(rng.integers(5, 400))
+    tol = float(10.0 ** rng.uniform(-9, -1))
+    depth = int(rng.integers(0, 6))
+    use_prefix = bool(rng.integers(0, 2))
+    prefix = int(rng.integers(1, maxit + 1)) if use_prefix else 0
+
+    def solve(maxit, resume_state, it_cap):
+        return ap.adaptive_proxgrad(
+            jnp.zeros(n), f=f, g=g, rule=rule, tol=tol, maxit=maxit,
+            resume_state=resume_state, it_cap=it_cap)
+
+    def hist_solve(maxit):
+        return ap.adaptive_proxgrad(
+            jnp.zeros(n), f=f, g=g, rule=rule, tol=tol, maxit=maxit,
+            history=True)
+
+    res, rows = live_solve(
+        solve, maxit, method="AdaPGM", out=lambda s: None, pipeline=depth,
+        hist_solve_fn=hist_solve if use_prefix else None,
+        scan_prefix=prefix)
+    ref = solve(maxit, None, None)
+    ctx = dict(maxit=maxit, tol=tol, depth=depth, prefix=prefix)
+    assert int(res.numit) == int(ref.numit), ctx
+    assert float(res.norm_res) == float(ref.norm_res), ctx
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    its = [r["it"] for r in rows]
+    assert its == sorted(set(its)), ctx
+    assert its[-1] == int(res.numit), ctx
+
+
 @pytest.mark.parametrize("maker", [
     lambda f, g, lf: ("bt", lambda maxit, resume_state, it_cap:
                       ap.backtracking_proxgrad(
