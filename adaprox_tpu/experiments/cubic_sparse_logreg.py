@@ -67,7 +67,6 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100, live
     gam = float(dx @ dx / (np.asarray(g0 - gp) @ dx))
 
     x0 = jnp.zeros(n)
-    kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
 
     times = {}
 

@@ -172,6 +172,9 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
 
     import time as _time
 
+    if live and (resident or vmap_sweep):
+        print("  [live] --live applies to the sequential engine path; "
+              "running the requested fast path without in-flight echo")
     if live and not resident and not vmap_sweep:
         # reference-style in-flight echo (PD schema): both t-sweeps + CV
         # as early-exit solves (common.live_menu); sigma = t^2 * gamma for

@@ -30,7 +30,6 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6, live=False,
     sink.emit_pseudo({"method": None, "it": 1, "objective": optimum})
 
     x0 = jnp.zeros(n)
-    kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
     times = {}
 
     def add(name, fn):

@@ -57,8 +57,6 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
         lf = float(np.linalg.norm(x1.T @ x1) / (4 * m))
     gam = 1.0 / lf
     x0 = jnp.zeros(n, x_mat.dtype)
-    kw = dict(f=f, g=g, tol=tol, maxit=maxit, history=True)
-    half = dict(f=f, g=g, tol=tol, maxit=maxit // 2, history=True)
     times = {}
 
     def add(name, fn):

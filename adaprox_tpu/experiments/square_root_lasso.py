@@ -142,7 +142,12 @@ def run_composite(name_or_path, sink, inner_cls, lam=10.0, tol=1e-5, maxit=5000,
             print(f"  [resident] {tuple(a_pad.shape)} exceeds the VMEM "
                   "budget; falling back to the engine")
 
-    if live and not use_resident and not fused:
+    if live and (use_resident or fused or vmap_sweep):
+        # precedence: the batched fast paths win (consistent across
+        # drivers) — live chunking is a per-solve mode
+        print("  [live] --live applies to the sequential engine path; "
+              "running the requested fast path without in-flight echo")
+    if live and not use_resident and not fused and not vmap_sweep:
         # reference-style in-flight echo (PD schema): CV + both t-sweeps as
         # early-exit solves; gamma/sigma coupled via t where the carry
         # lacks one (MP carries sigma, AdaPDM+ carries gamma)

@@ -21,7 +21,8 @@ class _Carry(NamedTuple):
     it: jnp.ndarray
     x: jnp.ndarray
     x_prev: jnp.ndarray
-    theta: jnp.ndarray
+    gamma: jnp.ndarray  # constant, but carried: live rows / checkpoints
+    theta: jnp.ndarray  # read the step size from the carry (utils.live)
     counters: Counters
     norm_res: jnp.ndarray
     done: jnp.ndarray
@@ -43,12 +44,13 @@ def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_con
 
     if resume_state is not None:
         carry0 = reopen(resume_state, dt, scalar_dtype=sdt,
-                        scalar_fields=("theta", "norm_res"))
+                        scalar_fields=("gamma", "theta", "norm_res"))
     else:
         carry0 = _Carry(
             it=jnp.zeros((), jnp.int32),
             x=x0,
             x_prev=x0,
+            gamma=gamma,
             theta=jnp.asarray(theta0, sdt),
             counters=Counters.zeros(),
             norm_res=jnp.asarray(jnp.inf, sdt),
@@ -105,6 +107,7 @@ def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_con
             it=it,
             x=x,
             x_prev=c.x,
+            gamma=c.gamma,
             theta=theta,
             counters=counters,
             norm_res=norm_res,

@@ -69,6 +69,7 @@ class _Carry(NamedTuple):
     norm_res: jnp.ndarray
     ck_x: jnp.ndarray
     ck_counters: Counters
+    rule_nan: jnp.ndarray  # latched: the rule produced a NaN step size
     done: jnp.ndarray
 
 
@@ -143,6 +144,9 @@ def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
             norm_res=jnp.asarray(jnp.inf, dt),
             ck_x=x1,
             ck_counters=counters,
+            # cf. primal_dual._init: a NaN initial step (direct rule ctor
+            # bypassing .make) surfaces as diag["rule_nan"]
+            rule_nan=jnp.isnan(gamma),
             done=jnp.zeros((), jnp.bool_),
         )
 
@@ -157,6 +161,10 @@ def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
         primal_res = (c.v - c.x) / c.gamma + grad_x + c.at_y
         curv = rules_mod.Curvature.of(c.x, grad_x, c.x_prev, c.grad_prev)
         (gamma, sigma), rstate = rule.update(c.rstate, curv)
+        # NaN-step latch, cf. primal_dual._step (a poisoned rule makes
+        # norm_res <= tol never true and the solve silently runs to maxit)
+        rule_nan = jnp.logical_or(
+            c.rule_nan, jnp.logical_or(jnp.isnan(gamma), jnp.isnan(sigma)))
         rho = gamma / c.gamma
 
         w = c.y + sigma * ((1 + rho) * c.a_x - rho * c.a_x_prev)
@@ -208,6 +216,7 @@ def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
             norm_res=norm_res,
             ck_x=c.x,
             ck_counters=ck,
+            rule_nan=rule_nan,
             done=jnp.logical_or(c.done, norm_res <= tol),
         )
         return new, rec
@@ -229,6 +238,7 @@ def _solve(parts, rule, x0, y0, p1, p2, tol, maxit, history, prox_kind,
         counters=counters,
         records=recs,
         extra=final,
+        diag={"gamma": final.gamma, "rule_nan": final.rule_nan},
     )
 
 

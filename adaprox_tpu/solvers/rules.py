@@ -98,6 +98,9 @@ def validate_positive(**params):
         elif isinstance(v, (np.ndarray, jnp.ndarray)) and jnp.ndim(v) == 0:
             if not jax.core.is_concrete(v):
                 continue
+            if v.dtype == jnp.bool_:  # np.asarray(True) is the same bug
+                raise TypeError(
+                    f"{name} must be a positive number, got the bool {v!r}")
             val = float(v)
         else:
             continue

@@ -154,7 +154,8 @@ def live_solve(solve_fn, maxit: int, *, method: str = "", objective=None,
             hrow = {k: hrow.get(k, float("nan")) for k in keys}
             if fixup is not None:
                 hrow = fixup(hrow, res0)
-            if is_logstep(int(hrow["it"]), base) or (
+            if (is_logstep(int(hrow["it"]), base)
+                    and int(hrow["it"]) >= min_it) or (
                     is_last and (done0 or it0 >= maxit)):
                 _echo(hrow, out)
                 rows.append(hrow)

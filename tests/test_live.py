@@ -140,6 +140,28 @@ def test_live_solve_early_convergence_stops_chunking(lasso_parts):
     assert its == sorted(set(its))
 
 
+def test_live_solve_min_it_applies_to_scan_prefix(lasso_parts):
+    """min_it must filter the scan-prefix rows too (review r5 finding 6)."""
+    f, g, lf = lasso_parts
+    rule = ap.AdaPGMRule.make(gamma=1 / lf)
+
+    def solve(maxit, resume_state, it_cap):
+        return ap.adaptive_proxgrad(
+            jnp.zeros(160), f=f, g=g, rule=rule, tol=1e-9, maxit=maxit,
+            resume_state=resume_state, it_cap=it_cap)
+
+    def hist_solve(maxit):
+        return ap.adaptive_proxgrad(
+            jnp.zeros(160), f=f, g=g, rule=rule, tol=1e-9, maxit=maxit,
+            history=True)
+
+    res, rows = live_solve(solve, 300, method="AdaPGM", out=lambda s: None,
+                           min_it=50, hist_solve_fn=hist_solve)
+    its = [r["it"] for r in rows]
+    assert all(i >= 50 for i in its), its
+    assert its[-1] == int(res.numit)
+
+
 def test_live_solve_pd_schema_and_fixup(lasso_parts):
     """PD solvers echo the PD schema; the fixup hook fills carry-absent
     columns (MP's gamma = t^2 * sigma)."""
@@ -257,6 +279,9 @@ def test_live_solve_other_families_bit_identical(lasso_parts, maker):
     assert float(res.norm_res) == float(ref.norm_res), name
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x), name)
     assert [r["it"] for r in rows][-1] == int(res.numit)
+    # every family's carry must surface gamma (review r5 finding 1:
+    # fixed_nesterov's carry lacked it and rows read NaN mid-stream)
+    assert all(np.isfinite(r["gamma"]) for r in rows), name
     if int(res.numit) == 120:  # ran to maxit: every boundary must echo
         # (catches a resume path that drops it_cap and jumps to maxit —
         # the agraal resume-branch bug this asserted against)

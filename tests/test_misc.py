@@ -157,6 +157,26 @@ def test_backtracking_trials_exhausted_surfaced():
     assert not bool(res2.diag["trials_exhausted"])
 
 
+def test_fused_engine_rule_nan_diag_latched(rng):
+    """The fused PD engine consumes the same rule objects as the engine and
+    must latch NaN step sizes the same way (review r5 finding 2)."""
+    a = jnp.asarray(rng.standard_normal((32, 128)), jnp.float32)
+    f = LeastSquares(a=a, b=jnp.zeros(32, jnp.float32))
+    g = ap.L1Norm(lam=0.5)
+    h = ap.L2Norm(lam=1.0)
+    bad = ap.AdaPGMPlusRule(gamma=0.01, nu=0.1, xi=0.5)
+    res = ap.fused_adaptive_primal_dual(
+        jnp.ones(128, jnp.float32), jnp.zeros(32, jnp.float32),
+        f=f, g=g, h=h, A=a, rule=bad, tol=1e-8, maxit=5, interpret=True)
+    assert bool(res.diag["rule_nan"])
+    ok = ap.fused_adaptive_primal_dual(
+        jnp.ones(128, jnp.float32), jnp.zeros(32, jnp.float32),
+        f=f, g=g, h=h, A=a,
+        rule=ap.AdaPGMRule.make(gamma=1e-3, t=1.0), tol=1e-8, maxit=5,
+        interpret=True)
+    assert not bool(ok.diag["rule_nan"])
+
+
 def test_rule_nan_diag_latched(rng):
     """Direct rule ctors bypass .make validation (pytree unflatten can't
     validate) — NaN-poisoning parameters used to yield a silent garbage

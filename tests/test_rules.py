@@ -318,7 +318,8 @@ def test_validate_positive_rejects_bools_and_numpy_scalars():
         validate_positive(gamma=np.float32(-1.0))
     with pytest.raises(ValueError, match="must be positive"):
         validate_positive(gamma=jnp.asarray(-0.5))
-    for b in (True, False, np.bool_(True)):
+    for b in (True, False, np.bool_(True), np.asarray(True),
+              jnp.asarray(True)):
         with pytest.raises(TypeError, match="bool"):
             validate_positive(gamma=b)
     with pytest.raises(TypeError, match="bool"):
