@@ -50,3 +50,23 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Every XLA:CPU executable mmaps several regions and the suite compiles
+# thousands of distinct graphs; near ~480 tests the process crosses the
+# kernel's vm.max_map_count (default 65530) and the NEXT compilation-cache
+# load SEGFAULTS inside the AOT deserializer instead of erroring (observed
+# at 65149 maps, exit 139, in tests/test_sweep_sharding.py — the victim is
+# whichever test compiles next, not the culprit). Dropping live executables
+# periodically keeps the map table bounded; re-requests hit the persistent
+# compile cache, so the cost is small.
+_CLEAR_EVERY = 80
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bound_live_executable_maps():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
