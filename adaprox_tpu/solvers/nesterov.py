@@ -44,7 +44,11 @@ def _solve(parts, x0, gamma, muf, mug, theta0, tol, maxit, history, strongly_con
 
     if resume_state is not None:
         carry0 = reopen(resume_state, dt, scalar_dtype=sdt,
-                        scalar_fields=("gamma", "theta", "norm_res"))
+                        scalar_fields=("theta", "norm_res"))
+        # the step math uses the gamma ARGUMENT (closure); overwrite the
+        # carried copy so telemetry/records report the step size actually
+        # used when a resume passes a different gamma than the checkpoint
+        carry0 = carry0._replace(gamma=gamma)
     else:
         carry0 = _Carry(
             it=jnp.zeros((), jnp.int32),

@@ -93,6 +93,11 @@ def validate_positive(**params):
                 f"{name} must be a positive number, got the bool {v!r}")
         if isinstance(v, jax.core.Tracer):
             continue
+        if isinstance(v, numbers.Complex) and not isinstance(v, numbers.Real):
+            # complex step sizes NaN/garbage-poison the solve exactly like
+            # negative ones — same loud failure, uniform message
+            raise TypeError(
+                f"{name} must be a positive real number, got {v!r}")
         if isinstance(v, numbers.Real):
             val = float(v)
         elif isinstance(v, (np.ndarray, jnp.ndarray)) and jnp.ndim(v) == 0:
@@ -101,6 +106,9 @@ def validate_positive(**params):
             if v.dtype == jnp.bool_:  # np.asarray(True) is the same bug
                 raise TypeError(
                     f"{name} must be a positive number, got the bool {v!r}")
+            if jnp.issubdtype(v.dtype, jnp.complexfloating):
+                raise TypeError(
+                    f"{name} must be a positive real number, got {v!r}")
             val = float(v)
         else:
             continue

@@ -49,7 +49,13 @@ def load_pytree(path, like):
     n = len([k for k in data.files if k.startswith("leaf_")])
     if n != len(leaves_like):
         raise ValueError(
-            f"checkpoint has {n} leaves but target structure has {len(leaves_like)}"
+            f"checkpoint has {n} leaves but target structure has "
+            f"{len(leaves_like)}. If this checkpoint was written by an "
+            "older framework version, the solver's loop-carry schema may "
+            "have grown since (e.g. r5 added a rule_nan diagnostic to the "
+            "PD engines and gamma to fixed_nesterov's carry) — carries are "
+            "not migrated across schema changes; re-run the solve to "
+            "produce a fresh checkpoint."
         )
     leaves = [data[f"leaf_{i}"] for i in range(n)]
     for i, (got, want) in enumerate(zip(leaves, leaves_like)):

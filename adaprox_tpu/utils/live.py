@@ -59,7 +59,7 @@ def _echo(row, out):
 
 
 def _gather(res, objective):
-    """The device leaves one echo row needs, collected WITHOUT syncing
+    """Collect the device-side leaves one echo row needs WITHOUT syncing
     (the caller batches them into one jax.device_get round-trip)."""
     ex = res.extra
     ck = getattr(ex, "ck_counters", None)
@@ -97,7 +97,11 @@ def live_solve(solve_fn, maxit: int, *, method: str = "", objective=None,
     (cuts the tiny early dispatches when echo density matters less than
     throughput). ``fixup``: optional ``(row, result) -> row`` applied
     before echo — fills solver-specific columns the carry lacks (e.g.
-    Malitsky-Pock's gamma = t^2 * sigma).
+    Malitsky-Pock's gamma = t^2 * sigma). Derive from ROW values; the
+    ``result`` argument is the chunk result for chunked rows and ``None``
+    for rows emitted from the scan prefix's records (there is no per-row
+    result there — a fixup reading per-row state from ``result.extra``
+    would silently get end-of-prefix values, so None fails loud instead).
 
     ``pipeline``: number of chunks enqueued AHEAD of the row the host is
     reading (resume chains are device-resident, so chunk k+1..k+d can all
@@ -153,7 +157,11 @@ def live_solve(solve_fn, maxit: int, *, method: str = "", objective=None,
                                  [False] * (len(hist_rows) - 1) + [True]):
             hrow = {k: hrow.get(k, float("nan")) for k in keys}
             if fixup is not None:
-                hrow = fixup(hrow, res0)
+                # no per-row result exists for prefix rows (the records are
+                # stacked arrays); pass None so a fixup that wrongly relies
+                # on result.extra fails loud instead of reading
+                # end-of-prefix state for every early row
+                hrow = fixup(hrow, None)
             if (is_logstep(int(hrow["it"]), base)
                     and int(hrow["it"]) >= min_it) or (
                     is_last and (done0 or it0 >= maxit)):

@@ -161,6 +161,17 @@ def test_live_solve_min_it_applies_to_scan_prefix(lasso_parts):
     assert all(i >= 50 for i in its), its
     assert its[-1] == int(res.numit)
 
+    # prefix rows pass result=None to fixup (no per-row result exists; a
+    # fixup reading result.extra must fail loud, not read end-of-prefix
+    # state for every early row)
+    seen = []
+    res2, rows2 = live_solve(
+        solve, 300, method="AdaPGM", out=lambda s: None,
+        hist_solve_fn=hist_solve,
+        fixup=lambda row, r: (seen.append(r is None), row)[1])
+    n_prefix = sum(1 for r in rows2 if r["it"] <= 100)
+    assert seen[:len([x for x in seen if x])].count(True) >= n_prefix - 1
+
 
 def test_live_solve_pd_schema_and_fixup(lasso_parts):
     """PD solvers echo the PD schema; the fixup hook fills carry-absent

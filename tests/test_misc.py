@@ -157,6 +157,20 @@ def test_backtracking_trials_exhausted_surfaced():
     assert not bool(res2.diag["trials_exhausted"])
 
 
+def test_fixed_nesterov_resume_reports_new_gamma(rng):
+    """fixed_nesterov's step math uses the gamma ARGUMENT; a resume that
+    passes a different gamma must report that gamma in the carry (live
+    telemetry reads it), not the checkpointed one (review r5-2)."""
+    f = Quadratic(q_mat=jnp.eye(6), q_vec=jnp.ones(6))
+    g = ap.Zero()
+    r1 = ap.fixed_nesterov(jnp.zeros(6), f=f, g=g, gamma=0.1, tol=0.0,
+                           maxit=3)
+    assert float(r1.extra.gamma) == pytest.approx(0.1)
+    r2 = ap.fixed_nesterov(jnp.zeros(6), f=f, g=g, gamma=0.2, tol=0.0,
+                           maxit=6, resume_state=r1.extra)
+    assert float(r2.extra.gamma) == pytest.approx(0.2)
+
+
 def test_fused_engine_rule_nan_diag_latched(rng):
     """The fused PD engine consumes the same rule objects as the engine and
     must latch NaN step sizes the same way (review r5 finding 2)."""

@@ -324,6 +324,11 @@ def test_validate_positive_rejects_bools_and_numpy_scalars():
             validate_positive(gamma=b)
     with pytest.raises(TypeError, match="bool"):
         ap.FixedStepsize.make(gamma=True)
+    # complex scalars/arrays poison like negatives — same loud failure
+    import numpy as _np
+    for c in (1 + 2j, _np.complex128(-1), _np.asarray(1 + 2j)):
+        with pytest.raises(TypeError, match="real"):
+            validate_positive(gamma=c)
 
 
 def test_validation_skips_traced_values():
