@@ -159,7 +159,7 @@ def run_timed(times, name, fn):
 
 
 def live_menu(sink, times, menu, objective=None, primal_dual=False,
-              fixup=None):
+              fixup=None, pipeline=1):
     """Run a method menu with live telemetry (the drivers' --live mode):
     each entry is (name, maxit, make) — or (name, maxit, make, fixup) for
     a per-entry row fixup overriding the menu-wide one — where
@@ -167,8 +167,10 @@ def live_menu(sink, times, menu, objective=None, primal_dual=False,
     history= and returns a SolveResult.
     Early-exit history=False solves, reference-format rows echoed while
     solving (utils.live.live_solve with the scan-prefix for the early
-    decades); the JSONL gets the log-spaced rows."""
-    from ..utils import logging as tlog
+    decades); the JSONL gets the log-spaced rows. ``pipeline`` defaults to
+    1 here (not live_solve's 4): menu solves are tol-based early exits,
+    and every chunk enqueued past convergence runs to its boundary before
+    being discarded."""
     from ..utils.live import live_solve
 
     for entry in menu:
@@ -179,7 +181,7 @@ def live_menu(sink, times, menu, objective=None, primal_dual=False,
                 lambda maxit, resume_state, it_cap: make(
                     maxit=maxit, resume_state=resume_state, it_cap=it_cap),
                 mx, method=name, objective=objective,
-                primal_dual=primal_dual, fixup=efix,
+                primal_dual=primal_dual, fixup=efix, pipeline=pipeline,
                 # first two echo decades as one scan chunk: their
                 # boundaries are 1-10 iterations apart, less device work
                 # than one relay dispatch each
@@ -188,6 +190,23 @@ def live_menu(sink, times, menu, objective=None, primal_dual=False,
             tlog.write_jsonl(sink.path, rows, keys=sink.keys)
             return res
         run_timed(times, name, do)
+
+
+def run_menu(sink, times, menu, *, live, objective=None, primal_dual=False,
+             fixup=None, pipeline=1):
+    """Run a method menu either as history=True record solves (default) or
+    with live telemetry (--live) — the shared driver wiring, so the
+    fast_path label and the live/else split cannot drift per driver.
+    Returns the fast_path label for the driver's meta row."""
+    if live:
+        live_menu(sink, times, menu, objective=objective,
+                  primal_dual=primal_dual, fixup=fixup, pipeline=pipeline)
+        return "live"
+    for entry in menu:
+        name, mx, make = entry[:3]
+        sink.add(run_timed(times, name, lambda mx=mx, make=make: make(
+            maxit=mx, history=True)), primal_dual=primal_dual or None)
+    return "default"
 
 
 class Sink:

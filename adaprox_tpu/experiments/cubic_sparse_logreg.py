@@ -16,7 +16,7 @@ from types import SimpleNamespace
 
 import numpy as np
 
-from .common import (Sink, group_rows, live_menu, pick_platform, plot_lines,
+from .common import (Sink, group_rows, pick_platform, plot_lines, run_menu,
                      route_menu_sweep, run_timed)
 
 
@@ -152,6 +152,9 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100, live
         times["aGRAAL"] = round(ag_wall, 4)
         sink.emit_meta(grid_total_s={"bt sweep": round(bt_wall, 4),
                                      "rule sweep": round(rule_wall, 4)})
+        if live:
+            print("  [live] resident kernels echo post-hoc; --live "
+                  "applies to the engine path only")
         sink.emit_meta(wall_s=times, fast_path="resident",
                        fast_methods=sorted(k for k in times))
         return source
@@ -180,15 +183,9 @@ def run_cubic_logreg_data(name_or_path, sink, lam=1.0, tol=1e-7, maxit=100, live
         ("aGRAAL", maxit, lambda **o: ap.agraal(
             x0, gamma0=gam, name="aGRAAL", **base, **o)),
     ]
-    if live:
-        live_menu(sink, times, menu,
-                  objective=lambda x: f.value(x) + g(x))
-    else:
-        for name, mx, make in menu:
-            add(name, lambda mx=mx, make=make: make(maxit=mx, history=True))
-    sink.emit_meta(wall_s=times,
-                   fast_path="live" if live else "default",
-                   fast_methods=[])
+    menu_path = run_menu(sink, times, menu, live=live,
+                         objective=lambda x: f.value(x) + g(x))
+    sink.emit_meta(wall_s=times, fast_path=menu_path, fast_methods=[])
     return source
 
 

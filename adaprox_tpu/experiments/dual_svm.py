@@ -181,9 +181,11 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
         # the AdaPDM rows (the engine carry holds both, no fixup needed)
         from .common import live_menu
 
-        def obj(x):
-            return f.value(x) + g(x) + h(a_op.matvec(x))
-
+        # objective=None: the row objective would be h(Ax) = IndZero's inf
+        # on every pre-convergence iterate (the history-mode rows print
+        # Infinity for the same reason), the driver's KEYS projection drops
+        # the column from the JSONL anyway, and computing it costs two
+        # matvecs of device work per echoed row — skip it (NaN column)
         live_menu(sink, times, [
             (f"AdaPDM (t={t})", maxit,
              lambda t=t, **o: ap.adaptive_primal_dual(
@@ -204,7 +206,7 @@ def run_dsvm(name_or_path, sink, big_c=0.1, tol=1e-5, maxit=10_000, vmap_sweep=F
             ("Condat-Vu", maxit, lambda **o: ap.condat_vu(
                 x0, y0, f=f, g=g, h=h, A=a_op, Lf=lf, tol=tol,
                 name="Condat-Vu", **o)),
-        ], objective=obj, primal_dual=True)
+        ], objective=None, primal_dual=True)
         sink.emit_meta(wall_s=times, fast_path="live", fast_methods=[])
         return source
 

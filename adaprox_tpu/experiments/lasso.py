@@ -30,8 +30,8 @@ from types import SimpleNamespace
 
 import numpy as np
 
-from .common import (Sink, group_rows, live_menu, pad_tiles, pick_platform,
-                     plot_lines, route_menu_sweep, run_timed)
+from .common import (Sink, group_rows, pad_tiles, pick_platform,
+                     plot_lines, route_menu_sweep, run_menu, run_timed)
 
 
 def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=None,
@@ -78,6 +78,8 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
 
     def add(name, fn):
         sink.add(run_timed(times, name, fn))
+
+    menu_path = "default"
 
     if use_resident:
         # THREE kernel launches for all nine method rows: the rule menu
@@ -171,17 +173,12 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
             ("aGRAAL", maxit, lambda **o: ap.agraal(
                 x0, x0=x0_ag, gamma0=gam, name="aGRAAL", **base, **o)),
         ]
-        if live:
-            # the reference's in-flight console echo (emission inside the
-            # loop at src/AdaProx.jl:351, log-decimated at
-            # experiments/logging.jl:13-17): history=False early-exit
-            # solves with live log-spaced rows (common.live_menu)
-            live_menu(sink, times, menu,
-                      objective=lambda x: f.value(x) + g(x))
-        else:
-            for name, mx, make in menu:
-                add(name, lambda mx=mx, make=make: make(maxit=mx,
-                                                        history=True))
+        # the reference's in-flight console echo (emission inside the
+        # loop at src/AdaProx.jl:351, log-decimated at
+        # experiments/logging.jl:13-17) when --live; record solves
+        # otherwise (common.run_menu — shared wiring + fast_path label)
+        menu_path = run_menu(sink, times, menu, live=live,
+                             objective=lambda x: f.value(x) + g(x))
     # which timed methods actually took a fast path (the summarizer pairs
     # only these — engine-vs-engine rows are compile/co-tenancy noise)
     if fused:  # the fused oracle feeds EVERY engine method
@@ -191,7 +188,7 @@ def run_random_lasso(m, n, pfactor, sink, tol=1e-7, maxit=2000, seed=0, dtype=No
     else:
         fast_methods = []
     sink.emit_meta(wall_s=times, fast_path=(
-        "resident" if use_resident else "fused" if fused else "default"),
+        "resident" if use_resident else "fused" if fused else menu_path),
         fast_methods=fast_methods)
     return prob.optimum
 

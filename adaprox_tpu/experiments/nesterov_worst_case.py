@@ -12,7 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 
-from .common import (Sink, live_menu, group_rows, pick_platform, plot_lines,
+from .common import (Sink, group_rows, pick_platform, plot_lines, run_menu,
                      route_menu_sweep, run_timed)
 
 
@@ -110,6 +110,9 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6, live=False,
             times[name] = round(rule_wall / 4, 4)
         sink.emit_meta(grid_total_s={"bt sweep": round(bt_wall, 4),
                                      "rule sweep": round(rule_wall, 4)})
+        if live:
+            print("  [live] resident kernels echo post-hoc; --live "
+                  "applies to the engine path only")
         sink.emit_meta(wall_s=times, fast_path="resident",
                        fast_methods=sorted(times))
         return optimum
@@ -132,15 +135,9 @@ def run_nesterov_worst_case(sink, k=100, n=100, lip=100.0, tol=1e-6, live=False,
             x0, rule=ap.AdaPGMRule(gamma=1 / lip), name="AdaPGM",
             **base, **o)),
     ]
-    if live:
-        live_menu(sink, times, menu,
-                  objective=lambda x: f.value(x) + g(x))
-    else:
-        for name, mx, make in menu:
-            add(name, lambda mx=mx, make=make: make(maxit=mx, history=True))
-    sink.emit_meta(wall_s=times,
-                   fast_path="live" if live else "default",
-                   fast_methods=[])
+    menu_path = run_menu(sink, times, menu, live=live,
+                         objective=lambda x: f.value(x) + g(x))
+    sink.emit_meta(wall_s=times, fast_path=menu_path, fast_methods=[])
     return optimum
 
 

@@ -16,7 +16,7 @@ import numpy as np
 
 from types import SimpleNamespace
 
-from .common import (Sink, group_rows, live_menu, pad_tiles, pick_platform, plot_lines,
+from .common import (Sink, group_rows, pad_tiles, pick_platform, plot_lines, run_menu,
                      route_menu_sweep, run_timed)
 
 
@@ -72,6 +72,7 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
         resident_agraal, resident_agraal_records, resident_bt_records)
 
     use_resident = False
+    menu_path = "default"
     if resident:  # pad + ship [X 1] only when the fast path is requested
         x1_dev = jnp.asarray(x1, x_mat.dtype)
         x1_pad, y_pad = pad_tiles(x1_dev, y)
@@ -79,6 +80,9 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
         if not use_resident:
             print(f"  [resident] unsupported shape/size {tuple(x1_pad.shape)} "
                   f"({x1_pad.dtype}); falling back to the engine")
+    if live and use_resident:
+        print("  [live] resident kernels echo post-hoc; --live applies "
+              "to the engine path only")
     interp = jax.default_backend() not in ("tpu", "axon")
 
     # high-accuracy ground-truth run, logged with method=None so plotting
@@ -185,16 +189,11 @@ def run_logreg_l1_data(name_or_path, sink, lam=0.01, tol=1e-7, maxit=2000, dtype
             ("aGRAAL", maxit, lambda **o: ap.agraal(
                 x0, gamma0=gam, name="aGRAAL", **base, **o)),
         ]
-        if live:
-            live_menu(sink, times, menu,
-                      objective=lambda x: f.value(x) + g(x))
-        else:
-            for name, mx, make in menu:
-                add(name, lambda mx=mx, make=make: make(maxit=mx,
-                                                        history=True))
+        menu_path = run_menu(sink, times, menu, live=live,
+                             objective=lambda x: f.value(x) + g(x))
     sink.emit_meta(
         wall_s=times,
-        fast_path=("resident" if use_resident else "default"),
+        fast_path=("resident" if use_resident else menu_path),
         fast_methods=(sorted(times) if use_resident else []))
     return source
 

@@ -30,6 +30,30 @@ def test_lasso_driver(tmp_path):
                     "grad_f_evals", "prox_g_evals", "f_evals"}
 
 
+def test_lasso_driver_live_rows_match_history(tmp_path):
+    """Driver-level --live equivalence (review r5-3 finding 6): the live
+    JSONL's rows must equal the history-mode JSONL's rows at the same
+    iterations, per method, bit-for-bit — catches menu-wiring drift (kwargs,
+    fixups, key projection) that unit tests of live_solve cannot see."""
+    from adaprox_tpu.experiments import lasso
+
+    lasso.main(["--outdir", str(tmp_path / "hist"), "--sizes", "64x96x8",
+                "--maxit", "150", "--no-plot"])
+    lasso.main(["--outdir", str(tmp_path / "live"), "--sizes", "64x96x8",
+                "--maxit", "150", "--no-plot", "--live"])
+    hist = read_jsonl(tmp_path / "hist" / "lasso_64_96_8.jsonl")
+    live = read_jsonl(tmp_path / "live" / "lasso_64_96_8.jsonl")
+    hist_by = {(r["method"], r["it"]): r for r in hist if r.get("method")}
+    live_rows = [r for r in live if r.get("method")]
+    assert len(live_rows) > 50  # every method echoed its log boundaries
+    meta_live = [r for r in live if r.get("fast_path")]
+    assert meta_live and meta_live[-1]["fast_path"] == "live"
+    for r in live_rows:
+        ref = hist_by.get((r["method"], r["it"]))
+        assert ref is not None, (r["method"], r["it"])
+        assert r == ref, (r["method"], r["it"])
+
+
 def test_sparse_logreg_driver(tmp_path):
     from adaprox_tpu.experiments import sparse_logreg
 
