@@ -33,7 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_instance(dataset, big_c):
+def build_instance(dataset):
     from adaprox_tpu.utils.datasets import load_or_synthesize
 
     x_np, y_np, source = load_or_synthesize(dataset, labels=(-1.0, 1.0))
@@ -164,7 +164,7 @@ def main():
     import adaprox_tpu as ap
     from adaprox_tpu.models.objectives import FactoredQuadratic
 
-    x_np, y_np, dyx, q, source = build_instance(args.dataset, args.C)
+    x_np, y_np, dyx, q, source = build_instance(args.dataset)
     n = y_np.shape[0]
     norm_a = float(np.linalg.norm(y_np))
     # Frobenius norm of Q gram-free: ||Q||_F = ||B'B||_F
@@ -188,50 +188,20 @@ def main():
     sol = ap.malitsky_pock(
         x0, y0, f=f, g=g, h=h, A=a_op, sigma=sigma0, t=args.t,
         tol=args.tol, maxit=args.maxit, history=True)
-    k = int(sol.numit)
-    solver_res = np.asarray(sol.records.norm_res)[:k]
-    pre = min(args.prefix, k, len(mp_res))
-    # knife-edge linesearches flip at 1-ulp formulation differences
-    # (CLAUDE.md): measure the agreed prefix, then compare endpoints
-    rel = np.abs(solver_res[:pre] - mp_res[:pre]) / np.maximum(
-        1e-30, np.abs(mp_res[:pre]))
-    first_split = int(np.argmax(rel > 1e-6)) if (rel > 1e-6).any() else pre
-    print(json.dumps({
-        "method": f"Malitsky-Pock (t={args.t})",
-        "mirror_final_res": float(mp_res[-1]),
-        "mirror_numit": int(len(mp_res)),
-        "solver_final_res": float(sol.norm_res),
-        "solver_numit": k,
-        "agreed_prefix_iters": first_split,
-        "max_rel_diff_in_prefix": float(rel[:max(first_split, 1)].max()),
-        "mirror_converged": bool(mp_res[-1] <= args.tol),
-        "solver_converged": bool(float(sol.norm_res) <= args.tol),
-        "same_order_final": bool(
-            0.1 < (float(sol.norm_res) + 1e-30) / (mp_res[-1] + 1e-30) < 10),
-    }), flush=True)
+    # shared verdict form (knife-edge linesearches flip at 1-ulp
+    # formulation differences — CLAUDE.md: agreed prefix + endpoints)
+    from tools.adjudicate_f0 import _verdict
+
+    print(json.dumps(_verdict(f"Malitsky-Pock (t={args.t})", mp_res, sol,
+                              args.tol, args.prefix)), flush=True)
 
     # --- Condat-Vu -----------------------------------------------------------
     cv_res = np_condat_vu_dsvm(dyx, q, y_np, args.C, lf, args.maxit, args.tol)
     sol_cv = ap.condat_vu(
         x0, y0, f=f, g=g, h=h, A=a_op, Lf=lf, tol=args.tol,
         maxit=args.maxit, history=True)
-    k = int(sol_cv.numit)
-    cv_solver = np.asarray(sol_cv.records.norm_res)[:k]
-    pre = min(args.prefix, k, len(cv_res))
-    rel = np.abs(cv_solver[:pre] - cv_res[:pre]) / np.maximum(
-        1e-30, np.abs(cv_res[:pre]))
-    print(json.dumps({
-        "method": "Condat-Vu",
-        "mirror_final_res": float(cv_res[-1]),
-        "mirror_numit": int(len(cv_res)),
-        "solver_final_res": float(sol_cv.norm_res),
-        "solver_numit": k,
-        "max_rel_diff_in_prefix": float(rel.max()),
-        "mirror_converged": bool(cv_res[-1] <= args.tol),
-        "solver_converged": bool(float(sol_cv.norm_res) <= args.tol),
-        "same_order_final": bool(
-            0.1 < (float(sol_cv.norm_res) + 1e-30) / (cv_res[-1] + 1e-30) < 10),
-    }), flush=True)
+    print(json.dumps(_verdict("Condat-Vu", cv_res, sol_cv, args.tol,
+                              args.prefix)), flush=True)
 
 
 if __name__ == "__main__":

@@ -170,10 +170,15 @@ def main():
                                          if v < float("inf")}}), flush=True)
 
     out = {}
-    for name in runners:
+    # summarize from `best`, not `runners`: a transient error in a later
+    # round deletes the runner, but any best already measured stays in the
+    # summary (same fix as tools/bcsr_probe.py)
+    for name, b in best.items():
+        if b == float("inf"):
+            continue
         nbytes = m * n * 4 if name == "stream_1gb" else stored_bytes
-        out[name] = {"ms": round(best[name] * 1e3, 3),
-                     "gbps": round(nbytes / best[name] / 1e9, 1)}
+        out[name] = {"ms": round(b * 1e3, 3),
+                     "gbps": round(nbytes / b / 1e9, 1)}
     print(json.dumps({"probe": "summary", **out}), flush=True)
 
 

@@ -108,12 +108,10 @@ def build_runners(jnp, jax, kernels, a, a_bf16, reps):
 
     runners["xla_sum_loop"] = (lambda: xla_sum(a), f32_bytes)
 
-    reps_map = {name: reps for name in runners}
-    for name in list(runners):
-        if "copy" in name:
-            reps_map[name] = cw_reps
-            fn, _ = runners[name]
-            runners[name] = (fn, 2 * f32_bytes)
+    # copy runners stream 2 passes per rep and run cw_reps reps (their
+    # byte counts were already constructed as 2 * f32_bytes above)
+    reps_map = {name: (cw_reps if "copy" in name else reps)
+                for name in runners}
     return runners, reps_map
 
 

@@ -81,13 +81,15 @@ def main():
                           "host_gbps": round(gb / secs, 2)}), flush=True)
 
     for _ in range(args.rounds):
-        # --- seq: put, consume, repeat ----------------------------------
+        # --- seq: put, consume, SYNC, repeat (truly serial baseline —
+        # without the per-chunk sync both loops enqueue identical async
+        # schedules and the seq/pipe2 distinction measures nothing) -------
         c = jnp.float32(0.0)
         t0 = time.perf_counter()
         for h in host_chunks:
             a = jax.device_put(h, dev)
             c = consume(a, c)
-        float(c)
+            float(c)  # host sync per chunk
         record("seq", time.perf_counter() - t0)
 
         # --- pipe2: next put enqueued before consuming current ----------

@@ -42,8 +42,9 @@ def main():
     if args.backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    from tools._probe_common import setup_jax_cache
+
+    setup_jax_cache(jax)  # shared cache policy — don't re-inline (drift)
 
     import jax.numpy as jnp
 

@@ -60,7 +60,11 @@ def main():
     y = jax.random.normal(jax.random.PRNGKey(3), (m,), jnp.float32)
 
     def timed_loop(step, timeit_reps=3, operand=None):
-        """step: (operand, carry_scalar) -> scalar; K iterations inside ONE
+        """Local extension of tools/_probe_common.make_timed_loop (adds
+        best-of-N and a per-step operand) — any fix to the shared
+        methodology (carry form, sync rule) must be mirrored here.
+
+        step: (operand, carry_scalar) -> scalar; K iterations inside ONE
         jit. The carry MUST feed a (cheap) input of the kernel each
         iteration — otherwise XLA hoists the loop-invariant call out of the
         fori_loop and the "measurement" is one execution amortized K times

@@ -90,7 +90,11 @@ def main():
                 data_source = r["data_source"]
                 continue
             if r.get("method") is None:
-                cand = [v for v in (optimum, r.get("objective")) if v is not None]
+                # guard NaN/-inf (a diverged ground-truth pre-run would
+                # silently poison every family's gap column)
+                cand = [v for v in (optimum, r.get("objective"))
+                        if v is not None and v == v
+                        and v != float("-inf") and v != float("inf")]
                 if cand:
                     optimum = min(cand)
                 continue
@@ -98,7 +102,8 @@ def main():
         if optimum is None:
             objs = [r.get("objective") for rs in by_method.values() for r in rs
                     if r.get("objective") is not None]
-            finite = [o for o in objs if o not in (None,) and o == o and o != float("inf")]
+            finite = [o for o in objs if o is not None and o == o
+                      and abs(o) != float("inf")]
             optimum = min(finite) if finite else None
 
         label = {"synthetic": " — SYNTHETIC fallback data",
@@ -112,18 +117,26 @@ def main():
         fams: dict[str, list] = {}
         for m, rs in by_method.items():
             fams.setdefault(family(m), []).append((m, rs))
+        def _res_of(rs):
+            v = rs[-1].get("norm_res")
+            return v if isinstance(v, (int, float)) and v == v else float("inf")
+
         for fam in sorted(fams):
-            # best variant: smallest final residual
-            best = min(fams[fam], key=lambda t: t[1][-1].get("norm_res", float("inf")))
+            # best variant: smallest final residual (missing/null/NaN
+            # norm_res sorts last and prints as a dash, never a TypeError)
+            best = min(fams[fam], key=lambda t: _res_of(t[1]))
             m, rs = best
             last = rs[-1]
             res = last.get("norm_res")
+            res_s = (f"{res:.2e}"
+                     if isinstance(res, (int, float)) and res == res else "—")
             obj = last.get("objective")
-            gap = (obj - optimum) if (obj is not None and optimum is not None
-                                      and obj == obj and obj != float("inf")) else None
+            gap = (obj - optimum) if (
+                obj is not None and optimum is not None and obj == obj
+                and abs(obj) != float("inf")) else None
             lines.append(
                 f"| {fam} | {m} | {last.get('it', len(rs))} | "
-                f"{res:.2e} | " + (f"{gap:.2e}" if gap is not None else "—") + " |\n"
+                f"{res_s} | " + (f"{gap:.2e}" if gap is not None else "—") + " |\n"
             )
 
     if args.fast:

@@ -80,7 +80,9 @@ def main():
             continue
         payload = run_config(nproc, args.devices, args.m, args.n, args.maxit)
         t = payload["timed_s"]
-        if base is None:
+        # the efficiency denominator is the 1-PROCESS run specifically —
+        # not whichever config happened to be listed first in --procs
+        if nproc == 1:
             base = t
         row = {
             "processes": nproc,
