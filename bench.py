@@ -512,6 +512,49 @@ def main():
     except Exception as e:
         results["time_to_res"] = {"error": str(e)[:200]}
 
+    # ---- live-telemetry overhead (r5): plain history=False solve vs the
+    # --live chunked solve on the SAME problem, back-to-back (the full
+    # multi-config A/B lives in tools/live_ab_probe.py; this row keeps the
+    # headline number in the bench artifact)
+    try:
+        from adaprox_tpu.utils.live import live_solve, logstep_boundaries
+
+        f_live = LeastSquares(a=a, b=b, fused=True)
+        # the overhead is ~10 ms of relay cost per echo boundary, so the
+        # fraction only means something on a live-mode-scale solve (the
+        # bench's default iters is a couple hundred — not the use case)
+        live_iters = max(iters, 2000)
+
+        def live_solve_fn(maxit, resume_state, it_cap):
+            return ap.adaptive_proxgrad(
+                x0, f=f_live, g=g, rule=ap.AdaPGMRule(gamma=gamma0),
+                tol=0.0, maxit=maxit, resume_state=resume_state,
+                it_cap=it_cap)
+
+        def wall_plain():
+            t0 = time.perf_counter()
+            _sync(live_solve_fn(live_iters, None, None).norm_res)
+            return time.perf_counter() - t0
+
+        def wall_live():
+            t0 = time.perf_counter()
+            res_l, _ = live_solve(live_solve_fn, live_iters,
+                                  method="AdaPGM", out=lambda s_: None)
+            _sync(res_l.norm_res)
+            return time.perf_counter() - t0
+
+        wall_plain(); wall_live()  # compile + settle
+        pw = min(wall_plain(), wall_plain())
+        lw = min(wall_live(), wall_live())
+        results["live_telemetry"] = {
+            "iters": live_iters,
+            "plain_s": round(pw, 3), "live_s": round(lw, 3),
+            "boundaries": len(logstep_boundaries(live_iters)),
+            "overhead_frac": round((lw - pw) / max(pw, 1e-9), 4),
+        }
+    except Exception as e:
+        results["live_telemetry"] = {"error": str(e)[:200]}
+
     # convergence sanity on the known-optimum problem (f32, small)
     prob = random_lasso(m=1024, n=2048, pfactor=10, seed=0)
     f_small = LeastSquares(a=jnp.asarray(prob.a, dtype), b=jnp.asarray(prob.b, dtype))
