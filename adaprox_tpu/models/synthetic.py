@@ -38,7 +38,13 @@ def random_lasso(m=400, n=1000, pfactor=5, seed=0, lam=1.0, rho=1.0, dtype=np.fl
         if rank < p:
             alpha[j] = lam / cty[j]
         elif cty[j] < 0.1 * lam:
-            alpha[j] = lam
+            # dual feasibility needs alpha*cty <= lam. The reference's
+            # plain `alpha = lam` (runme.jl, with lam hardcoded to 1) only
+            # satisfies that when cty <= 1 — guaranteed for lam <= 10 by
+            # this branch's guard but violated for larger lam (review
+            # r5-5); the min() is bit-identical for lam <= 10 and keeps
+            # x_star/optimum genuinely optimal for any lam.
+            alpha[j] = min(lam, lam / cty[j])
         else:
             alpha[j] = lam * rng.random() / cty[j]
     a = c * alpha[None, :]

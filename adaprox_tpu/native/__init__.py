@@ -29,15 +29,19 @@ def _build_so(src, so, extra_flags=()) -> str | None:
     error string or None. Shared by every native component."""
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return None
+    # PID-unique tmp: concurrent first-use builds (launch.py --spawn N on a
+    # fresh checkout) would otherwise interleave g++ output into ONE shared
+    # tmp file and os.replace could install a torn .so
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           *extra_flags, src, "-o", so + ".tmp"]
+           *extra_flags, src, "-o", tmp]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:
         return f"g++ unavailable: {e}"
     if proc.returncode != 0:
         return f"g++ failed: {proc.stderr[:500]}"
-    os.replace(so + ".tmp", so)
+    os.replace(tmp, so)
     return None
 
 

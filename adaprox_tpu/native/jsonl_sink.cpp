@@ -75,7 +75,11 @@ int adaprox_write_jsonl(const char *path, const char *mode, const char *method,
             out += keys[k];
             out += "\": ";
             double v = row[k];
-            if (is_int[k]) {
+            // NaN/inf/out-of-range -> long long is UB ([conv.fpint]); a
+            // degraded solve writing NaN into a counter column must fall
+            // through to the float formats below (json.dumps parity)
+            if (is_int[k] && std::isfinite(v)
+                && v >= -9.2233720368547758e18 && v <= 9.2233720368547758e18) {
                 snprintf(num, sizeof num, "%lld", static_cast<long long>(v));
             } else if (v != v) {
                 snprintf(num, sizeof num, "NaN");  // json.dumps parity

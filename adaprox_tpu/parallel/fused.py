@@ -60,6 +60,15 @@ class RowShardedFusedLS(SmoothOracle):
         del x
         return aux
 
+    def bregman_from_aux(self, dx, aux, aux_prev):
+        # aux IS the (replicated) gradient: 0.5 dx'A'A dx = 0.5 <dx, dgrad>,
+        # clamped at the exact lower bound 0 — same cancellation-resistant
+        # form as LeastSquares' fused path. Without this override the base
+        # class returns None and exact_bregman= silently falls back to the
+        # raw eps*|f| difference, re-opening the measured f32 linesearch
+        # stall for sharded solves (review r5-5).
+        return jnp.maximum(0.5 * jnp.vdot(dx, aux - aux_prev).real, 0.0)
+
 
 def row_sharded_fused_ls(a, b, mesh):
     """Place (a, b) row-sharded on ``mesh`` and return the fused oracle."""

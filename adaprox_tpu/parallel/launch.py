@@ -104,17 +104,26 @@ def _worker_sweep(args) -> int:
     out = sharded_sweep(fn, mesh, arrays, {"ts"})
 
     # replicate the sweep-sharded outputs so every process can read them
-    # whole — the compiled all-gather IS the cross-process (DCN-path) hop
+    # whole — the compiled all-gather IS the cross-process (DCN-path) hop.
+    # ONE jitted gather reused everywhere: jit caches key on function
+    # identity, so a fresh jit(lambda) per call would retrace inside the
+    # timed loop below and land lowering cost in timed_s (review r5-5)
+    _gather = jax.jit(lambda u: u, out_shardings=NamedSharding(mesh, P()))
+
     def rep(v):
-        return np.asarray(
-            jax.jit(lambda u: u, out_shardings=NamedSharding(mesh, P()))(v))
+        return np.asarray(_gather(v))
 
     x_full, numit_full = rep(out[0]), rep(out[1])
 
     # timed reps AFTER the compile+first-execution above: each rep runs the
     # sharded sweep and forces global completion through the replicating
     # gather of the (small) numit vector — the same sync every process
-    # sees, so process 0's best-of is the program's wall time
+    # sees, so process 0's best-of is the program's wall time. NB
+    # sharded_sweep itself builds a fresh shard_map closure per call, so
+    # each rep still pays a (cheap) retrace of the OUTER wrapper; the
+    # resident kernel executable underneath is cache-hit. Acceptable for
+    # the mechanism-validation numbers this launcher produces; same-window
+    # best-of-3 bounds the residual.
     import time as _time
 
     best_s = float("inf")

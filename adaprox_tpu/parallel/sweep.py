@@ -34,6 +34,8 @@ No counterpart in the single-process reference (SURVEY.md §2.4 net-new).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,6 +67,24 @@ def _pad_dim0(x, pad):
     if pad == 0:
         return x
     return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+
+
+@_functools.lru_cache(maxsize=32)
+def _shmap_callable(fn, mesh, names, shard_keys, out_axis):
+    """The shard-mapped sweep wrapper, cached on (fn identity, mesh, arg
+    names, shard set, out_axis): jax's trace cache keys on the callable's
+    identity, so rebuilding the closure per sharded_sweep call would
+    re-trace the whole resident kernel sweep every invocation — repeated
+    launches (timed loops, drivers re-running a grid) would pay tracing +
+    lowering inside what looks like pure execution (review r5-5)."""
+    in_specs = tuple(P(SWEEP) if k in shard_keys else P() for k in names)
+
+    def call(*chunked):
+        return fn(**dict(zip(names, chunked)))
+
+    out_spec = P(*((None,) * out_axis), SWEEP)
+    return jax.shard_map(call, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_spec, check_vma=False)
 
 
 def sharded_sweep(fn, mesh, arrays, shard_keys, out_axis=0):
@@ -112,16 +132,8 @@ def sharded_sweep(fn, mesh, arrays, shard_keys, out_axis=0):
         else jnp.asarray(arrays[k])
         for k in names
     ]
-    in_specs = tuple(P(SWEEP) if k in shard_keys else P() for k in names)
-
-    def call(*chunked):
-        return fn(**dict(zip(names, chunked)))
-
-    out_spec = P(*((None,) * out_axis), SWEEP)
-    out = jax.shard_map(
-        call, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
-        check_vma=False,
-    )(*vals)
+    out = _shmap_callable(fn, mesh, tuple(names), frozenset(shard_keys),
+                          out_axis)(*vals)
     if pad:
         out = jax.tree.map(
             lambda o: jax.lax.slice_in_dim(o, 0, t, axis=out_axis), out)

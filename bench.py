@@ -39,6 +39,15 @@ _HBM_GBPS = {
 
 
 def chip_bandwidth_gbps(device) -> float:
+    # single source of truth: utils/profiling.py's table (adding a new
+    # device kind there must reach the bench headline); the local copy
+    # exists only for the watchdog phase before the package can import
+    try:
+        from adaprox_tpu.utils.profiling import chip_bandwidth_gbps as _pkg
+
+        return _pkg(device)
+    except Exception:
+        pass
     kind = getattr(device, "device_kind", "")
     for k, v in sorted(_HBM_GBPS.items(), key=lambda kv: -len(kv[0])):
         if kind.startswith(k):
@@ -124,6 +133,11 @@ def _arm_outage_watchdog(budget_s, payload):
     import threading
 
     def _bail():
+        # once-guard: Timer.cancel() cannot stop an already-running
+        # callback, so without this a main-thread failure print racing the
+        # timer could emit TWO JSON lines (the artifact contract is ONE)
+        if not _PRINTED_ONCE.acquire(blocking=False):
+            return
         print(json.dumps(payload))
         sys.stdout.flush()
         os._exit(0)
@@ -132,6 +146,11 @@ def _arm_outage_watchdog(budget_s, payload):
     t.daemon = True
     t.start()
     return t
+
+
+import threading as _threading
+
+_PRINTED_ONCE = _threading.Lock()  # exactly ONE JSON line ever prints
 
 
 def main():
@@ -196,7 +215,8 @@ def main():
         if watchdog is not None:
             watchdog.cancel()
         outage_payload["detail"]["probe"] = err
-        print(json.dumps(outage_payload))
+        if _PRINTED_ONCE.acquire(blocking=False):  # watchdog may have won
+            print(json.dumps(outage_payload))
         return 0  # the JSON line IS the artifact; rc 0 so it's recorded
     if watchdog is not None:
         watchdog.cancel()
@@ -396,8 +416,11 @@ def main():
         dt_r, out_r = time_solve(run_resident)
         # subtract the measured relay dispatch latency like every
         # interleaved row above — at this ~10 ms solve scale an
-        # uncorrected ~25 ms launch would understate the kernel 3x
-        dt_r = max(dt_r - dispatch_s, 1e-9)
+        # uncorrected ~25 ms launch would understate the kernel 3x.
+        # Floor at 1e-6, not 1e-9: in a light window the measured dispatch
+        # latency can exceed this launch's actual latency and a 1e-9 floor
+        # would report an absurd ~1e12 iters/s row (same fix as run_res)
+        dt_r = max(dt_r - dispatch_s, 1e-6)
         results["resident_reference_size"] = {
             "solve_ms": round(dt_r * 1e3, 2),
             "numit": int(out_r[1]),
@@ -544,8 +567,13 @@ def main():
             return time.perf_counter() - t0
 
         wall_plain(); wall_live()  # compile + settle
-        pw = min(wall_plain(), wall_plain())
-        lw = min(wall_live(), wall_live())
+        # interleaved best-of-2 (the bench's same-window policy): on this
+        # shared chip back-to-back blocks drift and the overhead fraction
+        # could come out negative or overstated
+        pw = lw = float("inf")
+        for _ in range(2):
+            pw = min(pw, wall_plain())
+            lw = min(lw, wall_live())
         results["live_telemetry"] = {
             "iters": live_iters,
             "plain_s": round(pw, 3), "live_s": round(lw, 3),
@@ -589,7 +617,8 @@ def main():
         if "pd_fused" in results and "achieved_gbps" in results.get("pd_fused", {}):
             payload["pd_vs_ls_same_window"] = round(
                 results["pd_fused"]["achieved_gbps"] / best["achieved_gbps"], 4)
-    print(json.dumps(payload))
+    if _PRINTED_ONCE.acquire(blocking=False):
+        print(json.dumps(payload))
 
 
 if __name__ == "__main__":
