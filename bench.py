@@ -150,10 +150,15 @@ def _arm_outage_watchdog(budget_s, payload):
 
 import threading as _threading
 
-_PRINTED_ONCE = _threading.Lock()  # exactly ONE JSON line ever prints
+# exactly ONE JSON line prints per main() invocation (the watchdog thread
+# and the main thread race on it); re-armed at each main() entry so
+# in-process re-invocations (tests) get a fresh guard
+_PRINTED_ONCE = _threading.Lock()
 
 
 def main():
+    global _PRINTED_ONCE
+    _PRINTED_ONCE = _threading.Lock()
     m = int(os.environ.get("BENCH_M", 16384))
     n = int(os.environ.get("BENCH_N", 16384))
     iters = int(os.environ.get("BENCH_ITERS", 200))
