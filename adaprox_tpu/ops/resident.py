@@ -104,6 +104,20 @@ def _rule_fixed(g1, g0, ndg2, dgdx, ndx2):
 _RULES = {"adapgm": _rule_adapgm, "mm": _rule_mm, "fixed": _rule_fixed}
 
 
+def _validate_entry(**params):
+    """Loud validation for the resident PD entry points (mirrors the
+    engine-family checks: MP rejects sigma/t <= 0, AdaPDM+ rejects
+    eta/t <= 0, AdaPGMRule.make clamps): a non-positive t/norm_a/sigma0
+    makes gamma0 = 1/(2*theta*t*norm_a) (or the sigma recurrence) inf/NaN
+    and the kernel spins to maxit returning garbage with converged=False —
+    the silent-poison class round 4 closed at the engine level, which
+    these entries used to bypass (review r5-6)."""
+    from ..solvers.rules import validate_positive
+
+    validate_positive(**params)
+
+
+
 def _obj_split(a, at, b, obj_kind, m_true, cube_c, dt):
     """The in-kernel smooth-oracle menu, split exactly like ops.oracles
     (value_and_aux / grad_from_aux) so linesearch trial loops keep the
@@ -122,6 +136,11 @@ def _obj_split(a, at, b, obj_kind, m_true, cube_c, dt):
                  exactly -log(2) to the raw loss sum, removed as a static
                  constant.
     * "cubic":   f = 0.5 x'Hx + q'x + (c/6)||x||^3 with ``a`` = H (symmetric,
+                 NB the kernels still ship the (unused) transposed copy
+                 into VMEM for this obj_kind — halves the resident size
+                 range for cubic problems; irrelevant at the reference's
+                 ~113^2 Hessians, revisit only if large cubic models
+                 appear (review r5-6, consciously deferred);
                  tile-padded), ``b`` = q row, ``cube_c`` = c — the
                  cubic-regularized model (cubic_sparse_logreg/runme.jl:26-32,
                  models.objectives.Cubic): aux IS the gradient (the
@@ -393,23 +412,25 @@ def _kernel_rec(a_ref, at_ref, b_ref, x0_ref, scal_ref, x_ref, stats_ref,
 
 def _batch_kernel(scal_ref, a_ref, at_ref, b_ref, x0_ref, x_ref, stats_ref,
                   *, maxit, prox_kind, rule_kind, momentum=False,
-                  obj_kind="ls"):
+                  obj_kind="ls", m_true=None):
     """One grid step per problem INSTANCE — the multi-problem batch that
     ``jax.vmap`` over the kernel cannot compile (the batched SMEM scalar
     block has no TPU batching rule): the batch is a leading grid dimension
-    instead, with per-instance scalars in a FULL (B, 4) SMEM table indexed
-    by program_id (blocked SMEM rows fail TPU lowering — see the comment
-    below). Each step loads its own (m, n)+(n, m) matrices into VMEM and
-    runs the full early-exit solve."""
+    instead, with per-instance scalars in a FULL (B, 5) SMEM table
+    ([gamma0, tol, p1, p2, cube_c]) indexed by program_id (blocked SMEM
+    rows fail TPU lowering — see the comment below). Each step loads its
+    own (m, n)+(n, m) matrices into VMEM and runs the full early-exit
+    solve."""
     i = pl.program_id(0)
-    # scal/stats are FULL (B, 4) SMEM arrays indexed by the instance id —
+    # scal/stats are FULL (B, 5) SMEM arrays indexed by the instance id —
     # blocked SMEM rows fail TPU lowering (block second-to-last dim must be
     # a multiple of 8 or the full dim)
     x_f, it_f, nres, gamma, conv = _solve_core(
         a_ref[0], at_ref[0], b_ref[0], x0_ref[0],
         scal_ref[i, 0], scal_ref[i, 1], scal_ref[i, 2], scal_ref[i, 3],
         maxit=maxit, prox_kind=prox_kind, rule_kind=rule_kind,
-        momentum=momentum, obj_kind=obj_kind, cube_c=scal_ref[i, 4])
+        momentum=momentum, obj_kind=obj_kind, m_true=m_true,
+        cube_c=scal_ref[i, 4])
     x_ref[0] = x_f
     stats_ref[i, 0] = it_f
     stats_ref[i, 1] = nres.astype(jnp.float32)
@@ -528,7 +549,7 @@ def resident_adapgm_batch(a, b, x0, scal, maxit, prox_kind="l1",
     x_out, stats = pl.pallas_call(
         functools.partial(_batch_kernel, maxit=maxit, prox_kind=prox_kind,
                           rule_kind=rule_kind, momentum=momentum,
-                          obj_kind=obj_kind),
+                          obj_kind=obj_kind, m_true=m_true),
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -603,6 +624,15 @@ def resident_rule_sweep(a, b, x0, rows, tol, maxit, prox_kind="l1", p1=0.0,
     (x (R, n), numit (R,), norm_res (R,), converged (R,), (hg, hr, ho)
     each (R, maxit)) — feed each row to ``resident_records`` with its own
     momentum flag."""
+    if jnp.finfo(x0.dtype).bits < 32:
+        # the rows table rides the iterate dtype; bf16/f16 would quantize
+        # the it_cap and tol columns (bf16 rounds it_cap 50000 -> 49920)
+        # and silently shift budgets — run the SWEEP in f32 and use the
+        # dedicated bf16-storage families for reduced-precision operands
+        raise ValueError(
+            f"resident_rule_sweep needs >= 32-bit iterates (got "
+            f"{x0.dtype}): the rows table's it_cap/tol columns would be "
+            "quantized")
     m, n = a.shape
     dt = x0.dtype
     rows = jnp.asarray(rows, dt)
@@ -662,14 +692,20 @@ def resident_rule_sweep(a, b, x0, rows, tol, maxit, prox_kind="l1", p1=0.0,
             tuple(o[:, 0, :maxit] for o in outs[2:5]))
 
 
-def rule_rows(specs, tol=0.0, maxit=0):
+def rule_rows(specs, tol=None, maxit=None):
     """Build the (R, 5) rows array for ``resident_rule_sweep`` from
     [(gamma0, rule_kind, momentum), ...] or
     [(gamma0, rule_kind, momentum, tol, cap), ...] specs; 3-tuples take
-    the given default tol/maxit."""
+    the given tol/maxit, which are then REQUIRED — a helper cannot see
+    the launch's values, and the old defaults (0.0, 0) silently produced
+    zero-iteration rows (it < 0 exits immediately, numit=0, no error)."""
     out = []
     for spec in specs:
         if len(spec) == 3:
+            if tol is None or maxit is None:
+                raise ValueError(
+                    "3-tuple specs need explicit tol= and maxit= (pass the "
+                    "launch values; a maxit-0 row would solve nothing)")
             g, r, mom = spec
             t, cap = tol, maxit
         else:
@@ -1143,9 +1179,21 @@ def _dsvm_mp_sweep_kernel_rec(scal_ref, q_ref, lab_ref, x_ref, stats_ref,
     hg_ref[0], hs_ref[0], hr_ref[0], ht_ref[0], ho_ref[0] = hists
 
 
+def resident_mp_dsvm_sweep(q, labels, big_c, ts, sigma0, tol, maxit,
+                           n_true=None, record=False, factored=False,
+                           interpret=False, exact_bregman=False):
+    """Validating wrapper over ``_resident_mp_dsvm_sweep_jit`` (the
+    concrete sigma0 must be checked OUTSIDE the jit boundary)."""
+    _validate_entry(sigma0=sigma0)
+    return _resident_mp_dsvm_sweep_jit(
+        q, labels, big_c, ts, sigma0, tol, maxit, n_true=n_true,
+        record=record, factored=factored, interpret=interpret,
+        exact_bregman=exact_bregman)
+
+
 @functools.partial(jax.jit, static_argnames=("maxit", "record", "factored",
                                              "interpret", "exact_bregman"))
-def resident_mp_dsvm_sweep(q, labels, big_c, ts, sigma0, tol, maxit,
+def _resident_mp_dsvm_sweep_jit(q, labels, big_c, ts, sigma0, tol, maxit,
                            n_true=None, record=False, factored=False,
                            interpret=False, exact_bregman=False):
     """The dual-SVM Malitsky-Pock coupling sweep (dual_svm/runme.jl:61) as
@@ -1325,9 +1373,20 @@ def _pd_sweep_kernel(scal_ref, q_ref, lab_ref, x_ref, stats_ref, *, maxit,
     stats_ref[i, 3] = conv
 
 
-@functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
 def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit,
                          n_true=None, interpret=False):
+    """See ``_resident_adapdm_dsvm_jit``; this wrapper validates the
+    concrete scalars BEFORE the jit boundary (inside it they are tracers
+    and validation would silently skip — review r5-6)."""
+    _validate_entry(t=t, norm_a=norm_a)
+    return _resident_adapdm_dsvm_jit(q, labels, big_c, t, norm_a, tol,
+                                     maxit, n_true=n_true,
+                                     interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("maxit", "interpret"))
+def _resident_adapdm_dsvm_jit(q, labels, big_c, t, norm_a, tol, maxit,
+                              n_true=None, interpret=False):
     """Whole-solve AdaPDM for the dual SVM: min 0.5 x'Qx - 1'x over
     0 <= x <= C with labels'x = 0 enforced via the scalar dual. Q stays
     VMEM-resident (covers the reference's heart_scale/svmguide3 instantly;
@@ -1372,9 +1431,20 @@ def resident_adapdm_dsvm(q, labels, big_c, t, norm_a, tol, maxit,
     )
 
 
+def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
+                               n_true=None, record=False, factored=False,
+                               interpret=False):
+    """Validating wrapper over ``_resident_adapdm_dsvm_sweep_jit`` (the
+    concrete norm_a must be checked OUTSIDE the jit boundary)."""
+    _validate_entry(norm_a=norm_a)
+    return _resident_adapdm_dsvm_sweep_jit(
+        q, labels, big_c, ts, norm_a, tol, maxit, n_true=n_true,
+        record=record, factored=factored, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("maxit", "interpret", "record",
                                              "factored"))
-def resident_adapdm_dsvm_sweep(q, labels, big_c, ts, norm_a, tol, maxit,
+def _resident_adapdm_dsvm_sweep_jit(q, labels, big_c, ts, norm_a, tol, maxit,
                                n_true=None, record=False, factored=False,
                                interpret=False):
     """The full coupling sweep (dual_svm/runme.jl:61) as ONE kernel launch:
@@ -2028,6 +2098,7 @@ def resident_mpls_sweep(a, bv, lam, ts, sigma0, tol, maxit, record=False,
     """The Malitsky-Pock coupling sweep (square_root_lasso/runme.jl:80-88)
     as ONE kernel launch (see _f0_sweep for the return contract); the
     record histories feed ``resident_mp_records``."""
+    _validate_entry(sigma0=sigma0)
     return _f0_sweep(_mpls_core, a, bv, lam, ts, sigma0, tol, maxit,
                      record=record, h_kind=h_kind, interpret=interpret)
 
@@ -2213,6 +2284,7 @@ def resident_adapdmp_sweep(a, bv, lam, ts, eta0, tol, maxit, record=False,
     """The AdaPDM+ coupling sweep (square_root_lasso/runme.jl:90-95) as ONE
     kernel launch — same contract as resident_mpls_sweep; eta0 is the
     initial operator-norm estimate (the driver's ||A||_F)."""
+    _validate_entry(eta0=eta0)
     return _f0_sweep(_adapdmp_core, a, bv, lam, ts, eta0, tol, maxit,
                      record=record, h_kind=h_kind, interpret=interpret)
 

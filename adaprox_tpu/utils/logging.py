@@ -116,9 +116,17 @@ def write_records_jsonl(path, records, method: Optional[str], *,
 
     from ..native import write_jsonl_native
 
+    # the C++ sink always writes the method column FIRST; a projection that
+    # places "method" elsewhere must take the Python path or the bytes
+    # would differ between hosts with/without a toolchain (review r5-7) —
+    # every reference schema and driver projection is method-first, so the
+    # fast path still covers all real callers
+    native_ok = (keys is None or "method" not in keys
+                 or list(keys).index("method") == 0)
     values = np.stack([r[k][idx].astype(np.float64) for k in cols], axis=1)
     is_int = [1 if (k in _COUNT_KEYS or k == "it") else 0 for k in cols]
-    if write_jsonl_native(path, emit_method, cols, values, is_int):
+    if native_ok and write_jsonl_native(path, emit_method, cols, values,
+                                        is_int):
         return int(idx.size), last_row
 
     rows = records_to_rows(records, method, primal_dual=primal_dual)

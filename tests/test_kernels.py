@@ -1504,3 +1504,32 @@ def test_hbm_copy_token(rng):
     np.testing.assert_allclose(got, expect, rtol=1e-5)
     with pytest.raises(ValueError):
         kernels.hbm_copy(a, block_rows=7, interpret=True)
+
+
+def test_resident_pd_entries_validate_scalars():
+    """The resident PD entry points must fail loudly on non-positive
+    coupling scalars like the engine family does (review r5-6) — a
+    t/norm_a/sigma0 of 0 used to NaN-poison the kernel silently."""
+    from adaprox_tpu.ops.resident import (resident_adapdm_dsvm,
+                                          resident_adapdm_dsvm_sweep,
+                                          resident_mp_dsvm_sweep,
+                                          resident_mpls_sweep, rule_rows)
+
+    q = jnp.zeros((128, 128)); lab = jnp.zeros(128)
+    ts = jnp.asarray([0.1])
+    for call in (
+        lambda: resident_adapdm_dsvm(q, lab, 1.0, 0.0, 5.0, 1e-5, 5,
+                                     interpret=True),
+        lambda: resident_adapdm_dsvm_sweep(q, lab, 1.0, ts, -1.0, 1e-5, 5,
+                                           interpret=True),
+        lambda: resident_mp_dsvm_sweep(q, lab, 1.0, ts, 0.0, 1e-5, 5,
+                                       interpret=True),
+        lambda: resident_mpls_sweep(jnp.zeros((8, 128)), jnp.zeros(8), 0.1,
+                                    ts, -2.0, 1e-5, 5, interpret=True),
+    ):
+        with pytest.raises(ValueError, match="must be positive"):
+            call()
+    # rule_rows: 3-tuple specs without explicit budgets must fail loudly
+    # (the old defaults silently produced zero-iteration rows)
+    with pytest.raises(ValueError, match="maxit"):
+        rule_rows([(0.1, "fixed", False)])

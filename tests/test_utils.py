@@ -314,3 +314,32 @@ def test_libsvm_labels_only_file(tmp_path):
     x, y = load_libsvm_dataset(p, engine="python", n_features=4)
     assert x.shape == (3, 4) and not x.any()
     np.testing.assert_allclose(y, [1.0, -1.0, 1.0])
+
+
+def test_write_records_jsonl_nonleading_method_key_order(tmp_path):
+    """A projection placing "method" after other keys must preserve the
+    caller's key ORDER regardless of whether the native sink is present
+    (the C++ sink writes method first, so this projection must take the
+    Python path — review r5-7)."""
+    import json
+
+    import numpy as np
+
+    from adaprox_tpu.solvers.common import Records
+    from adaprox_tpu.utils.logging import read_jsonl, write_records_jsonl
+
+    n = 3
+    recs = Records(
+        it=np.arange(1, n + 1), gamma=np.full(n, 0.5), sigma=np.zeros(n),
+        norm_res=np.linspace(1, 0.1, n), objective=np.zeros(n),
+        f_evals=np.arange(1, n + 1), grad_f_evals=np.arange(1, n + 1),
+        prox_g_evals=np.arange(1, n + 1), prox_h_evals=np.zeros(n, int),
+        A_evals=np.zeros(n, int), At_evals=np.zeros(n, int),
+        valid=np.ones(n, bool))
+    path = tmp_path / "rows.jsonl"
+    write_records_jsonl(str(path), recs, "M", keys=["it", "method",
+                                                    "norm_res"])
+    raw = path.read_text().strip().splitlines()
+    first = json.loads(raw[0])
+    assert list(first.keys()) == ["it", "method", "norm_res"]
+    assert [r["it"] for r in read_jsonl(path)] == [1, 2, 3]
